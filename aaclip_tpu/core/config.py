@@ -1,0 +1,168 @@
+"""Model architecture configuration.
+
+The single production architecture is OpenAI CLIP ViT-L/14-336 evaluated at
+img_size 518 (reference: model/model_configs/ViT-L-14-336.json:1-16 and the
+image-size override at model/clip.py:112).  A tiny config is provided for
+tests and the multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 518          # run-time resolution (pos embed resized)
+    native_image_size: int = 336   # checkpoint's native resolution
+    patch_size: int = 14
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: float = 4.0
+    output_dim: int = 768
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 768
+    heads: int = 12
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    output_dim: int = 768
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """Full two-tower config.
+
+    ``quick_gelu`` is False: the reference's final model is built via
+    ``CLIP(**model_cfg)`` with the default ``quick_gelu=False`` (exact-erf
+    GELU), even though the weights are OpenAI's (model/clip.py:127,
+    model/model.py:84).
+    """
+
+    vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    embed_dim: int = 768
+    quick_gelu: bool = False
+
+    def with_image_size(self, image_size: int) -> "CLIPConfig":
+        return dataclasses.replace(
+            self, vision=dataclasses.replace(self.vision, image_size=image_size)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class AdapterConfig:
+    """Trainable adapter hyper-parameters (reference: model/adapter.py:6-45,
+    flags at train.py:211-215).
+
+    ``proj_relu`` corresponds to the ``--relu`` CLI flag (default False: the
+    golden run uses plain bias-free Linear seg/det projections, while the
+    text adapter's final projection always uses LeakyReLU).
+    """
+
+    text_adapt_weight: float = 0.1
+    image_adapt_weight: float = 0.1
+    text_adapt_until: int = 3
+    image_adapt_until: int = 6
+    levels: Tuple[int, ...] = (6, 12, 18, 24)
+    proj_relu: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DtypePolicy:
+    """Precision policy.
+
+    ``param_dtype`` is what parameters are stored in; ``compute_dtype`` is
+    what matmul inputs are cast to; ``precision`` is the XLA dot precision
+    (on TPU, fp32 inputs with default precision run as bf16 passes — parity
+    paths need ``'highest'``).  LayerNorm statistics, softmax, and the
+    residual stream always run in float32 for numerical safety.
+    """
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    precision: str | None = "highest"
+
+    @classmethod
+    def fp32(cls) -> "DtypePolicy":
+        """Exact-parity path: fp32 matmuls at full TPU precision."""
+        return cls(jnp.float32, jnp.float32, "highest")
+
+    @classmethod
+    def bf16(cls) -> "DtypePolicy":
+        """bf16 matmuls with fp32 params/accumulation — the fast TPU path."""
+        return cls(jnp.float32, jnp.bfloat16, None)
+
+
+VIT_L_14_336 = CLIPConfig()
+
+# Tiny config for unit tests and the virtual-device dry run: 2-layer towers,
+# 70-px images (5x5 grid), 64-wide vision, 32-wide text.
+TINY_TEST = CLIPConfig(
+    vision=VisionConfig(
+        image_size=70,
+        native_image_size=70,
+        patch_size=14,
+        width=64,
+        layers=2,
+        heads=4,
+        output_dim=32,
+    ),
+    text=TextConfig(
+        context_length=77,
+        vocab_size=49408,
+        width=32,
+        heads=4,
+        layers=2,
+        output_dim=32,
+    ),
+    embed_dim=32,
+)
+
+
+MODEL_CONFIGS = {
+    "ViT-L-14-336": VIT_L_14_336,
+    "tiny-test": TINY_TEST,
+}
+
+
+def get_config(model_name: str, img_size: int | None = None) -> CLIPConfig:
+    """Look up a named architecture, optionally overriding the run-time
+    image size (reference behavior: model/clip.py:112)."""
+    name = model_name.replace("/", "-")
+    if name not in MODEL_CONFIGS:
+        raise KeyError(
+            f"Model config for {name} not found; available: {sorted(MODEL_CONFIGS)}"
+        )
+    cfg = MODEL_CONFIGS[name]
+    if img_size is not None and img_size != cfg.vision.image_size:
+        cfg = cfg.with_image_size(img_size)
+    return cfg

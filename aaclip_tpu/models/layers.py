@@ -1,0 +1,182 @@
+"""Functional transformer primitives shared by the vision and text towers.
+
+Parameters are plain dict pytrees; every function is pure and jit-friendly.
+Linear weights use the JAX convention ``[in_features, out_features]`` (the
+checkpoint converter transposes torch's ``[out, in]``).
+
+Numerics match the reference (fp32 OpenCLIP, model/transformer.py):
+ * LayerNorm eps 1e-5, biased variance, fp32 statistics,
+ * exact erf GELU (quick_gelu=False path, model/model.py:84),
+ * pre-LN residual blocks with packed-QKV multi-head attention,
+ * the CLIP-Surgery "V-V" attention variant where queries and keys are both
+   replaced by values (model/transformer.py:125-152).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from aaclip_tpu.core.config import DtypePolicy
+
+_LN_EPS = 1e-5
+
+
+def layer_norm(x: jax.Array, p: dict) -> jax.Array:
+    """LayerNorm over the last axis with fp32 statistics."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def linear(x: jax.Array, p: dict, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    """``x @ w (+ b)`` with the policy's compute dtype and fp32 accumulation."""
+    cd = policy.compute_dtype
+    y = jnp.dot(x.astype(cd), p["w"].astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y
+
+
+def attention(
+    x: jax.Array,
+    p: dict,
+    num_heads: int,
+    *,
+    mask: Optional[jax.Array] = None,
+    vv: bool = False,
+    policy: DtypePolicy = DtypePolicy(),
+) -> jax.Array:
+    """Multi-head self-attention with a packed QKV projection.
+
+    ``vv=True`` selects the CLIP-Surgery value-value variant: q and k are
+    replaced by v before the score matmul (reference
+    model/transformer.py:139-149); only the V slice of the packed projection
+    is then needed.
+    """
+    B, L, D = x.shape
+    hd = D // num_heads
+    scale = hd ** -0.5
+    cd = policy.compute_dtype
+    xc = x.astype(cd)
+
+    if vv:
+        w_v = p["w_qkv"][:, 2 * D :]
+        v = jnp.dot(xc, w_v.astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
+        v = v + p["b_qkv"][2 * D :].astype(jnp.float32)
+        v = v.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+        q = k = v
+    else:
+        qkv = jnp.dot(xc, p["w_qkv"].astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
+        qkv = qkv + p["b_qkv"].astype(jnp.float32)
+        qkv = qkv.reshape(B, L, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+    scores = (
+        jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+                   preferred_element_type=jnp.float32, precision=policy.precision)
+        * scale
+    )
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
+        preferred_element_type=jnp.float32, precision=policy.precision,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
+                  preferred_element_type=jnp.float32, precision=policy.precision)
+    out = out + p["b_out"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def mlp(x: jax.Array, p: dict, act, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    h = linear(x, {"w": p["w_fc"], "b": p["b_fc"]}, policy)
+    h = act(h)
+    return linear(h, {"w": p["w_proj"], "b": p["b_proj"]}, policy).astype(x.dtype)
+
+
+def residual_block(
+    x: jax.Array,
+    p: dict,
+    num_heads: int,
+    *,
+    mask: Optional[jax.Array] = None,
+    vv: bool = False,
+    act=gelu,
+    policy: DtypePolicy = DtypePolicy(),
+    attn_fn=None,
+) -> jax.Array:
+    """Pre-LN residual attention block (reference model/transformer.py:239-258).
+
+    ``attn_fn`` optionally overrides the attention implementation (e.g. the
+    Pallas flash-attention kernel); it receives ``(x_normed, params)`` and
+    must return the projected attention output.
+    """
+    h = layer_norm(x, p["ln_1"])
+    if attn_fn is not None and not vv:
+        a = attn_fn(h, p["attn"])
+    else:
+        a = attention(h, p["attn"], num_heads, mask=mask, vv=vv, policy=policy)
+    x = x + a
+    x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"], act, policy)
+    return x
+
+
+def norm_matched_blend(x: jax.Array, adapted: jax.Array, weight: float) -> jax.Array:
+    """Rescale the adapter output to the residual stream's per-token norm,
+    then convex-blend (reference model/adapter.py:93-99, :130-136)."""
+    x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    a_norm = jnp.linalg.norm(adapted, axis=-1, keepdims=True)
+    matched = adapted * (x_norm / a_norm)
+    return weight * matched + (1.0 - weight) * x
+
+
+def simple_adapter(x: jax.Array, p: dict, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    """Bias-free Linear + LeakyReLU (reference model/adapter_modules.py:6-13)."""
+    return leaky_relu(linear(x, p, policy)).astype(x.dtype)
+
+
+def simple_proj(
+    x: jax.Array, p: dict, relu: bool, policy: DtypePolicy = DtypePolicy()
+) -> jax.Array:
+    """Bias-free Linear, optionally followed by LeakyReLU (reference
+    model/adapter_modules.py:16-26)."""
+    y = linear(x, p, policy)
+    if relu:
+        y = leaky_relu(y)
+    return y.astype(x.dtype)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    if eps:
+        n = jnp.maximum(n, eps)
+    return x / n
+
+
+def causal_mask(length: int) -> jax.Array:
+    """Additive causal mask: 0 on/below the diagonal, -inf above
+    (reference model/transformer.py:629-635)."""
+    neg = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
+    return jnp.triu(neg, k=1)

@@ -1,0 +1,68 @@
+"""Text transformer tower as pure functions.
+
+Two forward variants (reference model/model.py:190-201 for the frozen path,
+model/adapter.py:114-145 for the adapted path):
+
+* ``encode_text`` — frozen CLIP: token embed + pos embed -> 12 causal blocks
+  -> ln_final -> EOT pooling -> @ text_projection.
+* ``adapted_encode_text`` — same, but blocks 0..text_adapt_until-1 are
+  blended with norm-matched SimpleAdapters and the final projection is the
+  trainable SimpleProj (768->768, LeakyReLU) *instead of* CLIP's
+  text_projection.
+
+EOT pooling uses argmax over token ids (the EOT id 49407 is the largest in
+any sequence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aaclip_tpu.core.config import CLIPConfig, DtypePolicy
+from aaclip_tpu.models import layers as L
+
+
+def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
+           adapters=None, adapt_weight: float = 0.1,
+           policy: DtypePolicy = DtypePolicy(), act=L.gelu) -> jax.Array:
+    """Shared embed + causal transformer + per-layer adapter blends."""
+    t = cfg.text
+    x = params["token_embedding"][text]  # [B, ctx, width]
+    x = x + params["positional_embedding"].astype(x.dtype)[None]
+    mask = L.causal_mask(t.context_length)
+    n_adapt = len(adapters) if adapters is not None else 0
+    for i, blk in enumerate(params["blocks"]):
+        x = L.residual_block(x, blk, t.heads, mask=mask, act=act, policy=policy)
+        if i < n_adapt:
+            a = L.simple_adapter(x, adapters[i], policy)
+            x = L.norm_matched_blend(x, a, adapt_weight)
+    return L.layer_norm(x, params["ln_final"])
+
+
+def _eot_pool(x: jax.Array, text: jax.Array) -> jax.Array:
+    eot = jnp.argmax(text, axis=-1)
+    return jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]
+
+
+def encode_text(params: dict, cfg: CLIPConfig, text: jax.Array, *,
+                policy: DtypePolicy = DtypePolicy(), act=L.gelu) -> jax.Array:
+    """Frozen CLIP text encoding -> [B, embed_dim]."""
+    x = _trunk(params, cfg, text, policy=policy, act=act)
+    pooled = _eot_pool(x, text)
+    cd = policy.compute_dtype
+    return jnp.dot(pooled.astype(cd), params["text_projection"].astype(cd),
+                   preferred_element_type=jnp.float32, precision=policy.precision).astype(x.dtype)
+
+
+def adapted_encode_text(params: dict, text_adapter: dict, cfg: CLIPConfig,
+                        text: jax.Array, *, text_adapt_weight: float = 0.1,
+                        policy: DtypePolicy = DtypePolicy(), act=L.gelu) -> jax.Array:
+    """AdaptedCLIP text encoding: trainable blends + trainable final proj
+    (reference model/adapter.py:114-145).  The SimpleProj always applies
+    LeakyReLU (model/adapter.py:43)."""
+    x = _trunk(params, cfg, text,
+               adapters=text_adapter["layer_adapters"],
+               adapt_weight=text_adapt_weight, policy=policy, act=act)
+    pooled = _eot_pool(x, text)
+    return L.simple_proj(pooled, text_adapter["proj"], relu=True, policy=policy)

@@ -1,0 +1,168 @@
+"""Vision transformer tower (ViT-L/14) as pure functions.
+
+Covers the three forward variants the reference uses:
+
+* ``encode_image`` — frozen CLIP forward returning the projected CLS token
+  plus full token tensors tapped at the requested depths (reference
+  model/transformer.py:490-551, model/model.py:185-188).
+* the same forward with ``vv_start`` set — the CLIP-Surgery model where the
+  last blocks use V-V attention in the residual stream (DAPM_replace,
+  model/transformer.py:407-425: with DPAM_layer=20 blocks 5..23 of 24 are
+  replaced).
+* ``adapted_forward`` — the AdaptedCLIP image path with norm-matched adapter
+  blends after blocks 0..image_adapt_until-1, per-level seg projections and
+  the pooled detection token (reference model/adapter.py:67-112).
+
+The patchify convolution is expressed as a reshape + one big matmul so XLA
+maps it straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aaclip_tpu.core.config import CLIPConfig, DtypePolicy
+from aaclip_tpu.models import layers as L
+
+
+def patchify(x: jax.Array, conv_w: jax.Array, patch: int,
+             policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    """[B, 3, H, W] -> [B, (H/p)*(W/p), width] via an MXU matmul.
+
+    ``conv_w`` is the flattened patch-embedding kernel
+    [3*patch*patch, width] with (c, ky, kx) input ordering.
+    """
+    B, C, H, W = x.shape
+    gy, gx = H // patch, W // patch
+    x = x.reshape(B, C, gy, patch, gx, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, gy * gx, C * patch * patch)
+    cd = policy.compute_dtype
+    return jnp.dot(x.astype(cd), conv_w.astype(cd),
+                   preferred_element_type=jnp.float32, precision=policy.precision)
+
+
+def embed(params: dict, cfg: CLIPConfig, images: jax.Array,
+          policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    """Patchify, prepend CLS, add positional embeddings, ln_pre."""
+    v = cfg.vision
+    x = patchify(images, params["conv1"]["w"], v.patch_size, policy)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(x.dtype)[None, None, :],
+        (x.shape[0], 1, v.width),
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"].astype(x.dtype)[None]
+    return L.layer_norm(x, params["ln_pre"])
+
+
+def encode_image(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    out_layers: Sequence[int] = (),
+    *,
+    vv_start: Optional[int] = None,
+    policy: DtypePolicy = DtypePolicy(),
+    act=L.gelu,
+    attn_fn=None,
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """Frozen CLIP image forward.
+
+    Returns ``(pooled, tokens)`` where ``pooled`` is the projected CLS
+    embedding [B, embed_dim] and ``tokens`` holds the full residual-stream
+    tensors [B, 1+num_patches, width] after each 1-indexed layer in
+    ``out_layers``.  ``vv_start`` switches blocks with index >= vv_start
+    (0-indexed) to V-V attention.
+    """
+    v = cfg.vision
+    x = embed(params, cfg, images, policy)
+    taps = []
+    for i, blk in enumerate(params["blocks"]):
+        vv = vv_start is not None and i >= vv_start
+        x = L.residual_block(
+            x, blk, v.heads, vv=vv, act=act, policy=policy,
+            attn_fn=attn_fn,
+        )
+        if (i + 1) in out_layers:
+            taps.append(x)
+    pooled = L.layer_norm(x[:, 0, :], params["ln_post"])
+    cd = policy.compute_dtype
+    pooled = jnp.dot(pooled.astype(cd), params["proj"].astype(cd),
+                     preferred_element_type=jnp.float32, precision=policy.precision).astype(x.dtype)
+    return pooled, taps
+
+
+def surgery_patch_features(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    out_layers: Sequence[int],
+    surgery_until_layer: int = 20,
+    *,
+    policy: DtypePolicy = DtypePolicy(),
+    act=L.gelu,
+) -> List[jax.Array]:
+    """Stage-1 feature extraction from the surgery model: tapped patch tokens
+    (CLS dropped) -> ln_post -> @proj (reference train.py:75-81).
+
+    ``surgery_until_layer`` matches the --surgery_until_layer flag: the last
+    (surgery_until_layer - 1) blocks use V-V attention.
+    """
+    vv_start = cfg.vision.layers - (surgery_until_layer - 1)
+    _, taps = encode_image(
+        params, cfg, images, out_layers, vv_start=vv_start, policy=policy, act=act
+    )
+    cd = policy.compute_dtype
+    feats = []
+    for t in taps:
+        t = L.layer_norm(t[:, 1:, :], params["ln_post"])
+        t = jnp.dot(t.astype(cd), params["proj"].astype(cd),
+                    preferred_element_type=jnp.float32, precision=policy.precision)
+        feats.append(t)
+    return feats
+
+
+def adapted_forward(
+    params: dict,
+    image_adapter: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    *,
+    image_adapt_weight: float = 0.1,
+    levels: Sequence[int] = (6, 12, 18, 24),
+    proj_relu: bool = False,
+    policy: DtypePolicy = DtypePolicy(),
+    act=L.gelu,
+    attn_fn=None,
+) -> Tuple[List[jax.Array], jax.Array]:
+    """AdaptedCLIP image forward (reference model/adapter.py:67-112).
+
+    Returns ``(seg_tokens, det_token)``: a list of L2-normalized per-level
+    patch embeddings [B, num_patches, embed_dim] and the pooled detection
+    embedding [B, embed_dim].
+    """
+    v = cfg.vision
+    adapters = image_adapter["layer_adapters"]
+    n_adapt = len(adapters)
+    x = embed(params, cfg, images, policy)
+    taps = []
+    for i, blk in enumerate(params["blocks"]):
+        x = L.residual_block(x, blk, v.heads, act=act, policy=policy,
+                             attn_fn=attn_fn)
+        if i < n_adapt:
+            a = L.simple_adapter(x, adapters[i], policy)
+            x = L.norm_matched_blend(x, a, image_adapt_weight)
+        if (i + 1) in levels:
+            taps.append(x[:, 1:, :])  # drop CLS
+
+    tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]
+    seg_tokens = [
+        L.l2_normalize(L.simple_proj(t, image_adapter["seg_proj"][i], proj_relu, policy))
+        for i, t in enumerate(tokens)
+    ]
+    det = L.simple_proj(tokens[-1], image_adapter["det_proj"], proj_relu, policy)
+    det = L.l2_normalize(det).mean(axis=1)
+    return seg_tokens, det

@@ -1,0 +1,90 @@
+"""Training losses.
+
+Numerics follow the reference exactly (forward_utils.py:21-126, :223-227,
+train.py:91-96,148-150):
+
+* FocalLoss: gamma=2, label smoothing 1e-5 via one-hot clamping, applied to
+  *probabilities* (the similarity maps are softmaxed before the loss), mean
+  reduction.
+* BinaryDiceLoss: smooth=1, per-sample flattening.
+* seg loss = focal(probs, mask) + dice(p_normal, 1-mask) + dice(p_abnormal, mask).
+* image-level CE on ``det @ anchors`` logits, and the squared mean
+  normal/abnormal anchor dot product ("orthogonality") term.
+
+Each loss also has a fused form that consumes the single upsampled
+logit-difference map d (p_abnormal = sigmoid(d)) to avoid materializing both
+518^2 probability channels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_FOCAL_SMOOTH = 1e-5
+_FOCAL_GAMMA = 2.0
+_DICE_SMOOTH = 1.0
+
+
+def focal_loss_probs(probs: jax.Array, target: jax.Array) -> jax.Array:
+    """probs: [B, C, ...spatial]; target: [B, ...spatial] in {0..C-1}."""
+    C = probs.shape[1]
+    p = jnp.moveaxis(probs, 1, -1).reshape(-1, C).astype(jnp.float32)
+    t = target.reshape(-1).astype(jnp.int32)
+    one_hot = jax.nn.one_hot(t, C, dtype=jnp.float32)
+    one_hot = jnp.clip(one_hot, _FOCAL_SMOOTH / (C - 1), 1.0 - _FOCAL_SMOOTH)
+    pt = jnp.sum(one_hot * p, axis=1) + _FOCAL_SMOOTH
+    logpt = jnp.log(pt)
+    return jnp.mean(-((1.0 - pt) ** _FOCAL_GAMMA) * logpt)
+
+
+def dice_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """pred/target: [B, ...spatial] soft masks."""
+    B = pred.shape[0]
+    p = pred.reshape(B, -1).astype(jnp.float32)
+    t = target.reshape(B, -1).astype(jnp.float32)
+    inter = jnp.sum(p * t, axis=1)
+    eff = (2.0 * inter + _DICE_SMOOTH) / (jnp.sum(p, axis=1) + jnp.sum(t, axis=1) + _DICE_SMOOTH)
+    return 1.0 - jnp.mean(eff)
+
+
+def seg_loss_probs(probs: jax.Array, mask: jax.Array) -> jax.Array:
+    """Reference calculate_seg_loss on [B, 2, H, W] probability maps."""
+    m = mask.reshape(mask.shape[0], *probs.shape[-2:])
+    return (
+        focal_loss_probs(probs, m)
+        + dice_loss(probs[:, 0], 1.0 - m)
+        + dice_loss(probs[:, 1], m)
+    )
+
+
+def seg_loss_from_logit(d: jax.Array, mask: jax.Array) -> jax.Array:
+    """Fused seg loss from the logit-difference map d = logit(abnormal) -
+    logit(normal), [B, H, W]; mask in {0,1} with any broadcastable shape.
+
+    Exactly equals ``seg_loss_probs(stack([1-sigmoid(d), sigmoid(d)]), mask)``.
+    """
+    d = d.astype(jnp.float32)
+    m = mask.reshape(d.shape).astype(jnp.float32)
+    p1 = jax.nn.sigmoid(d)
+    p0 = 1.0 - p1
+    # focal: one_hot clamped to [smooth, 1-smooth] for C=2
+    p_t = jnp.where(m > 0.5, p1, p0)
+    pt = (1.0 - 2.0 * _FOCAL_SMOOTH) * p_t + _FOCAL_SMOOTH + _FOCAL_SMOOTH
+    focal = jnp.mean(-((1.0 - pt) ** _FOCAL_GAMMA) * jnp.log(pt))
+    return focal + dice_loss(p0, 1.0 - m) + dice_loss(p1, m)
+
+
+def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """torch F.cross_entropy (mean) on [B, C] logits, int labels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1))
+
+
+def orthogonality_loss(anchors: jax.Array) -> jax.Array:
+    """((normal . abnormal per sample).mean())^2 (reference train.py:91-96).
+
+    anchors: [B, C, 2].
+    """
+    dots = jnp.sum(anchors[:, :, 0] * anchors[:, :, 1], axis=1)
+    return jnp.mean(dots) ** 2

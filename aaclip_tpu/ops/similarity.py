@@ -1,0 +1,156 @@
+"""The anomaly-map hot path.
+
+Reference semantics (forward_utils.py:196-216, test.py:83-93):
+
+* per level: ``scores = 100 * patch_feats @ anchors`` -> [B, L, 2], reshaped
+  to a [B, 2, H, H] grid;
+* train: bilinear-upsample (align_corners=True) both channels to the image
+  size, then softmax over the channel axis;
+* test: collapse to ``(abnormal + 1 - normal) / 2``, Gaussian-blur
+  (domain-dependent kernel), upsample, and sum the four per-level maps;
+  the image score is ``(det . anchors[:, 1] + 1) / 2``.
+
+TPU-first formulation: blur and upsample are both linear, and identical
+across levels, so the test path folds them into ONE precomputed
+``M = Upsample @ Blur`` matrix [img, grid] and applies it once to the
+level-summed low-res map:
+
+    sum_l U B q_l B^T U^T  ==  M (sum_l q_l) M^T
+
+Per image that is two small matmuls instead of the reference's
+4 x (blur + 518^2-pixel bilinear) chain — an exact rewrite, not an
+approximation.  For training, softmax over 2 channels is computed as a
+sigmoid of the upsampled logit *difference*, halving the upsample work
+(again exact: softmax([a, b]) = (sigmoid(a-b), sigmoid(b-a)) and upsampling
+is linear).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aaclip_tpu.ops.blur import DOMAIN_BLUR, gaussian_blur_matrix
+from aaclip_tpu.ops.resize import bilinear_matrix
+
+
+def level_scores(seg_tokens: jax.Array, anchors: jax.Array) -> jax.Array:
+    """``100 * feats @ anchors`` for stacked levels.
+
+    seg_tokens: [n_levels, B, L, C]; anchors: [B, C, 2] or [C, 2]
+    -> [n_levels, B, L, 2]
+    """
+    if anchors.ndim == 2:
+        return 100.0 * jnp.einsum("nblc,ck->nblk", seg_tokens, anchors,
+                                  preferred_element_type=jnp.float32, precision="highest")
+    return 100.0 * jnp.einsum("nblc,bck->nblk", seg_tokens, anchors,
+                              preferred_element_type=jnp.float32, precision="highest")
+
+
+@functools.lru_cache(maxsize=16)
+def fused_postproc_matrix(grid: int, img_size: int, domain: str) -> np.ndarray:
+    """M = bilinear_upsample(align_corners=True) @ gaussian_blur(reflect),
+    [img_size, grid]."""
+    k, s = DOMAIN_BLUR[domain]
+    B = gaussian_blur_matrix(grid, k, s)
+    U = bilinear_matrix(grid, img_size, align_corners=True)
+    return (U @ B).astype(np.float32)
+
+
+def eval_anomaly_map(
+    seg_tokens: jax.Array,
+    anchors: jax.Array,
+    img_size: int,
+    domain: str,
+) -> jax.Array:
+    """Fused test-time pixel anomaly map.
+
+    seg_tokens: [n_levels, B, L, C] L2-normalized patch embeddings;
+    anchors: [C, 2] (single class) or [B, C, 2].
+    Returns [B, img_size, img_size] = the sum over levels of the reference's
+    per-level blurred+upsampled ``(abnormal + 1 - normal)/2`` maps.
+    """
+    n_levels, Bsz, L, _ = seg_tokens.shape
+    grid = int(round(L ** 0.5))
+    scores = level_scores(seg_tokens, anchors)          # [n, B, L, 2]
+    q = (scores[..., 1] - scores[..., 0]).sum(axis=0)   # [B, L]
+    q = q * 0.5 + (n_levels * 0.5)                      # + n/2 from the +1's
+    q = q.reshape(Bsz, grid, grid)
+    M = jnp.asarray(fused_postproc_matrix(grid, img_size, domain))
+    out = jnp.einsum("Ig,bgh->bIh", M, q, preferred_element_type=jnp.float32, precision="highest")
+    out = jnp.einsum("Jh,bIh->bIJ", M, out, preferred_element_type=jnp.float32, precision="highest")
+    return out
+
+
+def image_score(det: jax.Array, anchors: jax.Array) -> jax.Array:
+    """Test-time image-level score ``(det . abnormal_anchor + 1) / 2``
+    (reference test.py:83-84)."""
+    if anchors.ndim == 2:
+        s = det @ anchors[:, 1]
+    else:
+        s = jnp.einsum("bc,bc->b", det, anchors[:, :, 1])
+    return (s + 1.0) / 2.0
+
+
+def train_similarity_logit(level_score: jax.Array, img_size: int) -> jax.Array:
+    """Upsampled (align_corners=True) abnormal-minus-normal logit map.
+
+    level_score: [B, L, 2] -> [B, img_size, img_size] logit difference d such
+    that the reference's softmaxed channels are (sigmoid(-d), sigmoid(d)).
+    """
+    Bsz, L, _ = level_score.shape
+    grid = int(round(L ** 0.5))
+    d = (level_score[..., 1] - level_score[..., 0]).reshape(Bsz, grid, grid)
+    U = jnp.asarray(bilinear_matrix(grid, img_size, align_corners=True))
+    d = jnp.einsum("Ig,bgh->bIh", U, d, preferred_element_type=jnp.float32, precision="highest")
+    d = jnp.einsum("Jh,bIh->bIJ", U, d, preferred_element_type=jnp.float32, precision="highest")
+    return d
+
+
+def train_similarity_probs(level_score: jax.Array, img_size: int) -> jax.Array:
+    """Reference-layout [B, 2, img, img] softmax probability maps (train
+    mode of forward_utils.py:196-216).  Prefer consuming the logit from
+    ``train_similarity_logit`` in losses; this is the parity-friendly view.
+    """
+    d = train_similarity_logit(level_score, img_size)
+    p1 = jax.nn.sigmoid(d)
+    return jnp.stack([1.0 - p1, p1], axis=1)
+
+
+def reference_similarity_map(
+    patch_feats: jax.Array,
+    anchors: jax.Array,
+    img_size: int,
+    *,
+    test: bool = False,
+    domain: str = "Medical",
+) -> jax.Array:
+    """Direct port of ``calculate_similarity_map`` semantics for a single
+    level — used by tests to validate the fused paths against a
+    straightforward implementation.
+
+    patch_feats: [B, L, C]; anchors: [B, C, 2] or [C, 2].
+    """
+    from aaclip_tpu.ops.resize import resize_bilinear_2d
+
+    if anchors.ndim == 2:
+        scores = 100.0 * jnp.einsum("blc,ck->blk", patch_feats, anchors)
+    else:
+        scores = 100.0 * jnp.einsum("blc,bck->blk", patch_feats, anchors)
+    Bsz, L, C = scores.shape
+    grid = int(round(L ** 0.5))
+    pred = scores.transpose(0, 2, 1).reshape(Bsz, C, grid, grid)
+    if test:
+        k, s = DOMAIN_BLUR[domain]
+        Bm = jnp.asarray(gaussian_blur_matrix(grid, k, s))
+        p = (pred[:, 1] + 1.0 - pred[:, 0]) / 2.0
+        p = jnp.einsum("Ig,bgh->bIh", Bm, p)
+        p = jnp.einsum("Jh,bIh->bIJ", Bm, p)
+        p = resize_bilinear_2d(p[:, None], (img_size, img_size))
+        return p[:, 0]
+    up = resize_bilinear_2d(pred, (img_size, img_size))
+    return jax.nn.softmax(up, axis=1)
