@@ -144,14 +144,13 @@ def resize_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
         raise ValueError(f"non-square pos embed: {img.shape}")
     if old_grid == new_grid:
         return pos
-    grid = img.reshape(old_grid, old_grid, -1)
-    resized = jax.image.resize(
-        jnp.asarray(grid, jnp.float32),
-        (new_grid, new_grid, grid.shape[-1]),
-        method="bicubic",
-    )
-    resized = np.asarray(resized).reshape(new_grid * new_grid, -1)
-    return np.concatenate([tok.astype(np.float32), resized], axis=0)
+    from aaclip_tpu.ops.resize import resize_bicubic_2d
+
+    grid = np.asarray(img, np.float32).reshape(old_grid, old_grid, -1)
+    grid = np.moveaxis(grid, -1, 0)  # [C, g, g]
+    resized = resize_bicubic_2d(grid, (new_grid, new_grid))
+    resized = np.moveaxis(resized, 0, -1).reshape(new_grid * new_grid, -1)
+    return np.concatenate([np.asarray(tok, np.float32), resized], axis=0)
 
 
 # --------------------------------------------------------------------------

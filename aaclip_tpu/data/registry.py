@@ -13,19 +13,22 @@ import dataclasses
 import os
 from typing import Dict, List, Tuple
 
-BASE_PATH = os.environ.get("AACLIP_DATA", "./data")
+def base_path() -> str:
+    """Root of the on-disk datasets; override with AACLIP_DATA (evaluated
+    lazily so tests/CLIs can point at synthetic data)."""
+    return os.environ.get("AACLIP_DATA", "./data")
 
 
 @dataclasses.dataclass(frozen=True)
 class DatasetSpec:
     name: str
-    rel_path: str               # under BASE_PATH
+    rel_path: str               # under base_path()
     domain: str                 # "Industrial" | "Medical"
     real_names: Dict[str, str]  # class_name -> human description
 
     @property
     def data_path(self) -> str:
-        return os.path.join(BASE_PATH, self.rel_path)
+        return os.path.join(base_path(), self.rel_path)
 
     @property
     def class_names(self) -> List[str]:
@@ -96,8 +99,11 @@ DATASETS: Dict[str, DatasetSpec] = {s.name: s for s in _SPECS}
 # alphabetical past "metal_nut" (pill, screw, tile, transistor, toothbrush...).
 CLASS_NAMES: Dict[str, List[str]] = {s.name: s.class_names for s in _SPECS}
 DOMAINS: Dict[str, str] = {s.name: s.domain for s in _SPECS}
-DATA_PATH: Dict[str, str] = {s.name: s.data_path for s in _SPECS}
 REAL_NAMES: Dict[str, Dict[str, str]] = {s.name: s.real_names for s in _SPECS}
+
+
+def data_path(dataset_name: str) -> str:
+    return DATASETS[dataset_name].data_path
 
 # Anomaly-prompt grammar (reference dataset/constants.py:135-148):
 # 3 normal states x 2 templates = 6 normal sentences,

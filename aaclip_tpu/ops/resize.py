@@ -41,6 +41,57 @@ def bilinear_matrix(in_size: int, out_size: int, align_corners: bool = True) -> 
     return A
 
 
+def _cubic_weight(x: float, a: float) -> float:
+    """Cubic convolution kernel."""
+    x = abs(x)
+    if x <= 1.0:
+        return (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0
+    if x < 2.0:
+        return a * x ** 3 - 5.0 * a * x ** 2 + 8.0 * a * x - 4.0 * a
+    return 0.0
+
+
+@functools.lru_cache(maxsize=64)
+def bicubic_matrix(in_size: int, out_size: int, *,
+                   antialias: bool = True) -> np.ndarray:
+    """[out_size, in_size] 1-D bicubic matrix matching torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` for *upsampling*.
+
+    torch's two bicubic flavors differ even when upscaling:
+    ``antialias=True`` (what the reference's pos-embed resize uses,
+    model/model.py:414-420) applies an a=-0.5 kernel whose out-of-bounds
+    taps are DISCARDED and the remaining weights renormalized;
+    ``antialias=False`` uses a=-0.75 with edge-clamped taps.
+    """
+    a = -0.5 if antialias else -0.75
+    A = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) * in_size / out_size - 0.5
+        i0 = int(np.floor(src))
+        frac = src - i0
+        taps = [(i0 + t, _cubic_weight(t - frac, a)) for t in range(-1, 3)]
+        if antialias:
+            kept = [(j, w) for j, w in taps if 0 <= j < in_size]
+            total = sum(w for _, w in kept)
+            for j, w in kept:
+                A[i, j] += w / total
+        else:
+            for j, w in taps:
+                A[i, min(max(j, 0), in_size - 1)] += w
+    return A.astype(np.float32)
+
+
+def resize_bicubic_2d(x: np.ndarray, out_hw: tuple[int, int],
+                      antialias: bool = True) -> np.ndarray:
+    """Host-side bicubic resize of the last two axes (numpy, exact torch
+    semantics for upsampling)."""
+    Ah = bicubic_matrix(x.shape[-2], out_hw[0], antialias=antialias).astype(np.float64)
+    Aw = bicubic_matrix(x.shape[-1], out_hw[1], antialias=antialias).astype(np.float64)
+    y = np.einsum("Oh,...hw->...Ow", Ah, x.astype(np.float64))
+    y = np.einsum("Pw,...Ow->...OP", Aw, y)
+    return y.astype(np.float32)
+
+
 def resize_bilinear_2d(x: jax.Array, out_hw: tuple[int, int],
                        align_corners: bool = True) -> jax.Array:
     """Bilinear-resize the last two axes of ``x`` via two matmuls."""

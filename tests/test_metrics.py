@@ -1,0 +1,80 @@
+"""Metric parity vs sklearn and sanity of AUPRO / metrics_eval."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import average_precision_score, roc_auc_score
+
+from aaclip_tpu.eval.metrics import (
+    aupro,
+    auroc,
+    average_precision,
+    metrics_eval,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_auroc_ap_match_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    n = 5000
+    labels = rng.random(n) > 0.8
+    scores = rng.standard_normal(n) + labels * rng.uniform(0, 2)
+    # inject ties
+    scores = np.round(scores, 2)
+    np.testing.assert_allclose(auroc(labels, scores),
+                               roc_auc_score(labels, scores), atol=1e-10)
+    np.testing.assert_allclose(average_precision(labels, scores),
+                               average_precision_score(labels, scores),
+                               atol=1e-10)
+
+
+def test_aupro_perfect_predictor():
+    rng = np.random.default_rng(3)
+    masks = np.zeros((4, 32, 32), bool)
+    masks[0, 5:12, 5:12] = True
+    masks[1, 20:28, 3:9] = True
+    masks[2, 10:14, 10:30] = True
+    preds = masks.astype(np.float64) + rng.random(masks.shape) * 0.01
+    assert aupro(masks, preds) > 0.95
+
+
+def test_aupro_random_predictor_is_low():
+    rng = np.random.default_rng(4)
+    masks = np.zeros((4, 32, 32), bool)
+    masks[0, 5:12, 5:12] = True
+    preds = rng.random(masks.shape)
+    v = aupro(masks, preds)
+    assert 0.0 <= v < 0.5
+
+
+def test_metrics_eval_reference_semantics():
+    rng = np.random.default_rng(5)
+    n, h = 8, 16
+    masks = np.zeros((n, 1, h, h), np.float32)
+    labels = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    for i in range(4, 8):
+        masks[i, 0, 2:6, 2:6] = 1
+    preds = rng.random((n, h, h)) * 0.2 + masks[:, 0] * 0.7
+    img_preds = rng.random(n) * 0.2 + labels * 0.7
+    row = metrics_eval(masks, labels, preds, img_preds, "bottle",
+                       "Industrial", compute_aupro=True)
+    assert row["class name"] == "bottle"
+    assert row["pixel AUC"] > 95
+    assert row["image AUC"] > 95
+    assert "pixel AUPRO" in row
+    # single-label image set -> image metrics forced to 0
+    row2 = metrics_eval(masks[4:], labels[4:], preds[4:], img_preds[4:],
+                        "x", "Medical")
+    assert row2["image AUC"] == 0 and row2["image AP"] == 0
+
+
+def test_metrics_eval_medical_uses_pixel_max_only():
+    rng = np.random.default_rng(6)
+    n, h = 6, 8
+    masks = np.zeros((n, 1, h, h), np.float32)
+    masks[3:, 0, 1:4, 1:4] = 1
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    preds = rng.random((n, h, h)) * 0.1 + masks[:, 0]
+    # image_preds deliberately anti-correlated: Medical must ignore them
+    img_preds = 1.0 - labels.astype(np.float64)
+    row = metrics_eval(masks, labels, preds, img_preds, "Brain", "Medical")
+    assert row["image AUC"] == 100.0
