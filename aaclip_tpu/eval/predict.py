@@ -1,0 +1,94 @@
+"""Batched test-time prediction: one jitted function from images to
+(pixel anomaly map, image score).
+
+Reference flow (test.py:53-99): adapted image forward -> 4 seg-token levels
+-> per-level similarity map -> blur -> upsample -> sum; image score from
+the det token.  Here the post-matmul chain is the fused two-matmul form
+(ops/similarity.py) and the whole thing — 24-layer ViT included — is a
+single jit, compiled once for all classes (anchors and the domain-dependent
+postproc matrix are traced arguments).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
+from aaclip_tpu.models.vit import adapted_forward
+from aaclip_tpu.ops.similarity import fused_postproc_matrix, level_scores
+
+
+def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
+                    *, img_size: int | None = None,
+                    policy: DtypePolicy = DtypePolicy(), attn_fn=None) -> Callable:
+    """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
+    (pixel_map [B, img, img], image_score [B])."""
+    img = img_size or cfg.vision.image_size
+
+    @jax.jit
+    def predict(image_adapter, images, anchors, M):
+        seg_tokens, det = adapted_forward(
+            clip_params["visual"], image_adapter, cfg, images,
+            image_adapt_weight=acfg.image_adapt_weight,
+            levels=acfg.levels, proj_relu=acfg.proj_relu,
+            policy=policy, attn_fn=attn_fn,
+        )
+        stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]
+        scores = level_scores(stacked, anchors)             # [n, B, L, 2]
+        n_levels, B, L, _ = scores.shape
+        grid = int(round(L ** 0.5))
+        q = (scores[..., 1] - scores[..., 0]).sum(axis=0) * 0.5 + n_levels * 0.5
+        q = q.reshape(B, grid, grid)
+        pix = jnp.einsum("Ig,bgh->bIh", M, q,
+                         preferred_element_type=jnp.float32, precision="highest")
+        pix = jnp.einsum("Jh,bIh->bIJ", M, pix,
+                         preferred_element_type=jnp.float32, precision="highest")
+        img_score = (det @ anchors[:, 1] + 1.0) / 2.0
+        return pix, img_score
+
+    return predict
+
+
+def run_class_predictions(predict_fn, image_adapter, loader, anchors,
+                          domain: str, img_size: int, grid: int,
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
+    """Drive the loader through predict_fn; returns (masks, labels,
+    pixel_preds, image_preds, file_names) trimmed to valid samples."""
+    M = jnp.asarray(fused_postproc_matrix(grid, img_size, domain))
+    anchors = jnp.asarray(anchors)
+    masks, labels, pix_preds, img_preds, files = [], [], [], [], []
+    for batch in loader:
+        pix, score = predict_fn(image_adapter, jnp.asarray(batch["image"]),
+                                anchors, M)
+        n = batch["n_valid"]
+        masks.append(batch["mask"][:n])
+        labels.append(batch["label"][:n])
+        pix_preds.append(np.asarray(pix)[:n])
+        img_preds.append(np.asarray(score)[:n])
+        files.extend(batch["file_name"][:n])
+    return (np.concatenate(masks), np.concatenate(labels),
+            np.concatenate(pix_preds), np.concatenate(img_preds), files)
+
+
+def make_anchor_encoder(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
+                        text_adapter=None, *,
+                        policy: DtypePolicy = DtypePolicy()) -> Callable:
+    """jitted [N, 77] tokens -> [N, D] embeddings, adapted when a text
+    adapter is given (reference test.py:192-200)."""
+    from aaclip_tpu.models.text_model import adapted_encode_text, encode_text
+
+    if text_adapter is None:
+        @jax.jit
+        def enc(tokens):
+            return encode_text(clip_params["text"], cfg, tokens, policy=policy)
+    else:
+        @jax.jit
+        def enc(tokens):
+            return adapted_encode_text(
+                clip_params["text"], text_adapter, cfg, tokens,
+                text_adapt_weight=acfg.text_adapt_weight, policy=policy)
+    return enc

@@ -75,6 +75,54 @@ def seg_loss_from_logit(d: jax.Array, mask: jax.Array) -> jax.Array:
     return focal + dice_loss(p0, 1.0 - m) + dice_loss(p1, m)
 
 
+def _focal_terms_from_logit(d: jax.Array, m: jax.Array) -> jax.Array:
+    p1 = jax.nn.sigmoid(d)
+    p_t = jnp.where(m > 0.5, p1, 1.0 - p1)
+    pt = (1.0 - 2.0 * _FOCAL_SMOOTH) * p_t + 2.0 * _FOCAL_SMOOTH
+    return -((1.0 - pt) ** _FOCAL_GAMMA) * jnp.log(pt)
+
+
+def _dice_eff(p: jax.Array, t: jax.Array) -> jax.Array:
+    """Per-sample dice efficiency, [B]."""
+    B = p.shape[0]
+    pf = p.reshape(B, -1)
+    tf = t.reshape(B, -1)
+    inter = jnp.sum(pf * tf, axis=1)
+    return (2.0 * inter + _DICE_SMOOTH) / (jnp.sum(pf, axis=1) + jnp.sum(tf, axis=1) + _DICE_SMOOTH)
+
+
+def seg_loss_from_logit_masked(d: jax.Array, mask: jax.Array,
+                               valid: jax.Array) -> jax.Array:
+    """``seg_loss_from_logit`` restricted to valid samples (padded batches);
+    equal to the unmasked loss when all samples are valid."""
+    d = d.astype(jnp.float32)
+    m = mask.reshape(d.shape).astype(jnp.float32)
+    v = valid.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(v), 1.0)
+    per_pixel = _focal_terms_from_logit(d, m)  # [B, H, W]
+    focal = jnp.sum(per_pixel * v[:, None, None]) / (
+        n_valid * per_pixel.shape[1] * per_pixel.shape[2])
+    p1 = jax.nn.sigmoid(d)
+    eff0 = _dice_eff(1.0 - p1, 1.0 - m)
+    eff1 = _dice_eff(p1, m)
+    dice = (1.0 - jnp.sum(eff0 * v) / n_valid) + (1.0 - jnp.sum(eff1 * v) / n_valid)
+    return focal + dice
+
+
+def cross_entropy_logits_masked(logits: jax.Array, labels: jax.Array,
+                                valid: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    v = valid.astype(jnp.float32)
+    return jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def orthogonality_loss_masked(anchors: jax.Array, valid: jax.Array) -> jax.Array:
+    dots = jnp.sum(anchors[:, :, 0] * anchors[:, :, 1], axis=1)
+    v = valid.astype(jnp.float32)
+    return (jnp.sum(dots * v) / jnp.maximum(jnp.sum(v), 1.0)) ** 2
+
+
 def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """torch F.cross_entropy (mean) on [B, C] logits, int labels."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

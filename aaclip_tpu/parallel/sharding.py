@@ -1,0 +1,70 @@
+"""Data-parallel execution over a device mesh.
+
+The reference is strictly single-device (SURVEY §2: no torch.distributed
+anywhere); this framework gets first-class data parallelism instead:
+batches are sharded over a 1-D ``('data',)`` mesh, parameters are
+replicated, and jit partitions the training/eval step — gradient psums ride
+the ICI collectives XLA inserts.  Multi-host runs initialize
+``jax.distributed`` and shard the input pipeline per host.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place batch-leading arrays sharded over the data axis."""
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_tree(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, s), tree)
+
+
+def pad_batch_to_devices(arrays: Iterable[np.ndarray], valid: np.ndarray,
+                         n_devices: int):
+    """Pad leading dims to a multiple of the mesh size, extending the
+    validity mask with zeros so losses/metrics ignore padding."""
+    arrays = list(arrays)
+    b = arrays[0].shape[0]
+    target = ((b + n_devices - 1) // n_devices) * n_devices
+    if target == b:
+        return arrays, valid
+    pad = target - b
+    out = []
+    for a in arrays:
+        reps = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
+        out.append(reps)
+    valid = np.concatenate([valid, np.zeros((pad,), valid.dtype)])
+    return out, valid
+
+
+def initialize_multihost() -> None:
+    """Initialize the JAX distributed runtime when launched across hosts
+    (controlled by the standard JAX coordination env vars)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

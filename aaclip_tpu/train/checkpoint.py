@@ -1,0 +1,169 @@
+"""Checkpointing: pytree save/restore plus converters for the reference's
+torch ``.pth`` adapter checkpoints.
+
+Native format: a single ``.npz`` with '/'-joined pytree paths — fast,
+dependency-free, and deterministic.  Files mirror the reference layout
+(``text_adapter``/``image_adapter`` + optimizer state + epoch counter,
+reference train.py:105-113,161-173) so resume semantics match.
+
+Converters accept the reference's torch state dicts
+(SimpleAdapter -> ``{i}.fc.0.weight``; SimpleProj -> ``fc.weight`` or
+``fc.0.weight`` depending on the --relu flag) in both directions, making
+checkpoints interchangeable with the PyTorch implementation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Flat-npz pytree io
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        out[prefix + key] = np.asarray(leaf)
+    return out
+
+
+def save_pytree(path: str, tree) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **_flatten(tree))
+
+
+def load_pytree(path: str, template):
+    """Restore a pytree with the template's structure from a flat npz."""
+    data = np.load(path)
+    return _restore_subtree_from(data, "", template)
+
+
+def _restore_subtree_from(data, root: str, template):
+    prefix = root + "/" if root else ""
+    flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for p, leaf in flat:
+        key = prefix + "/".join(
+            str(getattr(x, "key", getattr(x, "idx", x))) for x in p)
+        arr = data[key]
+        leaf_np = np.asarray(leaf)
+        leaves.append(jnp.asarray(arr, dtype=leaf_np.dtype).reshape(leaf_np.shape))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)
+
+
+def save_adapter_checkpoint(path: str, epoch: int, adapter: dict,
+                            opt_state=None, step: int = 0) -> None:
+    payload = {"adapter": adapter}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    flat = _flatten(payload)
+    flat["__epoch__"] = np.asarray(epoch, np.int64)
+    flat["__step__"] = np.asarray(step, np.int64)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_adapter_checkpoint(path: str, adapter_template,
+                            opt_state_template=None) -> Tuple[int, dict, Any, int]:
+    """Returns (epoch, adapter, opt_state_or_None, step)."""
+    data = np.load(path, allow_pickle=False)
+    epoch = int(data["__epoch__"])
+    step = int(data["__step__"]) if "__step__" in data else 0
+    adapter = _restore_subtree(data, "adapter", adapter_template)
+    opt_state = None
+    if opt_state_template is not None and any(k.startswith("opt_state/") for k in data.files):
+        opt_state = _restore_subtree(data, "opt_state", opt_state_template)
+    return epoch, adapter, opt_state, step
+
+
+def _restore_subtree(data, root: str, template):
+    return _restore_subtree_from(data, root, template)
+
+
+# ---------------------------------------------------------------------------
+# Reference .pth interop (host-side, uses torch)
+
+
+def _np(x) -> np.ndarray:
+    return np.ascontiguousarray(x.detach().cpu().float().numpy())
+
+
+def _proj_key(sd: dict, prefix: str) -> str:
+    """SimpleProj weight key: 'fc.weight' (relu=False) or 'fc.0.weight'."""
+    for suffix in ("fc.weight", "fc.0.weight"):
+        if f"{prefix}.{suffix}" in sd:
+            return f"{prefix}.{suffix}"
+    raise KeyError(f"no projection weight under {prefix}")
+
+
+def text_adapter_from_torch(sd: dict, n_adapt: int = 3) -> dict:
+    """Reference ``text_adapter`` state dict (ModuleList: n SimpleAdapters +
+    final SimpleProj, model/adapter.py:41-44) -> pytree."""
+    return {
+        "layer_adapters": [
+            {"w": _np(sd[f"{i}.fc.0.weight"]).T} for i in range(n_adapt)
+        ],
+        "proj": {"w": _np(sd[_proj_key(sd, str(n_adapt))]).T},
+    }
+
+
+def image_adapter_from_torch(sd: dict, n_adapt: int = 6, n_levels: int = 4) -> dict:
+    """Reference ``image_adapter`` ModuleDict state dict -> pytree."""
+    return {
+        "layer_adapters": [
+            {"w": _np(sd[f"layer_adapters.{i}.fc.0.weight"]).T}
+            for i in range(n_adapt)
+        ],
+        "seg_proj": [
+            {"w": _np(sd[_proj_key(sd, f"seg_proj.{i}")]).T}
+            for i in range(n_levels)
+        ],
+        "det_proj": {"w": _np(sd[_proj_key(sd, "det_proj")]).T},
+    }
+
+
+def load_reference_checkpoint(path: str, kind: str, *, n_adapt: int,
+                              n_levels: int = 4) -> Tuple[int, dict]:
+    """Load a reference .pth ({epoch, text_adapter|image_adapter, ...});
+    returns (epoch, adapter_pytree)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    epoch = int(obj.get("epoch", 0))
+    if kind == "text":
+        return epoch, text_adapter_from_torch(obj["text_adapter"], n_adapt)
+    if kind == "image":
+        return epoch, image_adapter_from_torch(obj["image_adapter"], n_adapt, n_levels)
+    raise ValueError(f"kind must be 'text' or 'image', got {kind}")
+
+
+def adapters_to_torch_state_dicts(adapters: dict, proj_relu: bool) -> Tuple[dict, dict]:
+    """Export (text_sd, image_sd) loadable by the reference implementation."""
+    import torch
+
+    def t(w):
+        return torch.from_numpy(np.asarray(w).T.copy())
+
+    text = adapters["text"]
+    n = len(text["layer_adapters"])
+    text_sd = {f"{i}.fc.0.weight": t(a["w"]) for i, a in enumerate(text["layer_adapters"])}
+    text_sd[f"{n}.fc.0.weight"] = t(text["proj"]["w"])  # final proj always relu=True
+
+    image = adapters["image"]
+    proj_suffix = "fc.0.weight" if proj_relu else "fc.weight"
+    image_sd = {}
+    for i, a in enumerate(image["layer_adapters"]):
+        image_sd[f"layer_adapters.{i}.fc.0.weight"] = t(a["w"])
+    for i, p in enumerate(image["seg_proj"]):
+        image_sd[f"seg_proj.{i}.{proj_suffix}"] = t(p["w"])
+    image_sd[f"det_proj.{proj_suffix}"] = t(image["det_proj"]["w"])
+    return text_sd, image_sd

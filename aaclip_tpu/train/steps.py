@@ -1,0 +1,161 @@
+"""Jitted training steps for the two stages.
+
+Stage 1 (reference train.py:38-114): the *text* adapters train against a
+pixel segmentation loss computed from frozen CLIP-Surgery patch features.
+The reference's per-level loop overwrites ``loss`` each iteration
+(train.py:87-96), so only the LAST tapped level (layer 24) contributes to
+the gradient — this implementation computes exactly that level and adds the
+orthogonality term once, matching the reference's effective loss.
+
+Stage 2 (reference train.py:117-174): text anchors are frozen; the image
+adapters train with CE on the detection token plus the seg loss summed over
+all four levels.
+
+TPU-first shifts: each step is ONE jitted function (anchor encode -> tower
+forward -> fused similarity/losses -> grads -> optax update); anchors for
+all dataset classes are encoded in a single batched text forward and
+gathered per-sample by class index (same gradients as the reference's
+per-unique-class loop).  Batches carry a validity mask so padded final
+batches reproduce exact-batch loss semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
+from aaclip_tpu.models import layers as Lyr
+from aaclip_tpu.models.text_model import adapted_encode_text
+from aaclip_tpu.models.vit import adapted_forward, encode_image, surgery_patch_features
+from aaclip_tpu.ops import losses as LL
+from aaclip_tpu.ops.similarity import level_scores, train_similarity_logit
+from aaclip_tpu.text.anchors import reduce_to_anchors
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def init_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Stage 1
+
+
+def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
+                       surgery_until_layer: int = 20,
+                       policy: DtypePolicy = DtypePolicy()):
+    """Returns a jitted fn images -> grad-free stage-1 supervision features:
+    last-level surgery patch embedding, L2-normalized, plus the frozen
+    model's normalized CLS token (reference train.py:74-85)."""
+    last_level = cfg.vision.layers
+
+    @jax.jit
+    def features(images: jax.Array) -> jax.Array:
+        feats = surgery_patch_features(
+            clip_params["visual"], cfg, images, out_layers=[last_level],
+            surgery_until_layer=surgery_until_layer, policy=policy,
+        )[0]
+        cls, _ = encode_image(clip_params["visual"], cfg, images, (), policy=policy)
+        cls = Lyr.l2_normalize(cls)
+        f = Lyr.l2_normalize(feats) + cls[:, None, :]
+        return f
+
+    return features
+
+
+def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
+                     tx: optax.GradientTransformation, prompt_tokens,
+                     *, text_norm_weight: float = 0.1,
+                     img_size: int | None = None,
+                     policy: DtypePolicy = DtypePolicy()):
+    """Build the jitted stage-1 update.
+
+    ``prompt_tokens``: [n_classes, 16, 77] int32 (all classes of the
+    training dataset).  The step takes (state, surgery_feats [B, L, D],
+    mask [B, H, W], class_idx [B], valid [B]).
+    """
+    img = img_size or cfg.vision.image_size
+    tokens = jnp.asarray(prompt_tokens)
+    C, S, _ = tokens.shape
+    flat_tokens = tokens.reshape(C * S, -1)
+
+    def loss_fn(text_adapter, feats, mask, class_idx, valid):
+        embeds = adapted_encode_text(
+            clip_params["text"], text_adapter, cfg, flat_tokens,
+            text_adapt_weight=acfg.text_adapt_weight, policy=policy,
+        )
+        anchors = reduce_to_anchors(embeds.reshape(C, S, -1))  # [C, D, 2]
+        banchors = anchors[class_idx]                          # [B, D, 2]
+        scores = 100.0 * jnp.einsum(
+            "bld,bdk->blk", feats, banchors,
+            preferred_element_type=jnp.float32, precision=policy.precision)
+        d = train_similarity_logit(scores, img)
+        seg = LL.seg_loss_from_logit_masked(d, mask, valid)
+        orth = LL.orthogonality_loss_masked(banchors, valid)
+        return seg + text_norm_weight * orth
+
+    @jax.jit
+    def step(state: TrainState, feats, mask, class_idx, valid):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, feats, mask, class_idx, valid)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Stage 2
+
+
+def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
+                     tx: optax.GradientTransformation, anchors_table,
+                     *, img_size: int | None = None,
+                     policy: DtypePolicy = DtypePolicy(), attn_fn=None):
+    """Build the jitted stage-2 update.
+
+    ``anchors_table``: [n_classes, D, 2] frozen text anchors.  The step takes
+    (state, images [B,3,H,W], mask [B,H,W], label [B], class_idx [B],
+    valid [B]).
+    """
+    img = img_size or cfg.vision.image_size
+    anchors_table = jnp.asarray(anchors_table)
+
+    def loss_fn(image_adapter, images, mask, label, class_idx, valid):
+        seg_tokens, det = adapted_forward(
+            clip_params["visual"], image_adapter, cfg, images,
+            image_adapt_weight=acfg.image_adapt_weight,
+            levels=acfg.levels, proj_relu=acfg.proj_relu,
+            policy=policy, attn_fn=attn_fn,
+        )
+        banchors = anchors_table[class_idx]  # [B, D, 2]
+        logits = jnp.einsum("bd,bdk->bk", det, banchors,
+                            preferred_element_type=jnp.float32,
+                            precision=policy.precision)
+        loss = LL.cross_entropy_logits_masked(logits, label, valid)
+        scores = level_scores(jnp.stack(seg_tokens), banchors)  # [n,B,L,2]
+        for lvl in range(scores.shape[0]):
+            d = train_similarity_logit(scores[lvl], img)
+            loss = loss + LL.seg_loss_from_logit_masked(d, mask, valid)
+        return loss
+
+    @jax.jit
+    def step(state: TrainState, images, mask, label, class_idx, valid):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, images, mask, label, class_idx, valid)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step

@@ -1,0 +1,158 @@
+"""Evaluation CLI.
+
+Mirrors the reference's test.py (reference test.py:102-250): loads every
+image-adapter checkpoint snapshot in the save path, rebuilds text anchors,
+runs per-class batched predictions, and logs a pandas results table
+(pixel/image AUROC + AP, plus AUPRO with --aupro) to {save_path}/test.log.
+
+Checkpoints may be this framework's .npz or the reference's .pth files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Testing")
+    # model (reference test.py:105-112)
+    parser.add_argument("--model_name", type=str, default="ViT-L-14-336")
+    parser.add_argument("--img_size", type=int, default=518)
+    parser.add_argument("--relu", action="store_true")
+    # testing (reference test.py:114-116)
+    parser.add_argument("--dataset", type=str, default="MVTec")
+    parser.add_argument("--shot", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=32)
+    # exp (reference test.py:118-125)
+    parser.add_argument("--seed", type=int, default=111)
+    parser.add_argument("--save_path", type=str, default="ckpt/baseline")
+    parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--text_norm_weight", type=float, default=0.1)
+    parser.add_argument("--text_adapt_weight", type=float, default=0.1)
+    parser.add_argument("--image_adapt_weight", type=float, default=0.1)
+    parser.add_argument("--text_adapt_until", type=int, default=3)
+    parser.add_argument("--image_adapt_until", type=int, default=6)
+    # TPU-framework extras
+    parser.add_argument("--levels", type=int, nargs="+", default=[6, 12, 18, 24])
+    parser.add_argument("--precision", type=str, default="fp32",
+                        choices=["fp32", "bf16"])
+    parser.add_argument("--clip_checkpoint", type=str, default=None)
+    parser.add_argument("--aupro", action="store_true",
+                        help="also compute pixel AUPRO")
+    parser.add_argument("--num_workers", type=int, default=4)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    from aaclip_tpu.utils.logging import setup_logger
+    logger = setup_logger("aaclip.test", os.path.join(args.save_path, "test.log"))
+    logger.info("args: %s", vars(args))
+
+    import jax
+    from pandas import DataFrame, Series
+
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+    from aaclip_tpu.data.datasets import BatchLoader, get_test_datasets
+    from aaclip_tpu.data.registry import DOMAINS
+    from aaclip_tpu.eval.metrics import metrics_eval
+    from aaclip_tpu.eval.predict import (
+        make_anchor_encoder, make_predict_fn, run_class_predictions)
+    from aaclip_tpu.eval.visualize import visualize
+    from aaclip_tpu.text.anchors import encode_dataset_anchors
+    from aaclip_tpu.train import checkpoint as ckpt
+    from aaclip_tpu.utils.profiling import StepTimer
+
+    policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
+    cfg = get_config(args.model_name, args.img_size)
+    acfg = AdapterConfig(
+        text_adapt_weight=args.text_adapt_weight,
+        image_adapt_weight=args.image_adapt_weight,
+        text_adapt_until=args.text_adapt_until,
+        image_adapt_until=args.image_adapt_until,
+        levels=tuple(args.levels),
+        proj_relu=args.relu,
+    )
+    clip_params = create_clip_params(
+        cfg, checkpoint=args.clip_checkpoint, seed=args.seed, policy=policy)
+    adapters = init_adapter_params(jax.random.PRNGKey(args.seed), cfg, acfg)
+
+    # ---- text adapter (reference test.py:163-170) -------------------------
+    text_adapter = None
+    npz = os.path.join(args.save_path, "text_adapter.npz")
+    pths = glob.glob(os.path.join(args.save_path, "text_adapter.pth"))
+    if os.path.isfile(npz):
+        _, text_adapter, _, _ = ckpt.load_adapter_checkpoint(npz, adapters["text"])
+    elif pths:
+        _, text_adapter = ckpt.load_reference_checkpoint(
+            pths[0], "text", n_adapt=args.text_adapt_until)
+
+    # ---- image adapter snapshots (reference test.py:172-177) -------------
+    files = sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.npz")))
+    files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")))
+    assert len(files) > 0, "image adapter checkpoint not found"
+
+    predict_fn = make_predict_fn(clip_params, cfg, acfg,
+                                 img_size=args.img_size, policy=policy)
+    domain = DOMAINS[args.dataset]
+
+    for file in files:
+        if file.endswith(".npz"):
+            test_epoch, image_adapter, _, _ = ckpt.load_adapter_checkpoint(
+                file, adapters["image"])
+        else:
+            test_epoch, image_adapter = ckpt.load_reference_checkpoint(
+                file, "image", n_adapt=args.image_adapt_until,
+                n_levels=len(args.levels))
+        image_adapter = jax.tree.map(jax.numpy.asarray, image_adapter)
+        logger.info("-----------------------------------------------")
+        logger.info("load model from epoch %d", test_epoch)
+        logger.info("-----------------------------------------------")
+
+        image_datasets = get_test_datasets(args.dataset, args.img_size)
+        enc = make_anchor_encoder(clip_params, cfg, acfg, text_adapter,
+                                  policy=policy)
+        text_embeddings = encode_dataset_anchors(enc, args.dataset)
+
+        columns = ["class name", "pixel AUC", "pixel AP", "image AUC", "image AP"]
+        if args.aupro:
+            columns.append("pixel AUPRO")
+        df = DataFrame(columns=columns)
+        timer = StepTimer()
+        for class_name, dataset in image_datasets.items():
+            if len(dataset) == 0:
+                logger.info("skipping empty class %s", class_name)
+                continue
+            loader = BatchLoader(dataset, args.batch_size, shuffle=False,
+                                 num_workers=args.num_workers)
+            masks, labels, preds, preds_image, file_names = run_class_predictions(
+                predict_fn, image_adapter, loader,
+                text_embeddings[class_name], domain,
+                args.img_size, cfg.vision.grid)
+            timer.tick(len(file_names))
+            if args.visualize:
+                visualize(masks, preds, file_names, args.save_path,
+                          args.dataset, class_name)
+            row = metrics_eval(masks, labels, preds, preds_image, class_name,
+                               domain, compute_aupro=args.aupro)
+            df.loc[len(df)] = Series(row)
+        for col in df.columns:
+            if col != "class name":
+                df[col] = df[col].astype(float)
+        df.loc[len(df)] = df.mean(numeric_only=True)
+        df.loc[len(df) - 1, "class name"] = "Average"
+        logger.info("final results:\n%s",
+                    df.to_string(index=False, justify="center"))
+        print(df.to_string(index=False, justify="center"))
+
+
+if __name__ == "__main__":
+    main()

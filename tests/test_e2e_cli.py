@@ -1,0 +1,89 @@
+"""End-to-end CLI smoke: train both stages on synthetic data with the tiny
+model, then evaluate — exercising checkpoint save/resume, anchor building,
+prediction, metrics, and the log format."""
+
+import os
+import re
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    data_root, meta_root = make_synthetic_dataset(root, img_px=64)
+    os.environ["AACLIP_DATA"] = data_root
+    os.environ["AACLIP_METADATA"] = meta_root
+    yield root
+    os.environ.pop("AACLIP_DATA", None)
+    os.environ.pop("AACLIP_METADATA", None)
+
+
+COMMON = [
+    "--model_name", "tiny-test", "--img_size", "70",
+    "--dataset", "MVTec",
+    "--text_adapt_until", "1", "--image_adapt_until", "1",
+    "--levels", "1", "2",
+    "--num_workers", "2",
+]
+
+
+def test_train_then_eval(env):
+    import train as train_cli
+    import test as test_cli
+
+    save = os.path.join(env, "ckpt")
+    train_cli.main(COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "1", "--image_epoch", "2",
+        "--text_batch_size", "4", "--image_batch_size", "4",
+        "--surgery_until_layer", "2",
+    ])
+    assert os.path.isfile(os.path.join(save, "text_adapter.npz"))
+    assert os.path.isfile(os.path.join(save, "image_adapter_1.npz"))
+    assert os.path.isfile(os.path.join(save, "image_adapter_2.npz"))
+    log = open(os.path.join(save, "train.log")).read()
+    assert "training text epoch 0" in log
+    assert "training image epoch 1" in log
+    losses = [float(m) for m in re.findall(r"loss: ([\d.]+)", log)]
+    assert all(np.isfinite(losses)) and len(losses) == 3
+
+    test_cli.main(COMMON + [
+        "--save_path", save, "--batch_size", "4", "--aupro",
+    ])
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert "final results" in tlog
+    assert "Average" in tlog
+    assert "pixel AUPRO" in tlog
+    # two snapshots evaluated
+    assert tlog.count("load model from epoch") == 2
+    # per-class rows present for the two synthetic classes
+    assert "bottle" in tlog and "cable" in tlog
+
+
+def test_train_resume(env):
+    """Stage-2 resume: rerunning with a higher epoch count continues from
+    the stored epoch instead of restarting (reference train.py:289-296)."""
+    import train as train_cli
+
+    save = os.path.join(env, "ckpt_resume")
+    base = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "0",
+        "--text_batch_size", "4", "--image_batch_size", "4",
+        "--surgery_until_layer", "2",
+    ]
+    train_cli.main(base + ["--image_epoch", "1"])
+    assert os.path.isfile(os.path.join(save, "image_adapter_1.npz"))
+    train_cli.main(base + ["--image_epoch", "2"])
+    assert os.path.isfile(os.path.join(save, "image_adapter_2.npz"))
+    log = open(os.path.join(save, "train.log")).read()
+    # epoch 0 trained once, epoch 1 trained once after resume
+    assert log.count("training image epoch 0:") == 1
+    assert log.count("training image epoch 1:") == 1

@@ -1,0 +1,144 @@
+"""Two-stage training on the tiny config with synthetic data: losses are
+finite and decrease, masked losses equal unmasked on full batches,
+checkpoints round-trip (including torch .pth interop)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aaclip_tpu.core.config import AdapterConfig, get_config
+from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+from aaclip_tpu.ops import losses as LL
+from aaclip_tpu.text.anchors import dataset_prompt_tokens, reduce_to_anchors
+from aaclip_tpu.train import checkpoint as ckpt
+from aaclip_tpu.train.optim import (
+    make_image_optimizer,
+    make_text_optimizer,
+    multistep_schedule,
+)
+from aaclip_tpu.train.steps import (
+    init_state,
+    make_stage1_step,
+    make_stage2_step,
+    stage1_features_fn,
+)
+
+CFG = get_config("tiny-test")
+ACFG = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(2)
+    B, S = 4, CFG.vision.image_size
+    images = jnp.asarray(rng.standard_normal((B, 3, S, S)), jnp.float32)
+    masks = jnp.asarray((rng.random((B, S, S)) > 0.8), jnp.float32)
+    labels = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    class_idx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    valid = jnp.ones((B,), jnp.float32)
+    tokens = dataset_prompt_tokens("MVTec", ["bottle", "cable"])
+    return clip, adapters, images, masks, labels, class_idx, valid, tokens
+
+
+def test_stage1_step_decreases_loss(setup):
+    clip, adapters, images, masks, _, class_idx, valid, tokens = setup
+    feat_fn = stage1_features_fn(clip, CFG, surgery_until_layer=2)
+    feats = feat_fn(images)
+    assert feats.shape == (4, 25, CFG.embed_dim)
+    tx = make_text_optimizer(lr=1e-3)
+    step = make_stage1_step(clip, CFG, ACFG, tx, tokens)
+    state = init_state(adapters["text"], tx)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, feats, masks, class_idx, valid)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_stage2_step_decreases_loss(setup):
+    clip, adapters, images, masks, labels, class_idx, valid, _ = setup
+    rng = np.random.default_rng(3)
+    table = rng.standard_normal((2, CFG.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    tx = make_image_optimizer(lr=1e-3)
+    step = make_stage2_step(clip, CFG, ACFG, tx, table)
+    state = init_state(adapters["image"], tx)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, images, masks, labels, class_idx, valid)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_masked_losses_equal_unmasked_when_all_valid():
+    rng = np.random.default_rng(4)
+    d = jnp.asarray(rng.standard_normal((3, 8, 8)), jnp.float32)
+    m = jnp.asarray(rng.random((3, 8, 8)) > 0.5, jnp.float32)
+    v = jnp.ones((3,))
+    np.testing.assert_allclose(
+        float(LL.seg_loss_from_logit_masked(d, m, v)),
+        float(LL.seg_loss_from_logit(d, m)), rtol=1e-6)
+    logits = jnp.asarray(rng.standard_normal((3, 2)), jnp.float32)
+    labels = jnp.asarray([0, 1, 1])
+    np.testing.assert_allclose(
+        float(LL.cross_entropy_logits_masked(logits, labels, v)),
+        float(LL.cross_entropy_logits(logits, labels)), rtol=1e-6)
+
+
+def test_masked_loss_ignores_padding():
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.standard_normal((3, 8, 8)), jnp.float32)
+    m = jnp.asarray(rng.random((3, 8, 8)) > 0.5, jnp.float32)
+    # padding row duplicated: loss with pad must equal loss without
+    d_pad = jnp.concatenate([d, d[-1:]], axis=0)
+    m_pad = jnp.concatenate([m, m[-1:]], axis=0)
+    v_pad = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    np.testing.assert_allclose(
+        float(LL.seg_loss_from_logit_masked(d_pad, m_pad, v_pad)),
+        float(LL.seg_loss_from_logit(d, m)), rtol=1e-6)
+
+
+def test_multistep_schedule():
+    s = multistep_schedule(1.0, (10, 20), 0.5)
+    assert float(s(0)) == 1.0
+    assert float(s(10)) == 0.5
+    assert float(s(25)) == 0.25
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    clip, adapters, *_ = setup
+    tx = make_image_optimizer()
+    state = init_state(adapters["image"], tx)
+    path = str(tmp_path / "image_adapter.npz")
+    ckpt.save_adapter_checkpoint(path, epoch=3, adapter=state.params,
+                                 opt_state=state.opt_state, step=42)
+    epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint(
+        path, adapters["image"], state.opt_state)
+    assert epoch == 3 and step == 42
+    for a, b in zip(jax.tree.leaves(adapter), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert opt_state is not None
+
+
+def test_torch_pth_interop(tmp_path, setup):
+    import torch
+
+    _, adapters, *_ = setup
+    text_sd, image_sd = ckpt.adapters_to_torch_state_dicts(adapters, proj_relu=False)
+    torch.save({"epoch": 5, "text_adapter": text_sd}, tmp_path / "text_adapter.pth")
+    torch.save({"epoch": 7, "image_adapter": image_sd}, tmp_path / "image_adapter.pth")
+    e1, text_back = ckpt.load_reference_checkpoint(
+        str(tmp_path / "text_adapter.pth"), "text", n_adapt=ACFG.text_adapt_until)
+    e2, image_back = ckpt.load_reference_checkpoint(
+        str(tmp_path / "image_adapter.pth"), "image",
+        n_adapt=ACFG.image_adapt_until, n_levels=len(ACFG.levels))
+    assert e1 == 5 and e2 == 7
+    for a, b in zip(jax.tree.leaves(text_back), jax.tree.leaves(adapters["text"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(image_back), jax.tree.leaves(adapters["image"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,0 +1,234 @@
+"""Two-stage adapter training CLI.
+
+Mirrors the reference's train.py flag surface and behavior (reference
+train.py:177-357): stage 1 trains the text adapters against surgery-CLIP
+patch features, stage 2 freezes the anchors and trains the image adapters.
+TPU-first internals: jitted update steps, batched anchor encoding, optional
+data parallelism over a device mesh, npz checkpoints (plus .pth interop).
+
+Extra flags beyond the reference: --precision {fp32,bf16}, --clip_checkpoint,
+--model_name tiny-test (for smoke runs), --num_workers, --data_parallel,
+--levels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Training")
+    # model (reference train.py:180-188)
+    parser.add_argument("--model_name", type=str, default="ViT-L-14-336")
+    parser.add_argument("--img_size", type=int, default=518)
+    parser.add_argument("--surgery_until_layer", type=int, default=20)
+    parser.add_argument("--relu", action="store_true",
+                        help="use relu after projection")
+    # training (reference train.py:190-206)
+    parser.add_argument("--dataset", type=str, default="VisA")
+    parser.add_argument("--training_mode", type=str, default="few_shot",
+                        choices=["few_shot", "full_shot"])
+    parser.add_argument("--shot", type=int, default=32)
+    parser.add_argument("--text_batch_size", type=int, default=16)
+    parser.add_argument("--image_batch_size", type=int, default=2)
+    parser.add_argument("--text_epoch", type=int, default=5)
+    parser.add_argument("--image_epoch", type=int, default=20)
+    parser.add_argument("--text_lr", type=float, default=0.00001)
+    parser.add_argument("--image_lr", type=float, default=0.0005)
+    parser.add_argument("--criterion", type=str, nargs="+",
+                        default=["dice_loss", "focal_loss"])
+    # exp (reference train.py:208-209)
+    parser.add_argument("--seed", type=int, default=111)
+    parser.add_argument("--save_path", type=str, default="ckpt/baseline")
+    # hyper-parameters (reference train.py:211-215)
+    parser.add_argument("--text_norm_weight", type=float, default=0.1)
+    parser.add_argument("--text_adapt_weight", type=float, default=0.1)
+    parser.add_argument("--image_adapt_weight", type=float, default=0.1)
+    parser.add_argument("--text_adapt_until", type=int, default=3)
+    parser.add_argument("--image_adapt_until", type=int, default=6)
+    # TPU-framework extras
+    parser.add_argument("--levels", type=int, nargs="+", default=[6, 12, 18, 24])
+    parser.add_argument("--precision", type=str, default="fp32",
+                        choices=["fp32", "bf16"])
+    parser.add_argument("--clip_checkpoint", type=str, default=None)
+    parser.add_argument("--require_pretrained", action="store_true")
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batches over all local devices")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    from aaclip_tpu.utils.logging import setup_logger
+    logger = setup_logger("aaclip.train", os.path.join(args.save_path, "train.log"))
+    logger.info("args: %s", vars(args))
+
+    import jax
+    import jax.numpy as jnp
+
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+    from aaclip_tpu.data.datasets import BatchLoader, get_train_datasets
+    from aaclip_tpu.data.registry import CLASS_NAMES
+    from aaclip_tpu.eval.predict import make_anchor_encoder
+    from aaclip_tpu.parallel import sharding as sh
+    from aaclip_tpu.text.anchors import dataset_prompt_tokens, encode_dataset_anchors
+    from aaclip_tpu.train import checkpoint as ckpt
+    from aaclip_tpu.train.optim import make_image_optimizer, make_text_optimizer
+    from aaclip_tpu.train.steps import (
+        TrainState, init_state, make_stage1_step, make_stage2_step,
+        stage1_features_fn)
+    from aaclip_tpu.utils.profiling import StepTimer
+
+    sh.initialize_multihost()
+    policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
+    cfg = get_config(args.model_name, args.img_size)
+    acfg = AdapterConfig(
+        text_adapt_weight=args.text_adapt_weight,
+        image_adapt_weight=args.image_adapt_weight,
+        text_adapt_until=args.text_adapt_until,
+        image_adapt_until=args.image_adapt_until,
+        levels=tuple(args.levels),
+        proj_relu=args.relu,
+    )
+
+    clip_params = create_clip_params(
+        cfg, checkpoint=args.clip_checkpoint, seed=args.seed,
+        require_pretrained=args.require_pretrained, policy=policy)
+    if args.clip_checkpoint is None:
+        from aaclip_tpu.core.params import find_default_checkpoint
+        if find_default_checkpoint() is None:
+            logger.warning("no CLIP checkpoint found — using RANDOM weights "
+                           "(smoke/benchmark mode only)")
+    adapters = init_adapter_params(jax.random.PRNGKey(args.seed), cfg, acfg)
+
+    class_names = CLASS_NAMES[args.dataset]
+    cls_to_idx = {c: i for i, c in enumerate(class_names)}
+    prompt_tokens = dataset_prompt_tokens(args.dataset)
+
+    if args.training_mode == "full_shot":
+        args.shot = -1
+    logger.info("loading dataset ...")
+    text_ds, image_ds = get_train_datasets(
+        args.dataset, args.img_size, args.shot, seed=args.seed)
+
+    text_tx = make_text_optimizer(args.text_lr)
+    image_tx = make_image_optimizer(args.image_lr)
+
+    # ---- checkpoint resume (reference train.py:276-296 semantics) --------
+    text_state = init_state(adapters["text"], text_tx)
+    text_start_epoch = 0
+    adapt_text = args.text_epoch != 0
+    text_ckpt = os.path.join(args.save_path, "text_adapter.npz")
+    if os.path.isfile(text_ckpt):
+        epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint(
+            text_ckpt, adapters["text"], text_state.opt_state)
+        text_state = TrainState(adapter, opt_state or text_state.opt_state,
+                                jnp.asarray(step, jnp.int32))
+        text_start_epoch = epoch
+        adapt_text = not (epoch == (args.text_epoch - 1))
+
+    image_state = init_state(adapters["image"], image_tx)
+    image_start_epoch = 0
+    image_ckpt = os.path.join(args.save_path, "image_adapter.npz")
+    if os.path.isfile(image_ckpt):
+        epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint(
+            image_ckpt, adapters["image"], image_state.opt_state)
+        image_state = TrainState(adapter, opt_state or image_state.opt_state,
+                                 jnp.asarray(step, jnp.int32))
+        image_start_epoch = epoch
+
+    mesh = sh.make_data_mesh() if args.data_parallel else None
+    n_dev = len(jax.devices()) if args.data_parallel else 1
+
+    def device_batch(batch):
+        """numpy batch dict -> device arrays (+ class idx & validity)."""
+        images = batch["image"]
+        mask = batch["mask"].reshape(images.shape[0], args.img_size, args.img_size)
+        label = batch["label"]
+        class_idx = np.array([cls_to_idx[c] for c in batch["class_name"]], np.int32)
+        valid = (np.arange(images.shape[0]) < batch["n_valid"]).astype(np.float32)
+        arrays = [images, mask, label, class_idx, valid]
+        if mesh is not None:
+            (images, mask, label, class_idx), valid_arr = \
+                sh.pad_batch_to_devices(arrays[:4], valid, n_dev)
+            return sh.shard_batch(mesh, images, mask, label, class_idx,
+                                  valid_arr)
+        return tuple(jnp.asarray(a) for a in arrays)
+
+    # ---- stage 1 ----------------------------------------------------------
+    if adapt_text and text_start_epoch < args.text_epoch:
+        feats_fn = stage1_features_fn(
+            clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
+            policy=policy)
+        step_fn = make_stage1_step(
+            clip_params, cfg, acfg, text_tx, prompt_tokens,
+            text_norm_weight=args.text_norm_weight,
+            img_size=args.img_size, policy=policy)
+        loader = BatchLoader(text_ds, args.text_batch_size, shuffle=True,
+                             seed=args.seed, num_workers=args.num_workers)
+        loader.epoch = text_start_epoch
+        timer = StepTimer()
+        for epoch in range(text_start_epoch, args.text_epoch):
+            logger.info("training text epoch %d:", epoch)
+            losses = []
+            for batch in loader:
+                images, mask, label, class_idx, valid = device_batch(batch)
+                feats = feats_fn(images)
+                text_state, loss = step_fn(text_state, feats, mask,
+                                           class_idx, valid)
+                losses.append(float(loss))
+                timer.tick(images.shape[0])
+            logger.info("loss: %s", float(np.mean(losses)))
+            logger.info("throughput: %.2f img/s", timer.rate())
+            ckpt.save_adapter_checkpoint(
+                text_ckpt, epoch + 1, text_state.params,
+                text_state.opt_state, int(text_state.step))
+
+    # ---- anchors for stage 2 (reference train.py:338-344) ----------------
+    text_adapter = text_state.params if args.text_epoch != 0 else None
+    enc = make_anchor_encoder(clip_params, cfg, acfg, text_adapter,
+                              policy=policy)
+    anchor_dict = encode_dataset_anchors(enc, args.dataset)
+    anchors_table = np.stack([np.asarray(anchor_dict[c]) for c in class_names])
+
+    # ---- stage 2 ----------------------------------------------------------
+    step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
+                               anchors_table, img_size=args.img_size,
+                               policy=policy)
+    loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
+                         seed=args.seed + 1, num_workers=args.num_workers)
+    loader.epoch = image_start_epoch
+    timer = StepTimer()
+    for epoch in range(image_start_epoch, args.image_epoch):
+        logger.info("training image epoch %d:", epoch)
+        losses = []
+        for batch in loader:
+            images, mask, label, class_idx, valid = device_batch(batch)
+            image_state, loss = step_fn(image_state, images, mask, label,
+                                        class_idx, valid)
+            losses.append(float(loss))
+            timer.tick(images.shape[0])
+        logger.info("loss: %s", float(np.mean(losses)))
+        logger.info("throughput: %.2f img/s", timer.rate())
+        ckpt.save_adapter_checkpoint(
+            image_ckpt, epoch + 1, image_state.params,
+            image_state.opt_state, int(image_state.step))
+        ckpt.save_adapter_checkpoint(
+            os.path.join(args.save_path, f"image_adapter_{epoch + 1}.npz"),
+            epoch + 1, image_state.params, image_state.opt_state,
+            int(image_state.step))
+    logger.info("done")
+
+
+if __name__ == "__main__":
+    main()
