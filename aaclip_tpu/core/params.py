@@ -21,73 +21,94 @@ import numpy as np
 
 from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
 
+def stack_blocks(blocks: list) -> dict:
+    """Stack a list of per-layer block pytrees along a new leading layer
+    axis (the lax.scan-ready layout used by models/vit.py)."""
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *blocks)
+
+
+def _rng_from(key) -> np.random.Generator:
+    """numpy Generator from an int seed or a jax PRNGKey-like array.
+
+    Random init runs HOST-SIDE in numpy: building ~430M params with
+    per-block device ops is pathologically slow over remote TPU links.
+    """
+    if isinstance(key, (int, np.integer)):
+        return np.random.default_rng(key)
+    data = np.asarray(key).reshape(-1).astype(np.uint32)
+    return np.random.default_rng(np.random.SeedSequence(data.tolist()))
+
+
 # --------------------------------------------------------------------------
 # Random initialization (used for tests and when no checkpoint is present).
 
 
-def _ln_init(width: int, dtype) -> dict:
-    return {"scale": jnp.ones((width,), dtype), "bias": jnp.zeros((width,), dtype)}
-
-
-def _block_init(key, width: int, mlp_width: int, dtype) -> dict:
-    k = jax.random.split(key, 4)
-    attn_std = width ** -0.5
-    proj_std = attn_std * 0.5
-    fc_std = (2 * width) ** -0.5
-    return {
-        "ln_1": _ln_init(width, dtype),
-        "attn": {
-            "w_qkv": (jax.random.normal(k[0], (width, 3 * width)) * attn_std).astype(dtype),
-            "b_qkv": jnp.zeros((3 * width,), dtype),
-            "w_out": (jax.random.normal(k[1], (width, width)) * proj_std).astype(dtype),
-            "b_out": jnp.zeros((width,), dtype),
-        },
-        "ln_2": _ln_init(width, dtype),
-        "mlp": {
-            "w_fc": (jax.random.normal(k[2], (width, mlp_width)) * fc_std).astype(dtype),
-            "b_fc": jnp.zeros((mlp_width,), dtype),
-            "w_proj": (jax.random.normal(k[3], (mlp_width, width)) * proj_std).astype(dtype),
-            "b_proj": jnp.zeros((width,), dtype),
-        },
-    }
-
-
-def init_clip_params(key: jax.Array, cfg: CLIPConfig,
+def init_clip_params(key, cfg: CLIPConfig,
                      policy: DtypePolicy = DtypePolicy()) -> dict:
-    """Random CLIP parameter pytree with the run-time image size."""
+    """Random CLIP parameter pytree with the run-time image size.
+
+    Generated ON DEVICE with one vectorized jax.random call per stacked
+    leaf: host-side init + transfer of ~1.7GB is minutes over remote TPU
+    links, while device-side generation is near-instant.
+    """
+    if isinstance(key, (int, np.integer)):
+        key = jax.random.PRNGKey(int(key))
     v, t = cfg.vision, cfg.text
     dtype = policy.param_dtype
-    kv, kt = jax.random.split(key)
-    vks = jax.random.split(kv, v.layers + 4)
-    tks = jax.random.split(kt, t.layers + 4)
+    keys = iter(jax.random.split(key, 24))
+
+    def blocks_init(n_layers, width, mlp_width):
+        attn_std = width ** -0.5
+        proj_std = attn_std * 0.5
+        fc_std = (2 * width) ** -0.5
+
+        def n(shape, std):
+            return (jax.random.normal(next(keys), shape) * std).astype(dtype)
+
+        return {
+            "ln_1": {"scale": jnp.ones((n_layers, width), dtype),
+                     "bias": jnp.zeros((n_layers, width), dtype)},
+            "attn": {
+                "w_qkv": n((n_layers, width, 3 * width), attn_std),
+                "b_qkv": jnp.zeros((n_layers, 3 * width), dtype),
+                "w_out": n((n_layers, width, width), proj_std),
+                "b_out": jnp.zeros((n_layers, width), dtype),
+            },
+            "ln_2": {"scale": jnp.ones((n_layers, width), dtype),
+                     "bias": jnp.zeros((n_layers, width), dtype)},
+            "mlp": {
+                "w_fc": n((n_layers, width, mlp_width), fc_std),
+                "b_fc": jnp.zeros((n_layers, mlp_width), dtype),
+                "w_proj": n((n_layers, mlp_width, width), proj_std),
+                "b_proj": jnp.zeros((n_layers, width), dtype),
+            },
+        }
+
+    def ln(width):
+        return {"scale": jnp.ones((width,), dtype),
+                "bias": jnp.zeros((width,), dtype)}
+
+    def n(shape, std):
+        return (jax.random.normal(next(keys), shape) * std).astype(dtype)
+
     scale_v = v.width ** -0.5
     scale_t = t.width ** -0.5
     patch_dim = 3 * v.patch_size * v.patch_size
     visual = {
-        "conv1": {"w": (jax.random.normal(vks[0], (patch_dim, v.width))
-                        * patch_dim ** -0.5).astype(dtype)},
-        "class_embedding": (jax.random.normal(vks[1], (v.width,)) * scale_v).astype(dtype),
-        "positional_embedding": (jax.random.normal(vks[2], (v.seq_len, v.width))
-                                 * scale_v).astype(dtype),
-        "ln_pre": _ln_init(v.width, dtype),
-        "blocks": [
-            _block_init(vks[3 + i], v.width, int(v.width * v.mlp_ratio), dtype)
-            for i in range(v.layers)
-        ],
-        "ln_post": _ln_init(v.width, dtype),
-        "proj": (jax.random.normal(vks[-1], (v.width, v.output_dim)) * scale_v).astype(dtype),
+        "conv1": {"w": n((patch_dim, v.width), patch_dim ** -0.5)},
+        "class_embedding": n((v.width,), scale_v),
+        "positional_embedding": n((v.seq_len, v.width), scale_v),
+        "ln_pre": ln(v.width),
+        "blocks": blocks_init(v.layers, v.width, int(v.width * v.mlp_ratio)),
+        "ln_post": ln(v.width),
+        "proj": n((v.width, v.output_dim), scale_v),
     }
     text = {
-        "token_embedding": (jax.random.normal(tks[0], (t.vocab_size, t.width)) * 0.02).astype(dtype),
-        "positional_embedding": (jax.random.normal(tks[1], (t.context_length, t.width))
-                                 * 0.01).astype(dtype),
-        "blocks": [
-            _block_init(tks[2 + i], t.width, int(t.width * t.mlp_ratio), dtype)
-            for i in range(t.layers)
-        ],
-        "ln_final": _ln_init(t.width, dtype),
-        "text_projection": (jax.random.normal(tks[-1], (t.width, t.output_dim))
-                            * scale_t).astype(dtype),
+        "token_embedding": n((t.vocab_size, t.width), 0.02),
+        "positional_embedding": n((t.context_length, t.width), 0.01),
+        "blocks": blocks_init(t.layers, t.width, int(t.width * t.mlp_ratio)),
+        "ln_final": ln(t.width),
+        "text_projection": n((t.width, t.output_dim), scale_t),
     }
     return {
         "visual": visual,
@@ -96,10 +117,10 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig,
     }
 
 
-def _xavier_uniform(key, shape, dtype):
+def _xavier_uniform(rng: np.random.Generator, shape, dtype):
     fan_in, fan_out = shape[0], shape[1]
     bound = math.sqrt(6.0 / (fan_in + fan_out))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return rng.uniform(-bound, bound, shape).astype(dtype)
 
 
 def init_adapter_params(key: jax.Array, cfg: CLIPConfig, acfg: AdapterConfig,
@@ -109,25 +130,25 @@ def init_adapter_params(key: jax.Array, cfg: CLIPConfig, acfg: AdapterConfig,
     vw = cfg.vision.width
     tw = cfg.text.width
     ed = cfg.embed_dim
-    dtype = policy.param_dtype
+    dtype = np.dtype(policy.param_dtype) if policy.param_dtype != jnp.bfloat16 \
+        else np.float32
     n_img = acfg.image_adapt_until
     n_txt = acfg.text_adapt_until
     n_lvl = len(acfg.levels)
-    keys = jax.random.split(key, n_img + n_lvl + 1 + n_txt + 1)
-    ki = iter(keys)
+    rng = _rng_from(key)
     image = {
-        "layer_adapters": [{"w": _xavier_uniform(next(ki), (vw, vw), dtype)}
-                           for _ in range(n_img)],
-        "seg_proj": [{"w": _xavier_uniform(next(ki), (vw, ed), dtype)}
+        "layer_adapters": {"w": np.stack([
+            _xavier_uniform(rng, (vw, vw), dtype) for _ in range(n_img)])},
+        "seg_proj": [{"w": _xavier_uniform(rng, (vw, ed), dtype)}
                      for _ in range(n_lvl)],
-        "det_proj": {"w": _xavier_uniform(next(ki), (vw, ed), dtype)},
+        "det_proj": {"w": _xavier_uniform(rng, (vw, ed), dtype)},
     }
     text = {
-        "layer_adapters": [{"w": _xavier_uniform(next(ki), (tw, tw), dtype)}
-                           for _ in range(n_txt)],
-        "proj": {"w": _xavier_uniform(next(ki), (tw, tw), dtype)},
+        "layer_adapters": {"w": np.stack([
+            _xavier_uniform(rng, (tw, tw), dtype) for _ in range(n_txt)])},
+        "proj": {"w": _xavier_uniform(rng, (tw, tw), dtype)},
     }
-    return {"image": image, "text": text}
+    return jax.tree.map(jnp.asarray, {"image": image, "text": text})
 
 
 # --------------------------------------------------------------------------
@@ -195,10 +216,10 @@ def convert_openai_state_dict(sd: dict, cfg: CLIPConfig) -> dict:
         "positional_embedding": pos,
         "ln_pre": {"scale": _t(sd["visual.ln_pre.weight"]),
                    "bias": _t(sd["visual.ln_pre.bias"])},
-        "blocks": [
+        "blocks": stack_blocks([
             _convert_block(sd, f"visual.transformer.resblocks.{i}")
             for i in range(v.layers)
-        ],
+        ]),
         "ln_post": {"scale": _t(sd["visual.ln_post.weight"]),
                     "bias": _t(sd["visual.ln_post.bias"])},
         "proj": _t(sd["visual.proj"]),
@@ -206,10 +227,10 @@ def convert_openai_state_dict(sd: dict, cfg: CLIPConfig) -> dict:
     text = {
         "token_embedding": _t(sd["token_embedding.weight"]),
         "positional_embedding": _t(sd["positional_embedding"]),
-        "blocks": [
+        "blocks": stack_blocks([
             _convert_block(sd, f"transformer.resblocks.{i}")
             for i in range(t.layers)
-        ],
+        ]),
         "ln_final": {"scale": _t(sd["ln_final.weight"]),
                      "bias": _t(sd["ln_final.bias"])},
         "text_projection": _t(sd["text_projection"]),

@@ -28,11 +28,12 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
     (pixel_map [B, img, img], image_score [B])."""
     img = img_size or cfg.vision.image_size
+    visual = clip_params["visual"]
 
     @jax.jit
-    def predict(image_adapter, images, anchors, M):
+    def _predict(visual, image_adapter, images, anchors, M):
         seg_tokens, det = adapted_forward(
-            clip_params["visual"], image_adapter, cfg, images,
+            visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
             policy=policy, attn_fn=attn_fn,
@@ -49,6 +50,9 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                          preferred_element_type=jnp.float32, precision="highest")
         img_score = (det @ anchors[:, 1] + 1.0) / 2.0
         return pix, img_score
+
+    def predict(image_adapter, images, anchors, M):
+        return _predict(visual, image_adapter, images, anchors, M)
 
     return predict
 
@@ -81,14 +85,18 @@ def make_anchor_encoder(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     adapter is given (reference test.py:192-200)."""
     from aaclip_tpu.models.text_model import adapted_encode_text, encode_text
 
+    text_params = clip_params["text"]
     if text_adapter is None:
         @jax.jit
-        def enc(tokens):
-            return encode_text(clip_params["text"], cfg, tokens, policy=policy)
-    else:
-        @jax.jit
-        def enc(tokens):
-            return adapted_encode_text(
-                clip_params["text"], text_adapter, cfg, tokens,
-                text_adapt_weight=acfg.text_adapt_weight, policy=policy)
-    return enc
+        def _enc(text_params, tokens):
+            return encode_text(text_params, cfg, tokens, policy=policy)
+
+        return lambda tokens: _enc(text_params, tokens)
+
+    @jax.jit
+    def _enc_adapted(text_params, text_adapter, tokens):
+        return adapted_encode_text(
+            text_params, text_adapter, cfg, tokens,
+            text_adapt_weight=acfg.text_adapt_weight, policy=policy)
+
+    return lambda tokens: _enc_adapted(text_params, text_adapter, tokens)

@@ -10,6 +10,8 @@ model/adapter.py:114-145 for the adapted path):
   trainable SimpleProj (768->768, LeakyReLU) *instead of* CLIP's
   text_projection.
 
+Blocks are stacked along a leading layer axis and run with lax.scan (two
+segments in the adapted path: with-adapters then plain) for fast compiles.
 EOT pooling uses argmax over token ids (the EOT id 49407 is the largest in
 any sequence).
 """
@@ -21,6 +23,7 @@ import jax.numpy as jnp
 
 from aaclip_tpu.core.config import CLIPConfig, DtypePolicy
 from aaclip_tpu.models import layers as L
+from aaclip_tpu.models.vit import run_block_range, slice_blocks
 
 
 def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
@@ -31,12 +34,17 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
     x = params["token_embedding"][text]  # [B, ctx, width]
     x = x + params["positional_embedding"].astype(x.dtype)[None]
     mask = L.causal_mask(t.context_length)
-    n_adapt = len(adapters) if adapters is not None else 0
-    for i, blk in enumerate(params["blocks"]):
-        x = L.residual_block(x, blk, t.heads, mask=mask, act=act, policy=policy)
-        if i < n_adapt:
-            a = L.simple_adapter(x, adapters[i], policy)
-            x = L.norm_matched_blend(x, a, adapt_weight)
+    n_adapt = 0
+    if adapters is not None:
+        n_adapt = jax.tree.leaves(adapters)[0].shape[0]
+    if n_adapt:
+        x = run_block_range(
+            x, slice_blocks(params["blocks"], 0, n_adapt), t.heads,
+            mask=mask, adapters=adapters, adapt_weight=adapt_weight,
+            act=act, policy=policy)
+    x = run_block_range(
+        x, slice_blocks(params["blocks"], n_adapt, t.layers), t.heads,
+        mask=mask, act=act, policy=policy)
     return L.layer_norm(x, params["ln_final"])
 
 
@@ -52,7 +60,8 @@ def encode_text(params: dict, cfg: CLIPConfig, text: jax.Array, *,
     pooled = _eot_pool(x, text)
     cd = policy.compute_dtype
     return jnp.dot(pooled.astype(cd), params["text_projection"].astype(cd),
-                   preferred_element_type=jnp.float32, precision=policy.precision).astype(x.dtype)
+                   preferred_element_type=jnp.float32,
+                   precision=policy.precision).astype(x.dtype)
 
 
 def adapted_encode_text(params: dict, text_adapter: dict, cfg: CLIPConfig,

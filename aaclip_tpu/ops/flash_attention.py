@@ -1,0 +1,144 @@
+"""Pallas TPU attention kernel for the ViT's fixed-length sequences.
+
+Shape regime (ViT-L/14-336 @ 518px): seq 1370 (37^2 patches + CLS), 16
+heads, head_dim 64, no causal mask.  At this length the entire K/V for one
+(batch, head) fits comfortably in VMEM, so instead of a full online-softmax
+flash attention the kernel uses a simpler, equally HBM-frugal scheme:
+
+* grid (B*H, n_q_blocks); each program computes a [q_blk, S] score panel
+  against the FULL K, softmaxes row-wise in fp32, and multiplies by the
+  full V — the [S, S] score matrix never touches HBM;
+* K/V block index maps are constant in the q-block coordinate, so Mosaic's
+  pipeline keeps them resident in VMEM across the inner q iterations
+  (no re-fetch);
+* sequences are zero-padded to a multiple of 128 lanes; padded keys are
+  masked with -inf before the softmax (static mask from broadcasted_iota).
+
+The same kernel powers the CLIP-Surgery V-V variant (q = k = v) — pass the
+value projection for all three operands.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aaclip_tpu.core.config import DtypePolicy
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+    q = q_ref[0]                      # [q_blk, D]
+    k = k_ref[0]                      # [S_pad, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                         # [q_blk, S_pad]
+    if valid_len < k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
+                     valid_len: int, *, q_blk: int = 256,
+                     interpret: bool = False) -> jax.Array:
+    """Batched multi-head attention via the Pallas kernel.
+
+    q/k/v: [B, H, S, D]; ``valid_len`` <= S is the real sequence length
+    (keys past it are masked).  Returns [B, H, S, D] (rows past valid_len
+    are garbage and should be sliced off by the caller).
+    """
+    B, H, S, D = q.shape
+    scale = D ** -0.5
+    S_pad = _round_up(S, q_blk)
+    if S_pad != S:
+        pad = [(0, 0), (0, 0), (0, S_pad - S), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    qf = q.reshape(B * H, S_pad, D)
+    kf = k.reshape(B * H, S_pad, D)
+    vf = v.reshape(B * H, S_pad, D)
+
+    grid = (B * H, S_pad // q_blk)
+    kernel = functools.partial(_attn_kernel, scale=scale, valid_len=valid_len)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * H, S_pad, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_blk, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_blk, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S_pad * S_pad * D,
+            bytes_accessed=(3 * B * H * S_pad * D + B * H * S_pad * D) * q.dtype.itemsize,
+            transcendentals=B * H * S_pad * S_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out.reshape(B, H, S_pad, D)
+    return out[:, :, :S, :]
+
+
+def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
+                 *, vv: bool = False, q_blk: int = 256,
+                 interpret: bool = False):
+    """Attention override for models/layers.residual_block: receives the
+    pre-normalized residual stream and the packed-QKV params, returns the
+    projected attention output — compute path identical to
+    layers.attention but with the Pallas kernel in the middle."""
+
+    def attn_fn(x: jax.Array, p: dict) -> jax.Array:
+        B, L, Dm = x.shape
+        hd = Dm // num_heads
+        cd = policy.compute_dtype
+        xc = x.astype(cd)
+        if vv:
+            w_v = p["w_qkv"][:, 2 * Dm:]
+            vproj = jnp.dot(xc, w_v.astype(cd),
+                            preferred_element_type=jnp.float32,
+                            precision=policy.precision)
+            vproj = vproj + p["b_qkv"][2 * Dm:].astype(jnp.float32)
+            vh = vproj.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+            q = k = v = vh.astype(cd)
+        else:
+            qkv = jnp.dot(xc, p["w_qkv"].astype(cd),
+                          preferred_element_type=jnp.float32,
+                          precision=policy.precision)
+            qkv = qkv + p["b_qkv"].astype(jnp.float32)
+            qkv = qkv.reshape(B, L, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = (t.astype(cd) for t in (qkv[0], qkv[1], qkv[2]))
+        out = attention_kernel(q, k, v, valid_len=L, q_blk=q_blk,
+                               interpret=interpret)
+        out = out.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, L, Dm)
+        out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
+                      preferred_element_type=jnp.float32,
+                      precision=policy.precision)
+        out = out + p["b_out"].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    return attn_fn

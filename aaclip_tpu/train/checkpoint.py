@@ -109,9 +109,8 @@ def text_adapter_from_torch(sd: dict, n_adapt: int = 3) -> dict:
     """Reference ``text_adapter`` state dict (ModuleList: n SimpleAdapters +
     final SimpleProj, model/adapter.py:41-44) -> pytree."""
     return {
-        "layer_adapters": [
-            {"w": _np(sd[f"{i}.fc.0.weight"]).T} for i in range(n_adapt)
-        ],
+        "layer_adapters": {"w": np.stack([
+            _np(sd[f"{i}.fc.0.weight"]).T for i in range(n_adapt)])},
         "proj": {"w": _np(sd[_proj_key(sd, str(n_adapt))]).T},
     }
 
@@ -119,10 +118,9 @@ def text_adapter_from_torch(sd: dict, n_adapt: int = 3) -> dict:
 def image_adapter_from_torch(sd: dict, n_adapt: int = 6, n_levels: int = 4) -> dict:
     """Reference ``image_adapter`` ModuleDict state dict -> pytree."""
     return {
-        "layer_adapters": [
-            {"w": _np(sd[f"layer_adapters.{i}.fc.0.weight"]).T}
-            for i in range(n_adapt)
-        ],
+        "layer_adapters": {"w": np.stack([
+            _np(sd[f"layer_adapters.{i}.fc.0.weight"]).T
+            for i in range(n_adapt)])},
         "seg_proj": [
             {"w": _np(sd[_proj_key(sd, f"seg_proj.{i}")]).T}
             for i in range(n_levels)
@@ -154,15 +152,17 @@ def adapters_to_torch_state_dicts(adapters: dict, proj_relu: bool) -> Tuple[dict
         return torch.from_numpy(np.asarray(w).T.copy())
 
     text = adapters["text"]
-    n = len(text["layer_adapters"])
-    text_sd = {f"{i}.fc.0.weight": t(a["w"]) for i, a in enumerate(text["layer_adapters"])}
+    tw = np.asarray(text["layer_adapters"]["w"])
+    n = tw.shape[0]
+    text_sd = {f"{i}.fc.0.weight": t(tw[i]) for i in range(n)}
     text_sd[f"{n}.fc.0.weight"] = t(text["proj"]["w"])  # final proj always relu=True
 
     image = adapters["image"]
     proj_suffix = "fc.0.weight" if proj_relu else "fc.weight"
     image_sd = {}
-    for i, a in enumerate(image["layer_adapters"]):
-        image_sd[f"layer_adapters.{i}.fc.0.weight"] = t(a["w"])
+    iw = np.asarray(image["layer_adapters"]["w"])
+    for i in range(iw.shape[0]):
+        image_sd[f"layer_adapters.{i}.fc.0.weight"] = t(iw[i])
     for i, p in enumerate(image["seg_proj"]):
         image_sd[f"seg_proj.{i}.{proj_suffix}"] = t(p["w"])
     image_sd[f"det_proj.{proj_suffix}"] = t(image["det_proj"]["w"])

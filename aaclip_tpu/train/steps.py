@@ -58,19 +58,20 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     last-level surgery patch embedding, L2-normalized, plus the frozen
     model's normalized CLS token (reference train.py:74-85)."""
     last_level = cfg.vision.layers
+    visual = clip_params["visual"]
 
     @jax.jit
-    def features(images: jax.Array) -> jax.Array:
+    def _features(visual, images: jax.Array) -> jax.Array:
         feats = surgery_patch_features(
-            clip_params["visual"], cfg, images, out_layers=[last_level],
+            visual, cfg, images, out_layers=[last_level],
             surgery_until_layer=surgery_until_layer, policy=policy,
         )[0]
-        cls, _ = encode_image(clip_params["visual"], cfg, images, (), policy=policy)
+        cls, _ = encode_image(visual, cfg, images, (), policy=policy)
         cls = Lyr.l2_normalize(cls)
         f = Lyr.l2_normalize(feats) + cls[:, None, :]
         return f
 
-    return features
+    return lambda images: _features(visual, images)
 
 
 def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
@@ -88,10 +89,11 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     tokens = jnp.asarray(prompt_tokens)
     C, S, _ = tokens.shape
     flat_tokens = tokens.reshape(C * S, -1)
+    text_params = clip_params["text"]
 
-    def loss_fn(text_adapter, feats, mask, class_idx, valid):
+    def loss_fn(text_adapter, text_params, feats, mask, class_idx, valid):
         embeds = adapted_encode_text(
-            clip_params["text"], text_adapter, cfg, flat_tokens,
+            text_params, text_adapter, cfg, flat_tokens,
             text_adapt_weight=acfg.text_adapt_weight, policy=policy,
         )
         anchors = reduce_to_anchors(embeds.reshape(C, S, -1))  # [C, D, 2]
@@ -105,14 +107,15 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         return seg + text_norm_weight * orth
 
     @jax.jit
-    def step(state: TrainState, feats, mask, class_idx, valid):
+    def _step(state: TrainState, text_params, feats, mask, class_idx, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, feats, mask, class_idx, valid)
+            state.params, text_params, feats, mask, class_idx, valid)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return step
+    return lambda state, feats, mask, class_idx, valid: _step(
+        state, text_params, feats, mask, class_idx, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -131,10 +134,11 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     """
     img = img_size or cfg.vision.image_size
     anchors_table = jnp.asarray(anchors_table)
+    visual = clip_params["visual"]
 
-    def loss_fn(image_adapter, images, mask, label, class_idx, valid):
+    def loss_fn(image_adapter, visual, images, mask, label, class_idx, valid):
         seg_tokens, det = adapted_forward(
-            clip_params["visual"], image_adapter, cfg, images,
+            visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
             policy=policy, attn_fn=attn_fn,
@@ -151,11 +155,12 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         return loss
 
     @jax.jit
-    def step(state: TrainState, images, mask, label, class_idx, valid):
+    def _step(state: TrainState, visual, images, mask, label, class_idx, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, images, mask, label, class_idx, valid)
+            state.params, visual, images, mask, label, class_idx, valid)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return step
+    return lambda state, images, mask, label, class_idx, valid: _step(
+        state, visual, images, mask, label, class_idx, valid)

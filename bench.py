@@ -1,0 +1,99 @@
+"""North-star benchmark: anomaly-maps/sec/chip for the flagship inference
+path (ViT-L-14-336 @ 518px, adapted forward -> fused anomaly map).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is measured against REFERENCE_BASELINE_MAPS_PER_SEC — the
+reference publishes no throughput numbers (SURVEY §6), so this constant is
+a provisional estimate of the PyTorch pipeline on a single datacenter GPU
+(ViT-L-336 @ 518, fp16, batch 32, including its per-level blur/upsample
+chain); it is to be replaced by a fresh measurement of the reference when
+GPU hardware is available.
+
+Flags: --batch_size, --precision, --steps, --model_name, --img_size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+# Provisional single-GPU estimate for the reference implementation
+# (unmeasured in the reference repo; see module docstring).
+REFERENCE_BASELINE_MAPS_PER_SEC = 40.0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name", default="ViT-L-14-336")
+    parser.add_argument("--img_size", type=int, default=518)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+    from aaclip_tpu.eval.predict import make_predict_fn
+    from aaclip_tpu.ops.similarity import fused_postproc_matrix
+
+    cfg = get_config(args.model_name, args.img_size)
+    acfg = AdapterConfig() if args.model_name != "tiny-test" else AdapterConfig(
+        levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
+
+    clip = create_clip_params(cfg, seed=0, policy=policy)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
+    attn_fn = None
+    if args.attn == "pallas" and jax.devices()[0].platform == "tpu":
+        from aaclip_tpu.ops.flash_attention import make_attn_fn
+        attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
+                              policy=policy, attn_fn=attn_fn)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (args.batch_size, 3, args.img_size, args.img_size)), jnp.float32)
+    anchors = jnp.asarray(rng.standard_normal((cfg.embed_dim, 2)), jnp.float32)
+    anchors = anchors / jnp.linalg.norm(anchors, axis=0, keepdims=True)
+    M = jnp.asarray(fused_postproc_matrix(cfg.vision.grid, args.img_size,
+                                          "Industrial"))
+    image_adapter = adapters["image"]
+
+    for _ in range(args.warmup):
+        pix, score = predict(image_adapter, images, anchors, M)
+    jax.block_until_ready((pix, score))
+
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        pix, score = predict(image_adapter, images, anchors, M)
+    jax.block_until_ready((pix, score))
+    elapsed = time.perf_counter() - start
+
+    n_chips = jax.local_device_count()
+    maps_per_sec = args.batch_size * args.steps / elapsed
+    per_chip = maps_per_sec / n_chips
+    if args.verbose:
+        print(f"# devices={jax.devices()} elapsed={elapsed:.3f}s "
+              f"batch={args.batch_size} steps={args.steps}")
+    print(json.dumps({
+        "metric": "anomaly_maps_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "maps/s/chip (ViT-L-336 @ 518px, adapted fwd + fused map, "
+                f"{args.precision}, attn={args.attn})",
+        "vs_baseline": round(per_chip / REFERENCE_BASELINE_MAPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

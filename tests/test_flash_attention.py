@@ -1,0 +1,66 @@
+"""Pallas attention kernel vs the reference jnp attention (interpret mode
+on CPU; the same code compiles on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aaclip_tpu.models import layers as L
+from aaclip_tpu.ops.flash_attention import attention_kernel, make_attn_fn
+
+
+def _qkv(b, h, s, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+                 for _ in range(3))
+
+
+@pytest.mark.parametrize("s", [128, 250, 260])
+def test_kernel_matches_reference_softmax_attention(s):
+    b, h, d = 2, 3, 64
+    q, k, v = _qkv(b, h, s, d, seed=s)
+    scale = d ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    got = attention_kernel(q, k, v, valid_len=s, q_blk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_padding_mask_ignores_tail_keys():
+    """With valid_len < S, results must equal attention over the first
+    valid_len keys only."""
+    b, h, s, d = 1, 2, 256, 64
+    q, k, v = _qkv(b, h, s, d, seed=1)
+    valid = 250
+    got = attention_kernel(q, k, v, valid_len=valid, q_blk=128,
+                           interpret=True)[:, :, :valid]
+    qs, ks, vs = q[:, :, :valid], k[:, :, :valid], v[:, :, :valid]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qs, ks) * d ** -0.5
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_attn_fn_matches_layers_attention():
+    d, heads, n = 64, 2, 100
+    rng = np.random.default_rng(2)
+    p = {
+        "w_qkv": jnp.asarray(rng.standard_normal((d, 3 * d)) * d ** -0.5, jnp.float32),
+        "b_qkv": jnp.asarray(rng.standard_normal(3 * d) * 0.02, jnp.float32),
+        "w_out": jnp.asarray(rng.standard_normal((d, d)) * d ** -0.5, jnp.float32),
+        "b_out": jnp.asarray(rng.standard_normal(d) * 0.02, jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    want = L.attention(x, p, heads)
+    fn = make_attn_fn(heads, q_blk=128, interpret=True)
+    got = fn(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    # V-V variant
+    want_vv = L.attention(x, p, heads, vv=True)
+    fn_vv = make_attn_fn(heads, vv=True, q_blk=128, interpret=True)
+    got_vv = fn_vv(x, p)
+    np.testing.assert_allclose(np.asarray(got_vv), np.asarray(want_vv),
+                               atol=2e-5, rtol=1e-4)

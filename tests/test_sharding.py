@@ -1,0 +1,72 @@
+"""Data-parallel correctness on the 8-device virtual CPU mesh: sharded
+training steps must produce the same result as single-device execution,
+and the dryrun entry must run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aaclip_tpu.core.config import AdapterConfig, get_config
+from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+from aaclip_tpu.parallel import sharding as sh
+from aaclip_tpu.train.optim import make_image_optimizer
+from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+CFG = get_config("tiny-test")
+ACFG = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, jax.devices()
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(2)
+    B, S = 8, CFG.vision.image_size
+    batch = dict(
+        images=rng.standard_normal((B, 3, S, S)).astype(np.float32),
+        mask=(rng.random((B, S, S)) > 0.8).astype(np.float32),
+        label=(np.arange(B) % 2).astype(np.int32),
+        class_idx=(np.arange(B) % 2).astype(np.int32),
+        valid=np.ones((B,), np.float32),
+    )
+    table = rng.standard_normal((2, CFG.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    return clip, adapters, batch, table
+
+
+def test_sharded_step_matches_single_device(setup):
+    clip, adapters, batch, table = setup
+    tx = make_image_optimizer(lr=1e-3)
+    step = make_stage2_step(clip, CFG, ACFG, tx, table)
+
+    # single device
+    s0 = init_state(adapters["image"], tx)
+    s0, loss0 = step(s0, *(jnp.asarray(v) for v in batch.values()))
+
+    # 8-device data parallel
+    mesh = sh.make_data_mesh(8)
+    clip_r = sh.replicate_tree(mesh, clip)
+    step_dp = make_stage2_step(clip_r, CFG, ACFG, tx, table)
+    sharded = sh.shard_batch(mesh, *batch.values())
+    s1 = init_state(sh.replicate_tree(mesh, adapters["image"]), tx)
+    s1, loss1 = step_dp(s1, *sharded)
+
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_pad_batch_to_devices():
+    arrays = [np.arange(6, dtype=np.float32).reshape(6, 1)]
+    valid = np.ones((6,), np.float32)
+    out, v = sh.pad_batch_to_devices(arrays, valid, 4)
+    assert out[0].shape == (8, 1)
+    np.testing.assert_array_equal(v, [1, 1, 1, 1, 1, 1, 0, 0])
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
