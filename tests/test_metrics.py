@@ -78,3 +78,39 @@ def test_metrics_eval_medical_uses_pixel_max_only():
     img_preds = 1.0 - labels.astype(np.float64)
     row = metrics_eval(masks, labels, preds, img_preds, "Brain", "Medical")
     assert row["image AUC"] == 100.0
+
+
+def test_native_matches_numpy_paths():
+    """Native C++ kernel vs numpy fallback vs sklearn on tied data."""
+    from aaclip_tpu import native
+    from aaclip_tpu.eval.metrics import _ap_numpy, _auroc_numpy
+
+    if not native.native_available():
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(7)
+    labels = rng.random(20000) > 0.7
+    scores = np.round(rng.standard_normal(20000) + labels, 2).astype(np.float32)
+    a_n, p_n = native.auroc_ap(labels, scores)
+    np.testing.assert_allclose(a_n, _auroc_numpy(labels, scores), atol=1e-10)
+    np.testing.assert_allclose(p_n, _ap_numpy(labels, scores), atol=1e-10)
+    np.testing.assert_allclose(a_n, roc_auc_score(labels, scores), atol=1e-10)
+    np.testing.assert_allclose(p_n, average_precision_score(labels, scores), atol=1e-10)
+
+
+def test_native_label_components_matches_scipy():
+    from aaclip_tpu import native
+
+    if not native.native_available():
+        pytest.skip("no compiler")
+    from scipy import ndimage
+    rng = np.random.default_rng(8)
+    m = rng.random((64, 64)) > 0.6
+    lab_n, n_n = native.label_components(m)
+    lab_s, n_s = ndimage.label(m)
+    assert n_n == n_s
+    # identical partitions modulo label permutation
+    mapping = {}
+    for a, b in zip(lab_n.ravel(), lab_s.ravel()):
+        assert (a == 0) == (b == 0)
+        if a:
+            assert mapping.setdefault(a, b) == b
