@@ -154,6 +154,64 @@ MODEL_CONFIGS = {
 }
 
 
+def config_from_json(payload: dict) -> CLIPConfig:
+    """Build a CLIPConfig from the reference's JSON schema
+    (model/model_configs/*.json: embed_dim + vision_cfg + text_cfg)."""
+    v = payload["vision_cfg"]
+    t = payload["text_cfg"]
+    embed = payload["embed_dim"]
+    head_width = v.get("head_width", 64)
+    return CLIPConfig(
+        vision=VisionConfig(
+            image_size=v["image_size"],
+            native_image_size=v["image_size"],
+            patch_size=v["patch_size"],
+            width=v["width"],
+            layers=v["layers"],
+            heads=v["width"] // head_width,
+            mlp_ratio=v.get("mlp_ratio", 4.0),
+            output_dim=embed,
+        ),
+        text=TextConfig(
+            context_length=t["context_length"],
+            vocab_size=t["vocab_size"],
+            width=t["width"],
+            heads=t["heads"],
+            layers=t["layers"],
+            mlp_ratio=t.get("mlp_ratio", 4.0),
+            output_dim=embed,
+        ),
+        embed_dim=embed,
+        quick_gelu=payload.get("quick_gelu", False),
+    )
+
+
+def _scan_json_configs() -> None:
+    """Populate MODEL_CONFIGS from model_configs/*.json (reference registry
+    behavior, model/clip.py:23-44).  User dirs can be added via the
+    AACLIP_MODEL_CONFIGS env var (os.pathsep-separated)."""
+    import glob
+    import json
+    import os
+
+    dirs = [os.path.join(os.path.dirname(__file__), "model_configs")]
+    extra = os.environ.get("AACLIP_MODEL_CONFIGS")
+    if extra:
+        dirs += extra.split(os.pathsep)
+    for d in dirs:
+        for path in sorted(glob.glob(os.path.join(d, "*.json"))):
+            name = os.path.splitext(os.path.basename(path))[0]
+            if name in MODEL_CONFIGS:
+                continue
+            with open(path) as f:
+                payload = json.load(f)
+            if all(k in payload for k in ("embed_dim", "vision_cfg", "text_cfg")):
+                MODEL_CONFIGS[name] = config_from_json(payload)
+
+
+_scan_json_configs()
+
+
 def get_config(model_name: str, img_size: int | None = None) -> CLIPConfig:
     """Look up a named architecture, optionally overriding the run-time
     image size (reference behavior: model/clip.py:112)."""

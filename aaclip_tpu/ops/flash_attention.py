@@ -57,7 +57,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
 
 
 def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
-                     valid_len: int, *, q_blk: int = 256,
+                     valid_len: int, *, q_blk: int = 512,
                      interpret: bool = False) -> jax.Array:
     """Batched multi-head attention via the Pallas kernel.
 
@@ -105,7 +105,7 @@ def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
-                 *, vv: bool = False, q_blk: int = 256,
+                 *, vv: bool = False, q_blk: int = 512,
                  interpret: bool = False):
     """Attention override for models/layers.residual_block: receives the
     pre-normalized residual stream and the packed-QKV params, returns the

@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+Remote TPU compiles of the ViT-L towers take tens of seconds; enabling
+JAX's on-disk compilation cache makes every CLI/bench invocation after the
+first start instantly.  Call early, before the first jit execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    path = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/aaclip_tpu/xla"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags
+        pass

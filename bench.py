@@ -42,6 +42,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from aaclip_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
     from aaclip_tpu.core.params import create_clip_params, init_adapter_params
     from aaclip_tpu.eval.predict import make_predict_fn

@@ -51,6 +51,8 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from aaclip_tpu.utils.seed import setup_seed
+    setup_seed(args.seed)
     os.makedirs(args.save_path, exist_ok=True)
     from aaclip_tpu.utils.logging import setup_logger
     logger = setup_logger("aaclip.test", os.path.join(args.save_path, "test.log"))
@@ -58,6 +60,9 @@ def main(argv=None):
 
     import jax
     from pandas import DataFrame, Series
+
+    from aaclip_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
     from aaclip_tpu.core.params import create_clip_params, init_adapter_params
