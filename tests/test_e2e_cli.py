@@ -67,6 +67,36 @@ def test_train_then_eval(env):
     assert "bottle" in tlog and "cable" in tlog
 
 
+def test_eval_reference_pth_checkpoints_and_visualize(env):
+    """test.py consumes reference-format .pth adapters and writes
+    visualization panels."""
+    import jax
+    import torch
+
+    import test as test_cli
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import adapters_to_torch_state_dicts
+
+    save = os.path.join(env, "ckpt_pth")
+    os.makedirs(save, exist_ok=True)
+    cfg = get_config("tiny-test")
+    acfg = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    adapters = init_adapter_params(jax.random.PRNGKey(3), cfg, acfg)
+    text_sd, image_sd = adapters_to_torch_state_dicts(adapters, proj_relu=False)
+    torch.save({"epoch": 1, "text_adapter": text_sd},
+               os.path.join(save, "text_adapter.pth"))
+    torch.save({"epoch": 1, "image_adapter": image_sd},
+               os.path.join(save, "image_adapter_1.pth"))
+
+    test_cli.main(COMMON + ["--save_path", save, "--batch_size", "4",
+                            "--visualize"])
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert "load model from epoch 1" in tlog and "Average" in tlog
+    vis_dir = os.path.join(save, "visualization", "MVTec", "bottle")
+    assert os.path.isdir(vis_dir) and len(os.listdir(vis_dir)) == 6
+
+
 def test_train_resume(env):
     """Stage-2 resume: rerunning with a higher epoch count continues from
     the stored epoch instead of restarting (reference train.py:289-296)."""
