@@ -110,16 +110,17 @@ class DtypePolicy:
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
     precision: str | None = "highest"
+    fast_act: bool = False  # tanh-approx GELU (saves ~20%% of trunk VPU time)
 
     @classmethod
     def fp32(cls) -> "DtypePolicy":
-        """Exact-parity path: fp32 matmuls at full TPU precision."""
-        return cls(jnp.float32, jnp.float32, "highest")
+        """Exact-parity path: fp32 matmuls at full TPU precision, erf GELU."""
+        return cls(jnp.float32, jnp.float32, "highest", False)
 
     @classmethod
     def bf16(cls) -> "DtypePolicy":
-        """bf16 matmuls with fp32 params/accumulation — the fast TPU path."""
-        return cls(jnp.float32, jnp.bfloat16, None)
+        """Fast TPU path: bf16 matmuls (fp32 accumulation), tanh GELU."""
+        return cls(jnp.float32, jnp.bfloat16, None, True)
 
 
 VIT_L_14_336 = CLIPConfig()

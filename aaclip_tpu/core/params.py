@@ -292,3 +292,20 @@ def create_clip_params(cfg: CLIPConfig, *, checkpoint: Optional[str] = None,
 
 def count_params(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def cast_matmul_weights(tree, policy: DtypePolicy):
+    """Pre-cast >=2-D weight leaves to the policy's compute dtype so the
+    per-step ``w.astype(bf16)`` inside jit becomes a no-op (saves casting
+    ~1.7GB of frozen weights every call).  1-D leaves (LayerNorm scales,
+    biases) stay in the storage dtype for fp32 math."""
+    cd = policy.compute_dtype
+    if cd == policy.param_dtype:
+        return tree
+
+    def cast(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(cd)
+        return x
+
+    return jax.tree.map(cast, tree)

@@ -27,8 +27,12 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                     policy: DtypePolicy = DtypePolicy(), attn_fn=None) -> Callable:
     """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
     (pixel_map [B, img, img], image_score [B])."""
+    from aaclip_tpu.core.params import cast_matmul_weights
+    from aaclip_tpu.models.layers import policy_act
+
     img = img_size or cfg.vision.image_size
-    visual = clip_params["visual"]
+    visual = cast_matmul_weights(clip_params["visual"], policy)
+    _act = policy_act(policy)
 
     @jax.jit
     def _predict(visual, image_adapter, images, anchors, M):
@@ -36,7 +40,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
-            policy=policy, attn_fn=attn_fn,
+            policy=policy, act=_act, attn_fn=attn_fn,
         )
         stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]
         scores = level_scores(stacked, anchors)             # [n, B, L, 2]
@@ -85,7 +89,9 @@ def make_anchor_encoder(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     adapter is given (reference test.py:192-200)."""
     from aaclip_tpu.models.text_model import adapted_encode_text, encode_text
 
-    text_params = clip_params["text"]
+    from aaclip_tpu.core.params import cast_matmul_weights
+
+    text_params = cast_matmul_weights(clip_params["text"], policy)
     if text_adapter is None:
         @jax.jit
         def _enc(text_params, tokens):

@@ -40,6 +40,16 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """tanh-approximate GELU (fast path; |err| < 3e-3)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def policy_act(policy: DtypePolicy):
+    """GELU variant selected by the dtype policy."""
+    return gelu_tanh if policy.fast_act else gelu
+
+
 def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 

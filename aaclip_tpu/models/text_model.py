@@ -32,6 +32,7 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
     """Shared embed + causal transformer + per-layer adapter blends."""
     t = cfg.text
     x = params["token_embedding"][text]  # [B, ctx, width]
+    x = x.astype(policy.compute_dtype)
     x = x + params["positional_embedding"].astype(x.dtype)[None]
     mask = L.causal_mask(t.context_length)
     n_adapt = 0

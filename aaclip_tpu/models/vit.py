@@ -100,9 +100,14 @@ def patchify(x: jax.Array, conv_w: jax.Array, patch: int,
 
 def embed(params: dict, cfg: CLIPConfig, images: jax.Array,
           policy: DtypePolicy = DtypePolicy()) -> jax.Array:
-    """Patchify, prepend CLS, add positional embeddings, ln_pre."""
+    """Patchify, prepend CLS, add positional embeddings, ln_pre.
+
+    The residual stream is carried in the policy's compute dtype: on the
+    bf16 fast path this halves every LayerNorm/residual/activation memory
+    pass (statistics still run fp32 inside layer_norm)."""
     v = cfg.vision
     x = patchify(images, params["conv1"]["w"], v.patch_size, policy)
+    x = x.astype(policy.compute_dtype)
     cls = jnp.broadcast_to(
         params["class_embedding"].astype(x.dtype)[None, None, :],
         (x.shape[0], 1, v.width),
@@ -232,11 +237,16 @@ def adapted_forward(
     )
     taps = [t[:, 1:, :] for t in taps]  # drop CLS
     tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]
-    seg_tokens = [
-        L.l2_normalize(L.simple_proj(t, image_adapter["seg_proj"][i],
-                                     proj_relu, policy))
-        for i, t in enumerate(tokens)
-    ]
-    det = L.simple_proj(tokens[-1], image_adapter["det_proj"], proj_relu, policy)
-    det = L.l2_normalize(det).mean(axis=1)
+
+    def proj_norm(t, p):
+        # bf16 matmul, but L2-normalize on the fp32 accumulator output so
+        # the unit vectors feeding the 100x similarity scores stay precise
+        y = L.linear(t, p, policy)
+        if proj_relu:
+            y = L.leaky_relu(y)
+        return L.l2_normalize(y)
+
+    seg_tokens = [proj_norm(t, image_adapter["seg_proj"][i])
+                  for i, t in enumerate(tokens)]
+    det = proj_norm(tokens[-1], image_adapter["det_proj"]).mean(axis=1)
     return seg_tokens, det

@@ -35,35 +35,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
-    q = q_ref[0]                      # [q_blk, D]
-    k = k_ref[0]                      # [S_pad, D]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                         # [q_blk, S_pad]
-    if valid_len < k.shape[0]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < valid_len, s, -jnp.inf)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int,
+                 bh_blk: int):
+    for j in range(bh_blk):  # static unroll over heads in this block
+        q = q_ref[j]                      # [q_blk, D]
+        k = k_ref[j]                      # [S_pad, D]
+        v = v_ref[j]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                         # [q_blk, S_pad]
+        if valid_len < k.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        # defer normalization to the [q_blk, D] output (cheaper than
+        # dividing the full [q_blk, S_pad] panel)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = (o / l).astype(o_ref.dtype)
 
 
 def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
-                     valid_len: int, *, q_blk: int = 512,
+                     valid_len: int, *, q_blk: int = 512, bh_blk: int = 2,
                      interpret: bool = False) -> jax.Array:
     """Batched multi-head attention via the Pallas kernel.
 
     q/k/v: [B, H, S, D]; ``valid_len`` <= S is the real sequence length
-    (keys past it are masked).  Returns [B, H, S, D] (rows past valid_len
-    are garbage and should be sliced off by the caller).
+    (keys past it are masked).  ``bh_blk`` heads are processed per program
+    (statically unrolled) to amortize grid/DMA overhead.  Returns
+    [B, H, S, D] (rows past valid_len are garbage; caller slices).
     """
     B, H, S, D = q.shape
     scale = D ** -0.5
@@ -73,30 +78,34 @@ def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    qf = q.reshape(B * H, S_pad, D)
-    kf = k.reshape(B * H, S_pad, D)
-    vf = v.reshape(B * H, S_pad, D)
+    BH = B * H
+    while bh_blk > 1 and BH % bh_blk:
+        bh_blk //= 2
+    qf = q.reshape(BH, S_pad, D)
+    kf = k.reshape(BH, S_pad, D)
+    vf = v.reshape(BH, S_pad, D)
 
-    grid = (B * H, S_pad // q_blk)
-    kernel = functools.partial(_attn_kernel, scale=scale, valid_len=valid_len)
+    grid = (BH // bh_blk, S_pad // q_blk)
+    kernel = functools.partial(_attn_kernel, scale=scale,
+                               valid_len=valid_len, bh_blk=bh_blk)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B * H, S_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, S_pad, D), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, q_blk, D), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((bh_blk, q_blk, D), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, D), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((bh_blk, S_pad, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, D), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((bh_blk, S_pad, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, q_blk, D), lambda bh, qi: (bh, qi, 0),
+        out_specs=pl.BlockSpec((bh_blk, q_blk, D), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S_pad * S_pad * D,
-            bytes_accessed=(3 * B * H * S_pad * D + B * H * S_pad * D) * q.dtype.itemsize,
-            transcendentals=B * H * S_pad * S_pad,
+            flops=4 * BH * S_pad * S_pad * D,
+            bytes_accessed=(3 * BH * S_pad * D + BH * S_pad * D) * q.dtype.itemsize,
+            transcendentals=BH * S_pad * S_pad,
         ),
         interpret=interpret,
     )(qf, kf, vf)
