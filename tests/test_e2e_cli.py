@@ -97,6 +97,36 @@ def test_eval_reference_pth_checkpoints_and_visualize(env):
     assert os.path.isdir(vis_dir) and len(os.listdir(vis_dir)) == 6
 
 
+def test_few_shot_flow(env):
+    """tools/make_few_shot.py generates K-shot metadata; train.py consumes
+    it in few_shot mode (the reference's default training mode)."""
+    import subprocess
+    import sys
+
+    import train as train_cli
+
+    r = subprocess.run(
+        [sys.executable, "tools/make_few_shot.py", "--dataset", "MVTec",
+         "--shots", "3", "--seed", "7"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ),
+    )
+    assert r.returncode == 0, r.stderr
+    meta = os.path.join(os.environ["AACLIP_METADATA"], "MVTec", "3-shot.jsonl")
+    assert os.path.isfile(meta)
+    lines = open(meta).read().strip().split("\n")
+    assert len(lines) == 6  # 3 shots x 2 synthetic classes
+
+    save = os.path.join(env, "ckpt_fewshot")
+    train_cli.main(COMMON + [
+        "--save_path", save, "--training_mode", "few_shot", "--shot", "3",
+        "--text_epoch", "0", "--image_epoch", "1",
+        "--image_batch_size", "3", "--surgery_until_layer", "2",
+    ])
+    assert os.path.isfile(os.path.join(save, "image_adapter_1.npz"))
+
+
 def test_train_resume(env):
     """Stage-2 resume: rerunning with a higher epoch count continues from
     the stored epoch instead of restarting (reference train.py:289-296)."""
