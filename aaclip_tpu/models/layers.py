@@ -136,16 +136,18 @@ def residual_block(
     act=gelu,
     policy: DtypePolicy = DtypePolicy(),
     attn_fn=None,
+    vv_attn_fn=None,
 ) -> jax.Array:
     """Pre-LN residual attention block (reference model/transformer.py:239-258).
 
-    ``attn_fn`` optionally overrides the attention implementation (e.g. the
-    Pallas flash-attention kernel); it receives ``(x_normed, params)`` and
-    must return the projected attention output.
+    ``attn_fn`` / ``vv_attn_fn`` optionally override the standard / V-V
+    attention implementation (e.g. the Pallas kernel); each receives
+    ``(x_normed, params)`` and must return the projected attention output.
     """
     h = layer_norm(x, p["ln_1"])
-    if attn_fn is not None and not vv:
-        a = attn_fn(h, p["attn"])
+    override = vv_attn_fn if vv else attn_fn
+    if override is not None:
+        a = override(h, p["attn"])
     else:
         a = attention(h, p["attn"], num_heads, mask=mask, vv=vv, policy=policy)
     x = x + a

@@ -42,7 +42,7 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
                     adapters: Optional[dict] = None,
                     adapt_weight: float = 0.1,
                     act=L.gelu, policy: DtypePolicy = DtypePolicy(),
-                    attn_fn=None) -> jax.Array:
+                    attn_fn=None, vv_attn_fn=None) -> jax.Array:
     """lax.scan over a homogeneous run of residual blocks; optionally each
     block is followed by a norm-matched adapter blend (stacked adapter
     weights zipped into the scan)."""
@@ -52,7 +52,8 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
     if n == 1:
         blk = jax.tree.map(lambda a: a[0], stacked)
         x = L.residual_block(x, blk, num_heads, mask=mask, vv=vv, act=act,
-                             policy=policy, attn_fn=attn_fn)
+                             policy=policy, attn_fn=attn_fn,
+                             vv_attn_fn=vv_attn_fn)
         if adapters is not None:
             a = L.simple_adapter(x, jax.tree.map(lambda w: w[0], adapters), policy)
             x = L.norm_matched_blend(x, a, adapt_weight)
@@ -61,14 +62,16 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
     if adapters is None:
         def body(h, blk):
             h = L.residual_block(h, blk, num_heads, mask=mask, vv=vv,
-                                 act=act, policy=policy, attn_fn=attn_fn)
+                                 act=act, policy=policy, attn_fn=attn_fn,
+                                 vv_attn_fn=vv_attn_fn)
             return h, None
         x, _ = jax.lax.scan(body, x, stacked)
     else:
         def body(h, blk_and_ad):
             blk, ad = blk_and_ad
             h = L.residual_block(h, blk, num_heads, mask=mask, vv=vv,
-                                 act=act, policy=policy, attn_fn=attn_fn)
+                                 act=act, policy=policy, attn_fn=attn_fn,
+                                 vv_attn_fn=vv_attn_fn)
             a = L.simple_adapter(h, ad, policy)
             h = L.norm_matched_blend(h, a, adapt_weight)
             return h, None
@@ -121,7 +124,8 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      out_layers: Sequence[int], *,
                      vv_start: Optional[int],
                      adapters: Optional[dict], adapt_weight: float,
-                     act, policy: DtypePolicy, attn_fn) -> Tuple[jax.Array, List[jax.Array]]:
+                     act, policy: DtypePolicy, attn_fn,
+                     vv_attn_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers)."""
     v = cfg.vision
     n_adapt = 0
@@ -140,7 +144,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
         vv = vv_start is not None and start >= vv_start
         x = run_block_range(x, seg, v.heads, vv=vv, adapters=seg_adapters,
                             adapt_weight=adapt_weight, act=act, policy=policy,
-                            attn_fn=attn_fn)
+                            attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
         if stop in out_layers:
             taps[stop] = x
     return x, [taps[l] for l in out_layers]
@@ -156,6 +160,7 @@ def encode_image(
     policy: DtypePolicy = DtypePolicy(),
     act=L.gelu,
     attn_fn=None,
+    vv_attn_fn=None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """Frozen CLIP image forward.
 
@@ -168,7 +173,7 @@ def encode_image(
     x, taps = _trunk_with_taps(params, cfg, images, out_layers,
                                vv_start=vv_start, adapters=None,
                                adapt_weight=0.0, act=act, policy=policy,
-                               attn_fn=attn_fn)
+                               attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
     pooled = L.layer_norm(x[:, 0, :], params["ln_post"])
     cd = policy.compute_dtype
     pooled = jnp.dot(pooled.astype(cd), params["proj"].astype(cd),
@@ -187,6 +192,7 @@ def surgery_patch_features(
     policy: DtypePolicy = DtypePolicy(),
     act=L.gelu,
     attn_fn=None,
+    vv_attn_fn=None,
 ) -> List[jax.Array]:
     """Stage-1 feature extraction from the surgery model: tapped patch tokens
     (CLS dropped) -> ln_post -> @proj (reference train.py:75-81).
@@ -197,7 +203,7 @@ def surgery_patch_features(
     vv_start = cfg.vision.layers - (surgery_until_layer - 1)
     _, taps = encode_image(
         params, cfg, images, out_layers, vv_start=vv_start, policy=policy,
-        act=act, attn_fn=attn_fn,
+        act=act, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
     )
     cd = policy.compute_dtype
     feats = []

@@ -113,37 +113,130 @@ def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :, :S, :]
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                   valid_len: int, heads_per_blk: int, hd: int, vv: bool):
+    """Attention over packed-QKV feature sections.
+
+    q_ref: [1, q_blk, heads_per_blk*hd]; k_ref/v_ref: [1, S_pad, ...] —
+    feature slices of the SAME packed [B, S, 3*D_model] array, selected by
+    the BlockSpec index maps.  ``vv=True`` uses (v, v, v) (CLIP-Surgery).
+    """
+    for j in range(heads_per_blk):
+        sl = slice(j * hd, (j + 1) * hd)
+        vs = v_ref[0][:, sl]
+        qs = q_ref[0][:, sl] if not vv else vs
+        ks = k_ref[0][:, sl] if not vv else vs
+        s = jax.lax.dot_general(
+            qs, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_len < ks.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
+                     vv: bool = False, heads_per_blk: int = 2,
+                     q_blk: int = 512, packed_sections: int = 3,
+                     interpret: bool = False) -> jax.Array:
+    """Attention directly on the packed QKV projection — zero head
+    transposes.
+
+    qkv: [B, S, 3*D_model] with bias already added.  Three BlockSpecs view
+    the same array at the q / k / v feature offsets of this program's head
+    group, and the output [B, S, D_model] is written token-major, ready for
+    the out-projection matmul.  Removes the four [B, H, S, hd] relayouts of
+    the classic formulation (~2 full activation copies per layer).
+
+    In the V-V mode only the v section is ever read, and the q/k specs
+    point at it too (no wasted DMA).
+    """
+    B, S, three_dm = qkv.shape
+    dm = three_dm // packed_sections
+    hd = dm // num_heads
+    scale = hd ** -0.5
+    while heads_per_blk > 1 and num_heads % heads_per_blk:
+        heads_per_blk //= 2
+    S_pad = _round_up(S, q_blk)
+    if S_pad != S:
+        qkv = jnp.pad(qkv, [(0, 0), (0, S_pad - S), (0, 0)])
+    n_hblk = num_heads // heads_per_blk
+    fw = heads_per_blk * hd  # feature width per section per program
+
+    grid = (B, n_hblk, S_pad // q_blk)
+    kernel = functools.partial(
+        _packed_kernel, scale=scale, valid_len=valid_len,
+        heads_per_blk=heads_per_blk, hd=hd, vv=vv)
+    # feature-block index: q section = h, k = n_hblk + h, v = v_base + h
+    v_base = (packed_sections - 1) * n_hblk
+    q_off = v_base if vv else 0
+    k_off = v_base if vv else min(n_hblk, v_base)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, dm), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_blk, fw),
+                         lambda b, h, qi: (b, qi, q_off + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, fw),
+                         lambda b, h, qi: (b, 0, k_off + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, fw),
+                         lambda b, h, qi: (b, 0, v_base + h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_blk, fw), lambda b, h, qi: (b, qi, h),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * S_pad * S_pad * hd,
+            bytes_accessed=4 * B * S_pad * dm * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * S_pad * S_pad,
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out[:, :S, :]
+
+
 def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                  *, vv: bool = False, q_blk: int = 512,
                  interpret: bool = False):
     """Attention override for models/layers.residual_block: receives the
     pre-normalized residual stream and the packed-QKV params, returns the
-    projected attention output — compute path identical to
-    layers.attention but with the Pallas kernel in the middle."""
+    projected attention output — identical math to layers.attention with
+    the packed Pallas kernel in the middle (no head transposes).
+
+    The V-V variant projects only the value section of the packed weights.
+    """
 
     def attn_fn(x: jax.Array, p: dict) -> jax.Array:
         B, L, Dm = x.shape
-        hd = Dm // num_heads
         cd = policy.compute_dtype
         xc = x.astype(cd)
         if vv:
             w_v = p["w_qkv"][:, 2 * Dm:]
-            vproj = jnp.dot(xc, w_v.astype(cd),
-                            preferred_element_type=jnp.float32,
-                            precision=policy.precision)
-            vproj = vproj + p["b_qkv"][2 * Dm:].astype(jnp.float32)
-            vh = vproj.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
-            q = k = v = vh.astype(cd)
+            proj = jnp.dot(xc, w_v.astype(cd),
+                           preferred_element_type=jnp.float32,
+                           precision=policy.precision)
+            proj = (proj + p["b_qkv"][2 * Dm:].astype(jnp.float32)).astype(cd)
+            out = attention_packed(proj, num_heads, valid_len=L, vv=True,
+                                   q_blk=q_blk, packed_sections=1,
+                                   interpret=interpret)
         else:
             qkv = jnp.dot(xc, p["w_qkv"].astype(cd),
                           preferred_element_type=jnp.float32,
                           precision=policy.precision)
-            qkv = qkv + p["b_qkv"].astype(jnp.float32)
-            qkv = qkv.reshape(B, L, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
-            q, k, v = (t.astype(cd) for t in (qkv[0], qkv[1], qkv[2]))
-        out = attention_kernel(q, k, v, valid_len=L, q_blk=q_blk,
-                               interpret=interpret)
-        out = out.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, L, Dm)
+            qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(cd)
+            out = attention_packed(qkv, num_heads, valid_len=L,
+                                   q_blk=q_blk, interpret=interpret)
         out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
                       preferred_element_type=jnp.float32,
                       precision=policy.precision)

@@ -53,20 +53,28 @@ def init_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
 
 def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
                        surgery_until_layer: int = 20,
-                       policy: DtypePolicy = DtypePolicy()):
+                       policy: DtypePolicy = DtypePolicy(),
+                       attn_fn=None, vv_attn_fn=None):
     """Returns a jitted fn images -> grad-free stage-1 supervision features:
     last-level surgery patch embedding, L2-normalized, plus the frozen
-    model's normalized CLS token (reference train.py:74-85)."""
+    model's normalized CLS token (reference train.py:74-85).
+
+    Being gradient-free, this path may use the (non-differentiable) Pallas
+    attention kernels for both the standard and V-V variants.
+    """
     last_level = cfg.vision.layers
     visual = clip_params["visual"]
+    act = Lyr.policy_act(policy)
 
     @jax.jit
     def _features(visual, images: jax.Array) -> jax.Array:
         feats = surgery_patch_features(
             visual, cfg, images, out_layers=[last_level],
             surgery_until_layer=surgery_until_layer, policy=policy,
+            act=act, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
         )[0]
-        cls, _ = encode_image(visual, cfg, images, (), policy=policy)
+        cls, _ = encode_image(visual, cfg, images, (), policy=policy,
+                              act=act, attn_fn=attn_fn)
         cls = Lyr.l2_normalize(cls)
         f = Lyr.l2_normalize(feats) + cls[:, None, :]
         return f

@@ -172,9 +172,14 @@ def main(argv=None):
 
     # ---- stage 1 ----------------------------------------------------------
     if adapt_text and text_start_epoch < args.text_epoch:
+        attn_fn = vv_attn_fn = None
+        if jax.devices()[0].platform == "tpu":
+            from aaclip_tpu.ops.flash_attention import make_attn_fn
+            attn_fn = make_attn_fn(cfg.vision.heads, policy)
+            vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
         feats_fn = stage1_features_fn(
             clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
-            policy=policy)
+            policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
         step_fn = make_stage1_step(
             clip_params, cfg, acfg, text_tx, prompt_tokens,
             text_norm_weight=args.text_norm_weight,
