@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of the timed loop")
     args = parser.parse_args(argv)
 
     import jax
@@ -77,10 +79,13 @@ def main(argv=None):
         pix, score = predict(image_adapter, images, anchors, M)
     jax.block_until_ready((pix, score))
 
+    from aaclip_tpu.utils.profiling import profile_trace
+
     start = time.perf_counter()
-    for _ in range(args.steps):
-        pix, score = predict(image_adapter, images, anchors, M)
-    jax.block_until_ready((pix, score))
+    with profile_trace(args.profile_dir):
+        for _ in range(args.steps):
+            pix, score = predict(image_adapter, images, anchors, M)
+        jax.block_until_ready((pix, score))
     elapsed = time.perf_counter() - start
 
     n_chips = jax.local_device_count()

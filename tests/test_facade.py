@@ -1,0 +1,49 @@
+"""Object-API facade: matches the functional paths and exposes the
+reference-shaped surface."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aaclip_tpu.core.config import AdapterConfig, get_config
+from aaclip_tpu.models.clip import AdaptedCLIP, CLIPModel
+from aaclip_tpu.models.text_model import encode_text
+from aaclip_tpu.models.vit import adapted_forward
+from aaclip_tpu.text.bpe import tokenize
+
+CFG = get_config("tiny-test")
+ACFG = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+
+
+def test_facade_matches_functional():
+    model = AdaptedCLIP.create(CFG, ACFG, seed=0)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.standard_normal((2, 3, 70, 70)), jnp.float32)
+    seg_f, det_f = adapted_forward(
+        model.clip.params["visual"], model.adapters["image"], CFG, images,
+        levels=ACFG.levels)
+    seg_o, det_o = model(images)
+    for a, b in zip(seg_f, seg_o):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(det_f), np.asarray(det_o))
+
+    text = jnp.asarray(tokenize(["a photo of dark bottle."]))
+    np.testing.assert_array_equal(
+        np.asarray(model.encode_text(text, adapt_text=False)),
+        np.asarray(encode_text(model.clip.params["text"], CFG, text)))
+    assert model.encode_text(text).shape == (1, CFG.text.width)
+
+
+def test_contrastive_forward():
+    model = AdaptedCLIP.create(CFG, ACFG, seed=0)
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.standard_normal((2, 3, 70, 70)), jnp.float32)
+    text = jnp.asarray(tokenize(["a photo of dark bottle.", "the cable."]))
+    img, txt, scale = model.clip(images, text)
+    assert img.shape == (2, CFG.embed_dim) and txt.shape == (2, CFG.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(img), axis=-1), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(scale), 1.0 / 0.07, rtol=1e-5)
+    sf = model.surgery_features(images, out_layers=(1, 2),
+                                surgery_until_layer=2)
+    assert len(sf) == 2 and sf[0].shape == (2, 25, CFG.embed_dim)

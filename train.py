@@ -95,6 +95,7 @@ def main(argv=None):
     from aaclip_tpu.utils.profiling import StepTimer
 
     sh.initialize_multihost()
+    host_id, num_hosts = jax.process_index(), jax.process_count()
     policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig(
@@ -185,7 +186,8 @@ def main(argv=None):
             text_norm_weight=args.text_norm_weight,
             img_size=args.img_size, policy=policy)
         loader = BatchLoader(text_ds, args.text_batch_size, shuffle=True,
-                             seed=args.seed, num_workers=args.num_workers)
+                             seed=args.seed, num_workers=args.num_workers,
+                             host_id=host_id, num_hosts=num_hosts)
         loader.epoch = text_start_epoch
         timer = StepTimer()
         for epoch in range(text_start_epoch, args.text_epoch):
@@ -216,7 +218,8 @@ def main(argv=None):
                                anchors_table, img_size=args.img_size,
                                policy=policy)
     loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
-                         seed=args.seed + 1, num_workers=args.num_workers)
+                         seed=args.seed + 1, num_workers=args.num_workers,
+                         host_id=host_id, num_hosts=num_hosts)
     loader.epoch = image_start_epoch
     timer = StepTimer()
     for epoch in range(image_start_epoch, args.image_epoch):
