@@ -28,7 +28,8 @@ from aaclip_tpu.models.vit import run_block_range, slice_blocks
 
 def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
            adapters=None, adapt_weight: float = 0.1,
-           policy: DtypePolicy = DtypePolicy(), act=L.gelu) -> jax.Array:
+           policy: DtypePolicy = DtypePolicy(), act=L.gelu,
+           remat: bool = False) -> jax.Array:
     """Shared embed + causal transformer + per-layer adapter blends."""
     t = cfg.text
     x = params["token_embedding"][text]  # [B, ctx, width]
@@ -42,10 +43,10 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
         x = run_block_range(
             x, slice_blocks(params["blocks"], 0, n_adapt), t.heads,
             mask=mask, adapters=adapters, adapt_weight=adapt_weight,
-            act=act, policy=policy)
+            act=act, policy=policy, remat=remat)
     x = run_block_range(
         x, slice_blocks(params["blocks"], n_adapt, t.layers), t.heads,
-        mask=mask, act=act, policy=policy)
+        mask=mask, act=act, policy=policy, remat=remat)
     return L.layer_norm(x, params["ln_final"])
 
 
@@ -67,12 +68,14 @@ def encode_text(params: dict, cfg: CLIPConfig, text: jax.Array, *,
 
 def adapted_encode_text(params: dict, text_adapter: dict, cfg: CLIPConfig,
                         text: jax.Array, *, text_adapt_weight: float = 0.1,
-                        policy: DtypePolicy = DtypePolicy(), act=L.gelu) -> jax.Array:
+                        policy: DtypePolicy = DtypePolicy(), act=L.gelu,
+                        remat: bool = False) -> jax.Array:
     """AdaptedCLIP text encoding: trainable blends + trainable final proj
     (reference model/adapter.py:114-145).  The SimpleProj always applies
     LeakyReLU (model/adapter.py:43)."""
     x = _trunk(params, cfg, text,
                adapters=text_adapter["layer_adapters"],
-               adapt_weight=text_adapt_weight, policy=policy, act=act)
+               adapt_weight=text_adapt_weight, policy=policy, act=act,
+               remat=remat)
     pooled = _eot_pool(x, text)
     return L.simple_proj(pooled, text_adapter["proj"], relu=True, policy=policy)

@@ -42,40 +42,46 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
                     adapters: Optional[dict] = None,
                     adapt_weight: float = 0.1,
                     act=L.gelu, policy: DtypePolicy = DtypePolicy(),
-                    attn_fn=None, vv_attn_fn=None) -> jax.Array:
+                    attn_fn=None, vv_attn_fn=None,
+                    remat: bool = False) -> jax.Array:
     """lax.scan over a homogeneous run of residual blocks; optionally each
     block is followed by a norm-matched adapter blend (stacked adapter
-    weights zipped into the scan)."""
+    weights zipped into the scan).
+
+    ``remat=True`` wraps each block in jax.checkpoint — REQUIRED for
+    training at real sizes: without it the backward pass stores every
+    layer's [B, H, S, S] attention probabilities (tens of GB at ViT-L
+    1370-token shapes), blowing HBM.  Rematerialization trades ~33%% extra
+    forward FLOPs for O(residual-stream) memory.
+    """
     n = jax.tree.leaves(stacked)[0].shape[0]
     if n == 0:
         return x
-    if n == 1:
-        blk = jax.tree.map(lambda a: a[0], stacked)
-        x = L.residual_block(x, blk, num_heads, mask=mask, vv=vv, act=act,
+
+    def block(h, blk):
+        h = L.residual_block(h, blk, num_heads, mask=mask, vv=vv, act=act,
                              policy=policy, attn_fn=attn_fn,
                              vv_attn_fn=vv_attn_fn)
-        if adapters is not None:
-            a = L.simple_adapter(x, jax.tree.map(lambda w: w[0], adapters), policy)
-            x = L.norm_matched_blend(x, a, adapt_weight)
-        return x
+        return h
 
-    if adapters is None:
-        def body(h, blk):
-            h = L.residual_block(h, blk, num_heads, mask=mask, vv=vv,
-                                 act=act, policy=policy, attn_fn=attn_fn,
-                                 vv_attn_fn=vv_attn_fn)
-            return h, None
-        x, _ = jax.lax.scan(body, x, stacked)
-    else:
-        def body(h, blk_and_ad):
-            blk, ad = blk_and_ad
-            h = L.residual_block(h, blk, num_heads, mask=mask, vv=vv,
-                                 act=act, policy=policy, attn_fn=attn_fn,
-                                 vv_attn_fn=vv_attn_fn)
-            a = L.simple_adapter(h, ad, policy)
-            h = L.norm_matched_blend(h, a, adapt_weight)
-            return h, None
-        x, _ = jax.lax.scan(body, x, (stacked, adapters))
+    def block_adapted(h, blk_and_ad):
+        blk, ad = blk_and_ad
+        h = block(h, blk)
+        a = L.simple_adapter(h, ad, policy)
+        return L.norm_matched_blend(h, a, adapt_weight)
+
+    fn = block if adapters is None else block_adapted
+    if remat:
+        fn = jax.checkpoint(fn)
+    xs = stacked if adapters is None else (stacked, adapters)
+
+    if n == 1:
+        return fn(x, jax.tree.map(lambda a: a[0], xs))
+
+    def body(h, per_layer):
+        return fn(h, per_layer), None
+
+    x, _ = jax.lax.scan(body, x, xs)
     return x
 
 
@@ -125,7 +131,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      vv_start: Optional[int],
                      adapters: Optional[dict], adapt_weight: float,
                      act, policy: DtypePolicy, attn_fn,
-                     vv_attn_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
+                     vv_attn_fn=None, remat: bool = False) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers)."""
     v = cfg.vision
     n_adapt = 0
@@ -144,7 +150,8 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
         vv = vv_start is not None and start >= vv_start
         x = run_block_range(x, seg, v.heads, vv=vv, adapters=seg_adapters,
                             adapt_weight=adapt_weight, act=act, policy=policy,
-                            attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
+                            attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+                            remat=remat)
         if stop in out_layers:
             taps[stop] = x
     return x, [taps[l] for l in out_layers]
@@ -228,6 +235,7 @@ def adapted_forward(
     policy: DtypePolicy = DtypePolicy(),
     act=L.gelu,
     attn_fn=None,
+    remat: bool = False,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """AdaptedCLIP image forward (reference model/adapter.py:67-112).
 
@@ -239,7 +247,7 @@ def adapted_forward(
         params, cfg, images, levels, vv_start=None,
         adapters=image_adapter["layer_adapters"],
         adapt_weight=image_adapt_weight, act=act, policy=policy,
-        attn_fn=attn_fn,
+        attn_fn=attn_fn, remat=remat,
     )
     taps = [t[:, 1:, :] for t in taps]  # drop CLS
     tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]

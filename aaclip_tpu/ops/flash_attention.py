@@ -206,15 +206,144 @@ def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
     return out[:, :S, :]
 
 
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale: float, valid_len: int, heads_per_blk: int,
+                       hd: int):
+    """Backward for the packed attention (one q-block per program).
+
+    Standard attention VJP with the full key row per program:
+      dV = P^T dO;  dP = dO V^T;  dS = P (dP - rowsum(dP P));
+      dQ = scale dS K;  dK = scale dS^T Q.
+    dK/dV blocks are revisited across the (minormost) q grid axis and
+    accumulated in fp32 VMEM.
+    """
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for j in range(heads_per_blk):
+        sl = slice(j * hd, (j + 1) * hd)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if valid_len < k.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)      # [q_blk, S_pad]
+        pc = p.astype(v.dtype)
+        dv_ref[0, :, sl] += jax.lax.dot_general(
+            pc, do.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [q_blk, S_pad]
+        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - dsum) * scale).astype(q.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _attention_packed_bwd_impl(qkv, d_out, num_heads: int, valid_len: int,
+                               q_blk: int, interpret: bool):
+    B, S, three_dm = qkv.shape
+    dm = three_dm // 3
+    hd = dm // num_heads
+    scale = hd ** -0.5
+    heads_per_blk = 2 if num_heads % 2 == 0 else 1
+    S_pad = _round_up(S, q_blk)
+    if S_pad != S:
+        qkv = jnp.pad(qkv, [(0, 0), (0, S_pad - S), (0, 0)])
+        d_out = jnp.pad(d_out, [(0, 0), (0, S_pad - S), (0, 0)])
+    n_hblk = num_heads // heads_per_blk
+    fw = heads_per_blk * hd
+
+    grid = (B, n_hblk, S_pad // q_blk)
+    kernel = functools.partial(
+        _packed_bwd_kernel, scale=scale, valid_len=valid_len,
+        heads_per_blk=heads_per_blk, hd=hd)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_pad, dm), qkv.dtype),     # dQ
+            jax.ShapeDtypeStruct((B, S_pad, dm), jnp.float32),   # dK (accum)
+            jax.ShapeDtypeStruct((B, S_pad, dm), jnp.float32),   # dV (accum)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_blk, fw), lambda b, h, qi: (b, qi, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, fw),
+                         lambda b, h, qi, n=n_hblk: (b, 0, n + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, fw),
+                         lambda b, h, qi, n=n_hblk: (b, 0, 2 * n + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_blk, fw), lambda b, h, qi: (b, qi, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_blk, fw), lambda b, h, qi: (b, qi, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, fw), lambda b, h, qi: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, fw), lambda b, h, qi: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, d_out)
+    d_qkv = jnp.concatenate(
+        [dq.astype(qkv.dtype), dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
+        axis=-1)
+    return d_qkv[:, :S, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def attention_packed_diff(qkv: jax.Array, num_heads: int, valid_len: int,
+                          q_blk: int = 512, interpret: bool = False) -> jax.Array:
+    """Differentiable packed attention (standard mode): forward is
+    ``attention_packed``, backward is a matching Pallas kernel pair."""
+    return attention_packed(qkv, num_heads, valid_len, q_blk=q_blk,
+                            interpret=interpret)
+
+
+def _apd_fwd(qkv, num_heads, valid_len, q_blk, interpret):
+    out = attention_packed(qkv, num_heads, valid_len, q_blk=q_blk,
+                           interpret=interpret)
+    return out, qkv
+
+
+def _apd_bwd(num_heads, valid_len, q_blk, interpret, qkv, d_out):
+    return (_attention_packed_bwd_impl(qkv, d_out, num_heads, valid_len,
+                                       q_blk, interpret),)
+
+
+attention_packed_diff.defvjp(_apd_fwd, _apd_bwd)
+
+
 def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                  *, vv: bool = False, q_blk: int = 512,
-                 interpret: bool = False):
+                 differentiable: bool = False, interpret: bool = False):
     """Attention override for models/layers.residual_block: receives the
     pre-normalized residual stream and the packed-QKV params, returns the
     projected attention output — identical math to layers.attention with
     the packed Pallas kernel in the middle (no head transposes).
 
     The V-V variant projects only the value section of the packed weights.
+    ``differentiable=True`` routes through the custom-VJP variant (training
+    steps); the default forward-only form is cheaper to trace.
     """
 
     def attn_fn(x: jax.Array, p: dict) -> jax.Array:
@@ -235,8 +364,11 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                           preferred_element_type=jnp.float32,
                           precision=policy.precision)
             qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(cd)
-            out = attention_packed(qkv, num_heads, valid_len=L,
-                                   q_blk=q_blk, interpret=interpret)
+            if differentiable:
+                out = attention_packed_diff(qkv, num_heads, L, q_blk, interpret)
+            else:
+                out = attention_packed(qkv, num_heads, valid_len=L,
+                                       q_blk=q_blk, interpret=interpret)
         out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
                       preferred_element_type=jnp.float32,
                       precision=policy.precision)

@@ -103,6 +103,7 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         embeds = adapted_encode_text(
             text_params, text_adapter, cfg, flat_tokens,
             text_adapt_weight=acfg.text_adapt_weight, policy=policy,
+            remat=True,
         )
         anchors = reduce_to_anchors(embeds.reshape(C, S, -1))  # [C, D, 2]
         banchors = anchors[class_idx]                          # [B, D, 2]
@@ -149,7 +150,7 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
-            policy=policy, attn_fn=attn_fn,
+            policy=policy, attn_fn=attn_fn, remat=True,
         )
         banchors = anchors_table[class_idx]  # [B, D, 2]
         logits = jnp.einsum("bd,bdk->bk", det, banchors,

@@ -105,8 +105,13 @@ def main(argv=None):
     files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")))
     assert len(files) > 0, "image adapter checkpoint not found"
 
+    attn_fn = None
+    if jax.devices()[0].platform == "tpu":
+        from aaclip_tpu.ops.flash_attention import make_attn_fn
+        attn_fn = make_attn_fn(cfg.vision.heads, policy)
     predict_fn = make_predict_fn(clip_params, cfg, acfg,
-                                 img_size=args.img_size, policy=policy)
+                                 img_size=args.img_size, policy=policy,
+                                 attn_fn=attn_fn)
     domain = DOMAINS[args.dataset]
 
     for file in files:

@@ -214,9 +214,13 @@ def main(argv=None):
     anchors_table = np.stack([np.asarray(anchor_dict[c]) for c in class_names])
 
     # ---- stage 2 ----------------------------------------------------------
+    s2_attn_fn = None
+    if jax.devices()[0].platform == "tpu":
+        from aaclip_tpu.ops.flash_attention import make_attn_fn
+        s2_attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
     step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
                                anchors_table, img_size=args.img_size,
-                               policy=policy)
+                               policy=policy, attn_fn=s2_attn_fn)
     loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
                          seed=args.seed + 1, num_workers=args.num_workers,
                          host_id=host_id, num_hosts=num_hosts)
