@@ -93,11 +93,13 @@ class TrainDataset:
 
 @dataclasses.dataclass
 class TestDataset:
-    """Deterministic single-class evaluation view."""
+    """Deterministic single-class evaluation view.  ``uint8=True`` emits raw
+    pixels for the device-fused normalization path."""
     spec: DatasetSpec
     records: List[Record]
     img_size: int
     class_name: str
+    uint8: bool = False
 
     def __len__(self) -> int:
         return len(self.records)
@@ -107,7 +109,7 @@ class TestDataset:
         img, mask = T.preprocess_test(
             os.path.join(self.spec.data_path, r.image_path),
             os.path.join(self.spec.data_path, r.mask_path) if r.mask_path else None,
-            self.img_size, r.label,
+            self.img_size, r.label, uint8=self.uint8,
         )
         return {"image": img, "mask": mask, "label": r.label,
                 "class_name": r.class_name, "file_name": r.image_path}
@@ -125,14 +127,16 @@ def get_train_datasets(dataset_name: str, img_size: int, shot: int = -1,
     )
 
 
-def get_test_datasets(dataset_name: str, img_size: int) -> Dict[str, TestDataset]:
+def get_test_datasets(dataset_name: str, img_size: int,
+                      uint8: bool = False) -> Dict[str, TestDataset]:
     """{class_name: dataset} (reference dataset/__init__.py:203-216)."""
     spec = DATASETS[dataset_name]
     records = read_jsonl(metadata_path(dataset_name, -1))
     out = {}
     for class_name in CLASS_NAMES[dataset_name]:
         cls_records = [r for r in records if r.class_name == class_name]
-        out[class_name] = TestDataset(spec, cls_records, img_size, class_name)
+        out[class_name] = TestDataset(spec, cls_records, img_size, class_name,
+                                      uint8=uint8)
     return out
 
 

@@ -122,10 +122,19 @@ def joint_geometric_augment(img: np.ndarray, mask: np.ndarray,
     return stacked[:3], stacked[3:4]
 
 
+def to_uint8_chw(img: Image.Image) -> np.ndarray:
+    """PIL RGB -> [3, H, W] uint8 (normalization deferred to the device's
+    fused patch embed, ops/preprocess.py)."""
+    return np.ascontiguousarray(
+        np.asarray(img, np.uint8).transpose(2, 0, 1))
+
+
 def preprocess_test(img_path: str, mask_path: Optional[str], img_size: int,
-                    label: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Deterministic test-time transform (dataset/__init__.py:127-142)."""
-    img = to_normalized_chw(resize_image(load_image_rgb(img_path), img_size))
+                    label: int, uint8: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic test-time transform (dataset/__init__.py:127-142).
+    ``uint8=True`` skips host normalization (fused on device)."""
+    resized = resize_image(load_image_rgb(img_path), img_size)
+    img = to_uint8_chw(resized) if uint8 else to_normalized_chw(resized)
     if label and mask_path:
         mask = binarize_mask(resize_mask(load_mask(mask_path), img_size))
     else:

@@ -24,15 +24,34 @@ from aaclip_tpu.ops.similarity import fused_postproc_matrix, level_scores
 
 def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                     *, img_size: int | None = None,
-                    policy: DtypePolicy = DtypePolicy(), attn_fn=None) -> Callable:
+                    policy: DtypePolicy = DtypePolicy(), attn_fn=None,
+                    uint8_inputs: bool = False) -> Callable:
     """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
-    (pixel_map [B, img, img], image_score [B])."""
+    (pixel_map [B, img, img], image_score [B]).
+
+    ``uint8_inputs=True`` accepts raw uint8 pixel batches: the CLIP
+    normalization is folded into the patch-embedding matmul on device
+    (ops/preprocess.py), quartering host->device transfer.
+    """
     from aaclip_tpu.core.params import cast_matmul_weights
     from aaclip_tpu.models.layers import policy_act
 
     img = img_size or cfg.vision.image_size
     visual = cast_matmul_weights(clip_params["visual"], policy)
     _act = policy_act(policy)
+    _patch_embed = None
+    if uint8_inputs:
+        from aaclip_tpu.ops.preprocess import (
+            fold_normalization_into_conv1, patchify_uint8)
+
+        w_f, b_f = fold_normalization_into_conv1(
+            clip_params["visual"]["conv1"]["w"], cfg.vision.patch_size)
+        w_f = w_f.astype(policy.compute_dtype)
+
+        def _patch_embed(images_u8):
+            return patchify_uint8(images_u8, w_f, b_f, cfg.vision.patch_size,
+                                  compute_dtype=policy.compute_dtype,
+                                  precision=policy.precision)
 
     @jax.jit
     def _predict(visual, image_adapter, images, anchors, M):
@@ -41,6 +60,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
             policy=policy, act=_act, attn_fn=attn_fn,
+            patch_embed_fn=_patch_embed,
         )
         stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]
         scores = level_scores(stacked, anchors)             # [n, B, L, 2]

@@ -108,14 +108,20 @@ def patchify(x: jax.Array, conv_w: jax.Array, patch: int,
 
 
 def embed(params: dict, cfg: CLIPConfig, images: jax.Array,
-          policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+          policy: DtypePolicy = DtypePolicy(),
+          patch_embed_fn=None) -> jax.Array:
     """Patchify, prepend CLS, add positional embeddings, ln_pre.
 
-    The residual stream is carried in the policy's compute dtype: on the
-    bf16 fast path this halves every LayerNorm/residual/activation memory
-    pass (statistics still run fp32 inside layer_norm)."""
+    ``patch_embed_fn`` optionally replaces the patchify matmul (e.g. the
+    fused uint8-normalization embed, ops/preprocess.py).  The residual
+    stream is carried in the policy's compute dtype: on the bf16 fast path
+    this halves every LayerNorm/residual/activation memory pass (statistics
+    still run fp32 inside layer_norm)."""
     v = cfg.vision
-    x = patchify(images, params["conv1"]["w"], v.patch_size, policy)
+    if patch_embed_fn is not None:
+        x = patch_embed_fn(images)
+    else:
+        x = patchify(images, params["conv1"]["w"], v.patch_size, policy)
     x = x.astype(policy.compute_dtype)
     cls = jnp.broadcast_to(
         params["class_embedding"].astype(x.dtype)[None, None, :],
@@ -131,7 +137,8 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      vv_start: Optional[int],
                      adapters: Optional[dict], adapt_weight: float,
                      act, policy: DtypePolicy, attn_fn,
-                     vv_attn_fn=None, remat: bool = False) -> Tuple[jax.Array, List[jax.Array]]:
+                     vv_attn_fn=None, remat: bool = False,
+                     patch_embed_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers)."""
     v = cfg.vision
     n_adapt = 0
@@ -140,7 +147,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
     bounds = [0, v.layers, n_adapt] + [l for l in out_layers]
     if vv_start is not None:
         bounds.append(vv_start)
-    x = embed(params, cfg, images, policy)
+    x = embed(params, cfg, images, policy, patch_embed_fn=patch_embed_fn)
     taps = {}
     for start, stop in _segments([b for b in bounds if 0 <= b <= v.layers]):
         seg = slice_blocks(params["blocks"], start, stop)
@@ -236,6 +243,7 @@ def adapted_forward(
     act=L.gelu,
     attn_fn=None,
     remat: bool = False,
+    patch_embed_fn=None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """AdaptedCLIP image forward (reference model/adapter.py:67-112).
 
@@ -247,7 +255,7 @@ def adapted_forward(
         params, cfg, images, levels, vv_start=None,
         adapters=image_adapter["layer_adapters"],
         adapt_weight=image_adapt_weight, act=act, policy=policy,
-        attn_fn=attn_fn, remat=remat,
+        attn_fn=attn_fn, remat=remat, patch_embed_fn=patch_embed_fn,
     )
     taps = [t[:, 1:, :] for t in taps]  # drop CLS
     tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]

@@ -44,6 +44,9 @@ def parse_args(argv=None):
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--aupro", action="store_true",
                         help="also compute pixel AUPRO")
+    parser.add_argument("--fused_preprocess", action="store_true",
+                        help="ship uint8 pixels; normalize on device inside "
+                             "the patch-embed matmul (default with bf16)")
     parser.add_argument("--num_workers", type=int, default=4)
     return parser.parse_args(argv)
 
@@ -109,9 +112,10 @@ def main(argv=None):
     if jax.devices()[0].platform == "tpu":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    uint8_inputs = args.fused_preprocess or args.precision == "bf16"
     predict_fn = make_predict_fn(clip_params, cfg, acfg,
                                  img_size=args.img_size, policy=policy,
-                                 attn_fn=attn_fn)
+                                 attn_fn=attn_fn, uint8_inputs=uint8_inputs)
     domain = DOMAINS[args.dataset]
 
     for file in files:
@@ -127,7 +131,8 @@ def main(argv=None):
         logger.info("load model from epoch %d", test_epoch)
         logger.info("-----------------------------------------------")
 
-        image_datasets = get_test_datasets(args.dataset, args.img_size)
+        image_datasets = get_test_datasets(args.dataset, args.img_size,
+                                           uint8=uint8_inputs)
         enc = make_anchor_encoder(clip_params, cfg, acfg, text_adapter,
                                   policy=policy)
         text_embeddings = encode_dataset_anchors(enc, args.dataset)
