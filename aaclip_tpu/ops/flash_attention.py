@@ -143,9 +143,19 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
 
+def _auto_q_blk(S: int) -> tuple[int, int]:
+    """(q_blk, S_pad) minimizing pad waste: pad to the next 128 lanes, then
+    halve until the q panel is a reasonable size (<= 768 rows)."""
+    S_pad = _round_up(S, 128)
+    q_blk = S_pad
+    while q_blk > 768 and q_blk % 2 == 0:
+        q_blk //= 2
+    return q_blk, S_pad
+
+
 def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
                      vv: bool = False, heads_per_blk: int = 2,
-                     q_blk: int = 512, packed_sections: int = 3,
+                     q_blk: int | None = None, packed_sections: int = 3,
                      interpret: bool = False) -> jax.Array:
     """Attention directly on the packed QKV projection — zero head
     transposes.
@@ -165,7 +175,10 @@ def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
     scale = hd ** -0.5
     while heads_per_blk > 1 and num_heads % heads_per_blk:
         heads_per_blk //= 2
-    S_pad = _round_up(S, q_blk)
+    if q_blk is None:
+        q_blk, S_pad = _auto_q_blk(S)
+    else:
+        S_pad = _round_up(S, q_blk)
     if S_pad != S:
         qkv = jnp.pad(qkv, [(0, 0), (0, S_pad - S), (0, 0)])
     n_hblk = num_heads // heads_per_blk
@@ -257,13 +270,16 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 
 def _attention_packed_bwd_impl(qkv, d_out, num_heads: int, valid_len: int,
-                               q_blk: int, interpret: bool):
+                               q_blk, interpret: bool):
     B, S, three_dm = qkv.shape
     dm = three_dm // 3
     hd = dm // num_heads
     scale = hd ** -0.5
     heads_per_blk = 2 if num_heads % 2 == 0 else 1
-    S_pad = _round_up(S, q_blk)
+    if q_blk is None:
+        q_blk, S_pad = _auto_q_blk(S)
+    else:
+        S_pad = _round_up(S, q_blk)
     if S_pad != S:
         qkv = jnp.pad(qkv, [(0, 0), (0, S_pad - S), (0, 0)])
         d_out = jnp.pad(d_out, [(0, 0), (0, S_pad - S), (0, 0)])
@@ -312,7 +328,7 @@ def _attention_packed_bwd_impl(qkv, d_out, num_heads: int, valid_len: int,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def attention_packed_diff(qkv: jax.Array, num_heads: int, valid_len: int,
-                          q_blk: int = 512, interpret: bool = False) -> jax.Array:
+                          q_blk=None, interpret: bool = False) -> jax.Array:
     """Differentiable packed attention (standard mode): forward is
     ``attention_packed``, backward is a matching Pallas kernel pair."""
     return attention_packed(qkv, num_heads, valid_len, q_blk=q_blk,
@@ -334,7 +350,7 @@ attention_packed_diff.defvjp(_apd_fwd, _apd_bwd)
 
 
 def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
-                 *, vv: bool = False, q_blk: int = 512,
+                 *, vv: bool = False, q_blk: int | None = None,
                  differentiable: bool = False, interpret: bool = False):
     """Attention override for models/layers.residual_block: receives the
     pre-normalized residual stream and the packed-QKV params, returns the

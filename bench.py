@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the timed loop")
+    parser.add_argument("--mode", default="infer", choices=["infer", "train"],
+                        help="infer = anomaly-map throughput (north star); "
+                             "train = stage-2 update-step throughput")
     args = parser.parse_args(argv)
 
     import jax
@@ -59,8 +62,13 @@ def main(argv=None):
 
     clip = create_clip_params(cfg, seed=0, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
+    on_tpu = jax.devices()[0].platform == "tpu"
+
+    if args.mode == "train":
+        return bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu)
+
     attn_fn = None
-    if args.attn == "pallas" and jax.devices()[0].platform == "tpu":
+    if args.attn == "pallas" and on_tpu:
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
@@ -105,3 +113,53 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
+    """Stage-2 update-step throughput (images/sec/chip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    attn_fn = None
+    if args.attn == "pallas" and on_tpu:
+        from aaclip_tpu.ops.flash_attention import make_attn_fn
+        attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
+
+    B = args.batch_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (B, 3, args.img_size, args.img_size)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, args.img_size, args.img_size)) > 0.9,
+                       jnp.float32)
+    label = jnp.asarray(rng.integers(0, 2, B), jnp.int32)
+    cidx = jnp.asarray(rng.integers(0, 2, B), jnp.int32)
+    valid = jnp.ones((B,), jnp.float32)
+    table = rng.standard_normal((2, cfg.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    tx = make_image_optimizer()
+    step = make_stage2_step(clip, cfg, acfg, tx, table,
+                            img_size=args.img_size, policy=policy,
+                            attn_fn=attn_fn)
+    state = init_state(adapters["image"], tx)
+    for _ in range(args.warmup):
+        state, loss = step(state, images, mask, label, cidx, valid)
+        float(loss)
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        state, loss = step(state, images, mask, label, cidx, valid)
+        float(loss)  # forces completion (the relay's block_until_ready lies)
+    elapsed = time.perf_counter() - start
+
+    import jax as _jax
+    per_chip = args.batch_size * args.steps / elapsed / _jax.local_device_count()
+    print(json.dumps({
+        "metric": "stage2_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-2 update, "
+                f"{args.precision}, attn={args.attn})",
+        "vs_baseline": round(per_chip / 10.0, 3),
+    }))
