@@ -111,8 +111,6 @@ def main(argv=None):
     }))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
@@ -163,3 +161,7 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
                 f"{args.precision}, attn={args.attn})",
         "vs_baseline": round(per_chip / 10.0, 3),
     }))
+
+
+if __name__ == "__main__":
+    main()
