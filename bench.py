@@ -71,12 +71,19 @@ def main(argv=None):
     if args.attn == "pallas" and on_tpu:
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    uint8_inputs = args.precision == "bf16"
     predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
-                              policy=policy, attn_fn=attn_fn)
+                              policy=policy, attn_fn=attn_fn,
+                              uint8_inputs=uint8_inputs)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal(
-        (args.batch_size, 3, args.img_size, args.img_size)), jnp.float32)
+    if uint8_inputs:
+        images = jnp.asarray(rng.integers(
+            0, 256, (args.batch_size, 3, args.img_size, args.img_size),
+            dtype=np.uint8))
+    else:
+        images = jnp.asarray(rng.standard_normal(
+            (args.batch_size, 3, args.img_size, args.img_size)), jnp.float32)
     anchors = jnp.asarray(rng.standard_normal((cfg.embed_dim, 2)), jnp.float32)
     anchors = anchors / jnp.linalg.norm(anchors, axis=0, keepdims=True)
     M = jnp.asarray(fused_postproc_matrix(cfg.vision.grid, args.img_size,
