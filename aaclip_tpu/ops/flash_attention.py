@@ -1,27 +1,27 @@
-"""Pallas TPU attention kernel for the ViT's fixed-length sequences.
+"""Pallas TPU attention kernels for the ViT's fixed-length sequences.
 
 Shape regime (ViT-L/14-336 @ 518px): seq 1370 (37^2 patches + CLS), 16
-heads, head_dim 64, no causal mask.  At this length the entire K/V for one
-(batch, head) fits comfortably in VMEM, so instead of a full online-softmax
-flash attention the kernel uses a simpler, equally HBM-frugal scheme:
+heads, head_dim 64, no causal mask.  Two kernel families:
 
-* grid (B*H, n_q_blocks); each program computes a [q_blk, S] score panel
-  against the FULL K, softmaxes row-wise in fp32, and multiplies by the
-  full V — the [S, S] score matrix never touches HBM;
-* K/V block index maps are constant in the q-block coordinate, so Mosaic's
-  pipeline keeps them resident in VMEM across the inner q iterations
-  (no re-fetch);
-* sequences are zero-padded to a multiple of 128 lanes; padded keys are
-  masked with -inf before the softmax (static mask from broadcasted_iota).
+* ``attention_kernel`` — classic [B, H, S, D] layout, full K/V per program
+  (the whole key row fits VMEM at this length, so no online softmax is
+  needed); K/V stay VMEM-resident across q-blocks via constant index maps.
+* ``attention_packed`` — the production path: q/k/v are FEATURE-OFFSET
+  VIEWS into the packed [B, S, 3*D_model] projection (three BlockSpecs into
+  the same array), and the output is written token-major.  Zero head
+  transposes; softmax normalization deferred to the [q_blk, D] output;
+  q_blk auto-chosen to minimize lane padding (1370 -> 1408, not 1536).
+  ``attention_packed_diff`` adds a custom VJP whose backward kernel
+  recomputes the softmax panel per q-block and accumulates dK/dV in fp32
+  VMEM — nothing [S, S]-sized ever reaches HBM in either direction.
 
-The same kernel powers the CLIP-Surgery V-V variant (q = k = v) — pass the
-value projection for all three operands.
+The V-V CLIP-Surgery variant (q = k = v) reuses the same kernels with all
+three views pointed at the value section.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
