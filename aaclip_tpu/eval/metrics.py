@@ -12,7 +12,7 @@ average_precision_score.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

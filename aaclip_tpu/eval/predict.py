@@ -11,7 +11,7 @@ postproc matrix are traced arguments).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

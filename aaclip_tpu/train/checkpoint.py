@@ -15,7 +15,7 @@ checkpoints interchangeable with the PyTorch implementation.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,7 @@ batches reproduce exact-batch loss semantics.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
