@@ -144,6 +144,11 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
     n_adapt = 0
     if adapters is not None:
         n_adapt = jax.tree.leaves(adapters)[0].shape[0]
+    bad = [l for l in out_layers if not 0 < l <= v.layers]
+    if bad:
+        raise ValueError(
+            f"tap depths {bad} out of range for a {v.layers}-layer tower; "
+            f"set levels/adapt flags to match the model config")
     bounds = [0, v.layers, n_adapt] + [l for l in out_layers]
     if vv_start is not None:
         bounds.append(vv_start)

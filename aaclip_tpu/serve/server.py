@@ -1,0 +1,318 @@
+"""Anomaly-detection inference server.
+
+A production-shaped serving path the reference lacks entirely: one process
+holds the compiled model; HTTP requests carry encoded images and receive
+pixel anomaly maps + image scores.  Requests are micro-batched — a
+collector thread drains the queue up to ``max_batch`` (padding to the
+compiled batch shape), so concurrent clients share forward passes.
+
+Endpoints
+---------
+POST /predict?dataset=MVTec&class_name=bottle
+    body: PNG/JPEG bytes.  Response JSON:
+    {"image_score": float, "anomaly_map": [[...]] (img_size^2, row-major,
+     downsampled by "map_stride" query arg if given)}
+GET /healthz          -> {"status": "ok", "model": ..., "classes": [...]}
+GET /classes?dataset= -> per-dataset class list
+
+Start with ``python serve.py`` (repo root) or
+``python -m aaclip_tpu.serve.server``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+class InferenceEngine:
+    """Owns the compiled predict function and per-class anchors; serves
+    micro-batched requests from a queue."""
+
+    def __init__(self, model_name: str = "ViT-L-14-336", img_size: int = 518,
+                 datasets=("MVTec",), save_path: Optional[str] = None,
+                 precision: str = "bf16", max_batch: int = 8,
+                 batch_window_ms: float = 5.0, seed: int = 111,
+                 clip_checkpoint: Optional[str] = None,
+                 adapter_cfg: Optional[dict] = None):
+        import jax
+
+        from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+        from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+        from aaclip_tpu.eval.predict import make_anchor_encoder, make_predict_fn
+        from aaclip_tpu.ops.similarity import fused_postproc_matrix
+        from aaclip_tpu.text.anchors import encode_dataset_anchors
+        from aaclip_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.img_size = img_size
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1000.0
+        policy = DtypePolicy.bf16() if precision == "bf16" else DtypePolicy.fp32()
+        self.policy = policy
+        cfg = get_config(model_name, img_size)
+        self.cfg = cfg
+        acfg = AdapterConfig(**(adapter_cfg or {}))
+        if max(acfg.levels) > cfg.vision.layers:
+            raise ValueError(
+                f"adapter levels {acfg.levels} exceed the {cfg.vision.layers}"
+                f"-layer tower of {model_name}; pass adapter_cfg/--levels "
+                f"matching the model")
+        clip = create_clip_params(cfg, checkpoint=clip_checkpoint, seed=seed,
+                                  policy=policy)
+        adapters = init_adapter_params(jax.random.PRNGKey(seed), cfg, acfg,
+                                       policy)
+        text_adapter = None
+        self.image_adapter = adapters["image"]
+        if save_path:
+            import glob
+            import os
+
+            from aaclip_tpu.train import checkpoint as ckpt
+
+            npz = os.path.join(save_path, "text_adapter.npz")
+            if os.path.isfile(npz):
+                _, text_adapter, _, _ = ckpt.load_adapter_checkpoint(
+                    npz, adapters["text"])
+            snaps = sorted(glob.glob(os.path.join(save_path, "image_adapter_*.npz")))
+            if snaps:
+                _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint(
+                    snaps[-1], adapters["image"])
+        self.image_adapter = jax.tree.map(jax.numpy.asarray, self.image_adapter)
+
+        attn_fn = None
+        if jax.devices()[0].platform == "tpu":
+            from aaclip_tpu.ops.flash_attention import make_attn_fn
+
+            attn_fn = make_attn_fn(cfg.vision.heads, policy)
+        self._predict = make_predict_fn(
+            clip, cfg, acfg, img_size=img_size, policy=policy,
+            attn_fn=attn_fn, uint8_inputs=True)
+
+        # anchors + postproc matrices per dataset/class
+        enc = make_anchor_encoder(clip, cfg, acfg, text_adapter, policy=policy)
+        from aaclip_tpu.data.registry import DOMAINS
+
+        self.anchors: Dict[str, Dict[str, np.ndarray]] = {}
+        self.postproc: Dict[str, np.ndarray] = {}
+        for ds in datasets:
+            self.anchors[ds] = {
+                k: np.asarray(v)
+                for k, v in encode_dataset_anchors(enc, ds).items()
+            }
+            self.postproc[ds] = np.asarray(
+                fused_postproc_matrix(cfg.vision.grid, img_size, DOMAINS[ds]))
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    # -- request plumbing ---------------------------------------------------
+
+    def submit(self, image_u8: np.ndarray, dataset: str, class_name: str,
+               timeout: float = 30.0):
+        """image_u8: [3, H, W] uint8 at img_size.  Blocks for the result."""
+        if dataset not in self.anchors:
+            raise KeyError(f"dataset {dataset} not loaded; have "
+                           f"{sorted(self.anchors)}")
+        if class_name not in self.anchors[dataset]:
+            raise KeyError(
+                f"class {class_name} unknown for {dataset}; have "
+                f"{sorted(self.anchors[dataset])}")
+        done = threading.Event()
+        slot: dict = {}
+        self._queue.put((image_u8, dataset, class_name, slot, done))
+        if not done.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["map"], slot["score"]
+
+    def _serve_loop(self):
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.batch_window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            # group by (dataset, class): anchors differ per group
+            groups: Dict[tuple, list] = {}
+            for item in batch:
+                groups.setdefault((item[1], item[2]), []).append(item)
+            for (ds, cls), items in groups.items():
+                try:
+                    imgs = np.stack([it[0] for it in items])
+                    n = imgs.shape[0]
+                    if n < self.max_batch:  # pad to the compiled shape
+                        pad = np.repeat(imgs[-1:], self.max_batch - n, axis=0)
+                        imgs = np.concatenate([imgs, pad])
+                    pix, score = self._predict(
+                        self.image_adapter, jnp.asarray(imgs),
+                        jnp.asarray(self.anchors[ds][cls]),
+                        jnp.asarray(self.postproc[ds]))
+                    pix = np.asarray(pix)
+                    score = np.asarray(score)
+                    for i, (_, _, _, slot, done) in enumerate(items):
+                        slot["map"] = pix[i]
+                        slot["score"] = float(score[i])
+                        done.set()
+                except Exception as e:  # propagate to all waiters
+                    for _, _, _, slot, done in items:
+                        slot["error"] = f"{type(e).__name__}: {e}"
+                        done.set()
+
+    def shutdown(self):
+        self._stop.set()
+        self._worker.join(timeout=2)
+
+
+def _decode_image(body: bytes, img_size: int) -> np.ndarray:
+    from PIL import Image
+
+    from aaclip_tpu.data.transforms import resize_image, to_uint8_chw
+
+    img = Image.open(io.BytesIO(body)).convert("RGB")
+    return to_uint8_chw(resize_image(img, img_size))
+
+
+def make_handler(engine: InferenceEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "img_size": engine.img_size,
+                    "datasets": sorted(engine.anchors),
+                })
+            elif url.path == "/classes":
+                q = parse_qs(url.query)
+                ds = q.get("dataset", [next(iter(engine.anchors))])[0]
+                if ds not in engine.anchors:
+                    self._json(404, {"error": f"dataset {ds} not loaded"})
+                    return
+                self._json(200, {"dataset": ds,
+                                 "classes": sorted(engine.anchors[ds])})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._json(404, {"error": "unknown path"})
+                return
+            q = parse_qs(url.query)
+            ds = q.get("dataset", [next(iter(engine.anchors))])[0]
+            cls = q.get("class_name", [None])[0]
+            if cls is None:
+                self._json(400, {"error": "class_name query arg required"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body (expected image bytes)"})
+                return
+            body = self.rfile.read(length)
+            try:
+                img = _decode_image(body, engine.img_size)
+            except Exception as e:
+                self._json(400, {"error": f"could not decode image: {e}"})
+                return
+            try:
+                amap, score = engine.submit(img, ds, cls)
+            except KeyError as e:
+                self._json(404, {"error": str(e)})
+                return
+            except Exception as e:
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            stride = max(1, int(q.get("map_stride", ["1"])[0]))
+            self._json(200, {
+                "image_score": score,
+                "map_shape": list(amap[::stride, ::stride].shape),
+                "anomaly_map": np.round(
+                    amap[::stride, ::stride], 4).tolist(),
+            })
+
+    return Handler
+
+
+def serve(engine: InferenceEngine, host: str = "127.0.0.1",
+          port: int = 8400) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="aaclip_tpu inference server")
+    parser.add_argument("--model_name", default="ViT-L-14-336")
+    parser.add_argument("--img_size", type=int, default=518)
+    parser.add_argument("--datasets", nargs="+", default=["MVTec"])
+    parser.add_argument("--save_path", default=None,
+                        help="adapter checkpoint dir (optional)")
+    parser.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8400)
+    parser.add_argument("--clip_checkpoint", default=None)
+    parser.add_argument("--levels", type=int, nargs="+",
+                        default=[6, 12, 18, 24])
+    parser.add_argument("--image_adapt_until", type=int, default=6)
+    parser.add_argument("--text_adapt_until", type=int, default=3)
+    parser.add_argument("--relu", action="store_true")
+    args = parser.parse_args(argv)
+
+    engine = InferenceEngine(
+        model_name=args.model_name, img_size=args.img_size,
+        datasets=tuple(args.datasets), save_path=args.save_path,
+        precision=args.precision, max_batch=args.max_batch,
+        clip_checkpoint=args.clip_checkpoint,
+        adapter_cfg=dict(levels=tuple(args.levels),
+                         image_adapt_until=args.image_adapt_until,
+                         text_adapt_until=args.text_adapt_until,
+                         proj_relu=args.relu))
+    httpd = serve(engine, args.host, args.port)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(datasets: {args.datasets})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()

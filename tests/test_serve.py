@@ -1,0 +1,116 @@
+"""Serving path: engine micro-batching and the HTTP surface end-to-end
+(tiny model, random anchors, real sockets)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from aaclip_tpu.serve.server import InferenceEngine, serve
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="fp32", max_batch=4,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    yield eng
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    httpd = serve(engine, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _png_bytes(seed=0, size=48):
+    rng = np.random.default_rng(seed)
+    arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_engine_submit(engine):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+    amap, score = engine.submit(img, "MVTec", "bottle")
+    assert amap.shape == (70, 70)
+    assert 0.0 <= score <= 1.0
+
+
+def test_engine_concurrent_batching(engine):
+    """Concurrent submits share forward passes and all return."""
+    rng = np.random.default_rng(2)
+    results = [None] * 6
+
+    def worker(i):
+        img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+        results[i] = engine.submit(img, "MVTec", "bottle")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert all(r is not None for r in results)
+
+
+def test_engine_unknown_class(engine):
+    with pytest.raises(KeyError):
+        engine.submit(np.zeros((3, 70, 70), np.uint8), "MVTec", "spaceship")
+
+
+def test_http_predict(server):
+    req = urllib.request.Request(
+        server + "/predict?dataset=MVTec&class_name=bottle&map_stride=7",
+        data=_png_bytes(), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        payload = json.loads(resp.read())
+    assert resp.status == 200
+    assert 0.0 <= payload["image_score"] <= 1.0
+    assert payload["map_shape"] == [10, 10]
+    assert len(payload["anomaly_map"]) == 10
+
+
+def test_http_health_and_classes(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["datasets"] == ["MVTec"]
+    with urllib.request.urlopen(server + "/classes?dataset=MVTec",
+                                timeout=10) as r:
+        c = json.loads(r.read())
+    assert "bottle" in c["classes"] and len(c["classes"]) == 15
+
+
+def test_http_error_paths(server):
+    # missing class_name
+    req = urllib.request.Request(server + "/predict?dataset=MVTec",
+                                 data=_png_bytes(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    # garbage body
+    req = urllib.request.Request(
+        server + "/predict?dataset=MVTec&class_name=bottle",
+        data=b"not an image", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    # unknown class
+    req = urllib.request.Request(
+        server + "/predict?dataset=MVTec&class_name=spaceship",
+        data=_png_bytes(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 404
