@@ -121,11 +121,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     feature slices of the SAME packed [B, S, 3*D_model] array, selected by
     the BlockSpec index maps.  ``vv=True`` uses (v, v, v) (CLIP-Surgery).
     """
+    del vv  # the BlockSpec index maps already redirect q/k to the value
+    # section in V-V mode; q stays q-block-shaped either way
     for j in range(heads_per_blk):
         sl = slice(j * hd, (j + 1) * hd)
         vs = v_ref[0][:, sl]
-        qs = q_ref[0][:, sl] if not vv else vs
-        ks = k_ref[0][:, sl] if not vv else vs
+        qs = q_ref[0][:, sl]
+        ks = k_ref[0][:, sl]
         s = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -64,3 +64,23 @@ def test_attn_fn_matches_layers_attention():
     got_vv = fn_vv(x, p)
     np.testing.assert_allclose(np.asarray(got_vv), np.asarray(want_vv),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_attn_fn_multiple_q_blocks():
+    """q_blk < S_pad exercises the blocked-query path for BOTH variants
+    (a V-V bug once hid behind single-block shapes)."""
+    d, heads, n = 64, 2, 250  # S_pad 256, q_blk 64 -> 4 q blocks
+    rng = np.random.default_rng(5)
+    p = {
+        "w_qkv": jnp.asarray(rng.standard_normal((d, 3 * d)) * d ** -0.5, jnp.float32),
+        "b_qkv": jnp.asarray(rng.standard_normal(3 * d) * 0.02, jnp.float32),
+        "w_out": jnp.asarray(rng.standard_normal((d, d)) * d ** -0.5, jnp.float32),
+        "b_out": jnp.asarray(rng.standard_normal(d) * 0.02, jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((2, n, d)), jnp.float32)
+    for vv in (False, True):
+        want = L.attention(x, p, heads, vv=vv)
+        fn = make_attn_fn(heads, vv=vv, q_blk=64, interpret=True)
+        got = fn(x, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4, err_msg=f"vv={vv}")
