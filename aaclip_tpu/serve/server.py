@@ -89,7 +89,7 @@ class InferenceEngine:
         self.image_adapter = jax.tree.map(jax.numpy.asarray, self.image_adapter)
 
         attn_fn = None
-        if jax.devices()[0].platform == "tpu":
+        if jax.devices()[0].platform == "tpu" and precision == "bf16":
             from aaclip_tpu.ops.flash_attention import make_attn_fn
 
             attn_fn = make_attn_fn(cfg.vision.heads, policy)

@@ -68,7 +68,7 @@ def main(argv=None):
         return bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu)
 
     attn_fn = None
-    if args.attn == "pallas" and on_tpu:
+    if args.attn == "pallas" and on_tpu and args.precision == "bf16":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     uint8_inputs = args.precision == "bf16"
@@ -130,7 +130,7 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
     from aaclip_tpu.train.steps import init_state, make_stage2_step
 
     attn_fn = None
-    if args.attn == "pallas" and on_tpu:
+    if args.attn == "pallas" and on_tpu and args.precision == "bf16":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
 

@@ -109,7 +109,7 @@ def main(argv=None):
     assert len(files) > 0, "image adapter checkpoint not found"
 
     attn_fn = None
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu" and args.precision == "bf16":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"

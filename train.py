@@ -174,7 +174,7 @@ def main(argv=None):
     # ---- stage 1 ----------------------------------------------------------
     if adapt_text and text_start_epoch < args.text_epoch:
         attn_fn = vv_attn_fn = None
-        if jax.devices()[0].platform == "tpu":
+        if jax.devices()[0].platform == "tpu" and args.precision == "bf16":
             from aaclip_tpu.ops.flash_attention import make_attn_fn
             attn_fn = make_attn_fn(cfg.vision.heads, policy)
             vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
@@ -215,7 +215,7 @@ def main(argv=None):
 
     # ---- stage 2 ----------------------------------------------------------
     s2_attn_fn = None
-    if jax.devices()[0].platform == "tpu":
+    if jax.devices()[0].platform == "tpu" and args.precision == "bf16":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         s2_attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
     step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
