@@ -9,7 +9,7 @@ from PIL import Image
 
 
 def make_synthetic_dataset(root: str, dataset_name: str = "MVTec",
-                           class_names=("bottle", "cable"),
+                           class_names=None,
                            n_normal: int = 3, n_anomalous: int = 3,
                            img_px: int = 64, seed: int = 0):
     """Creates {root}/data/<spec.rel_path>/... images and
@@ -20,6 +20,8 @@ def make_synthetic_dataset(root: str, dataset_name: str = "MVTec",
     from aaclip_tpu.data.registry import DATASETS
 
     spec = DATASETS[dataset_name]
+    if class_names is None:
+        class_names = tuple(spec.class_names[:2])
     data_root = os.path.join(root, "data")
     base = os.path.join(data_root, spec.rel_path)
     meta_root = os.path.join(root, "metadata")

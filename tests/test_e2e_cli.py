@@ -97,6 +97,53 @@ def test_eval_reference_pth_checkpoints_and_visualize(env):
     assert os.path.isdir(vis_dir) and len(os.listdir(vis_dir)) == 6
 
 
+def test_medical_domain_eval(env, tmp_path):
+    """Medical datasets take the other eval path: k9/sigma1.5 blur,
+    image score = pixel max only; and an all-anomalous set must force the
+    image metrics to 0 (reference forward_utils.py:264-271)."""
+    import test as test_cli
+    import train as train_cli
+
+    root = str(tmp_path)
+    data_root, meta_root = make_synthetic_dataset(
+        root, dataset_name="Brain", n_normal=3, n_anomalous=3, img_px=64)
+    old = os.environ["AACLIP_DATA"], os.environ["AACLIP_METADATA"]
+    os.environ["AACLIP_DATA"] = data_root
+    os.environ["AACLIP_METADATA"] = meta_root
+    try:
+        save = os.path.join(root, "ckpt")
+        common = ["--model_name", "tiny-test", "--img_size", "70",
+                  "--dataset", "Brain", "--text_adapt_until", "1",
+                  "--image_adapt_until", "1", "--levels", "1", "2",
+                  "--num_workers", "2"]
+        train_cli.main(common + [
+            "--save_path", save, "--training_mode", "full_shot",
+            "--text_epoch", "0", "--image_epoch", "1",
+            "--image_batch_size", "3", "--surgery_until_layer", "2"])
+        test_cli.main(common + ["--save_path", save, "--batch_size", "3"])
+        tlog = open(os.path.join(save, "test.log")).read()
+        assert "Brain" in tlog and "final results" in tlog
+        # mixed labels -> image metrics nonzero possible; now all-anomalous:
+        meta = os.path.join(meta_root, "Brain", "full-shot.jsonl")
+        lines = [l for l in open(meta) if '"label": 1' in l]
+        with open(meta, "w") as f:
+            f.writelines(lines)
+        save2 = os.path.join(root, "ckpt2")
+        os.makedirs(save2, exist_ok=True)
+        import shutil
+        shutil.copy(os.path.join(save, "image_adapter_1.npz"),
+                    os.path.join(save2, "image_adapter_1.npz"))
+        test_cli.main(common + ["--save_path", save2, "--batch_size", "3"])
+        tlog2 = open(os.path.join(save2, "test.log")).read()
+        import re
+        row = [l for l in tlog2.splitlines() if re.search(r"^\s*Brain\s", l)][-1]
+        cols = row.split()
+        # columns: name, pixel AUC, pixel AP, image AUC, image AP
+        assert float(cols[3]) == 0.0 and float(cols[4]) == 0.0, row
+    finally:
+        os.environ["AACLIP_DATA"], os.environ["AACLIP_METADATA"] = old
+
+
 def test_few_shot_flow(env):
     """tools/make_few_shot.py generates K-shot metadata; train.py consumes
     it in few_shot mode (the reference's default training mode)."""
