@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -43,6 +45,9 @@ class TrainState(NamedTuple):
 
 
 def init_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+    # copy: the jitted steps donate the state's buffers, which must not
+    # alias the caller's (possibly reused) initial parameters
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
@@ -114,7 +119,7 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         orth = LL.orthogonality_loss_masked(banchors, valid)
         return seg + text_norm_weight * orth
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state: TrainState, text_params, feats, mask, class_idx, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, text_params, feats, mask, class_idx, valid)
@@ -162,7 +167,7 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             loss = loss + LL.seg_loss_from_logit_masked(d, mask, valid)
         return loss
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state: TrainState, visual, images, mask, label, class_idx, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, visual, images, mask, label, class_idx, valid)

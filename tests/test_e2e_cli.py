@@ -67,6 +67,30 @@ def test_train_then_eval(env):
     assert "bottle" in tlog and "cable" in tlog
 
 
+def test_stage1_resume_skip_quirk(env):
+    """Reference quirk (train.py:277-288): when the saved text epoch equals
+    text_epoch-1, stage 1 is SKIPPED entirely on resume."""
+    import train as train_cli
+
+    save = os.path.join(env, "ckpt_quirk")
+    base = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--image_epoch", "0", "--text_batch_size", "4",
+        "--surgery_until_layer", "2",
+    ]
+    train_cli.main(base + ["--text_epoch", "1"])  # saves epoch counter 1
+    log = open(os.path.join(save, "train.log")).read()
+    assert log.count("training text epoch 0:") == 1
+    # resume with text_epoch=2: saved(1) == text_epoch-1 -> skip stage 1
+    train_cli.main(base + ["--text_epoch", "2"])
+    log = open(os.path.join(save, "train.log")).read()
+    assert "training text epoch 1:" not in log
+    # but text_epoch=3 resumes normally from epoch 1
+    train_cli.main(base + ["--text_epoch", "3"])
+    log = open(os.path.join(save, "train.log")).read()
+    assert "training text epoch 1:" in log and "training text epoch 2:" in log
+
+
 def test_eval_reference_pth_checkpoints_and_visualize(env):
     """test.py consumes reference-format .pth adapters and writes
     visualization panels."""
