@@ -47,3 +47,25 @@ def test_contrastive_forward():
     sf = model.surgery_features(images, out_layers=(1, 2),
                                 surgery_until_layer=2)
     assert len(sf) == 2 and sf[0].shape == (2, 25, CFG.embed_dim)
+
+
+def test_inference_runtime_is_torch_free():
+    """The compute path must not import torch (host converter only)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from aaclip_tpu.core.config import get_config, AdapterConfig\n"
+        "from aaclip_tpu.core.params import create_clip_params, init_adapter_params\n"
+        "from aaclip_tpu.eval.predict import make_predict_fn\n"
+        "from aaclip_tpu.text.anchors import encode_dataset_anchors\n"
+        "from aaclip_tpu.eval.metrics import metrics_eval\n"
+        "assert 'torch' not in sys.modules, 'torch leaked into the runtime'\n"
+        "print('TORCH_FREE_OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env={**__import__('os').environ,
+                                        "JAX_PLATFORMS": "cpu"})
+    assert "TORCH_FREE_OK" in r.stdout, r.stderr[-500:]
