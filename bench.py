@@ -38,9 +38,11 @@ def main(argv=None):
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the timed loop")
-    parser.add_argument("--mode", default="infer", choices=["infer", "train"],
+    parser.add_argument("--mode", default="infer",
+                        choices=["infer", "train", "train_stage1"],
                         help="infer = anomaly-map throughput (north star); "
-                             "train = stage-2 update-step throughput")
+                             "train = stage-2 update-step throughput; "
+                             "train_stage1 = text-anchor stage throughput")
     args = parser.parse_args(argv)
 
     import jax
@@ -66,6 +68,9 @@ def main(argv=None):
 
     if args.mode == "train":
         return bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu)
+    if args.mode == "train_stage1":
+        return bench_train_stage1(args, cfg, acfg, policy, clip, adapters,
+                                  on_tpu)
 
     attn_fn = None
     if args.attn == "pallas" and on_tpu and args.precision == "bf16":
@@ -166,6 +171,64 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
         "value": round(per_chip, 2),
         "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-2 update, "
                 f"{args.precision}, attn={args.attn})",
+        "vs_baseline": round(per_chip / 10.0, 3),
+    }))
+
+
+def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
+    """Stage-1 throughput: surgery feature extraction + text-adapter update
+    (images/sec/chip, end-to-end per batch)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aaclip_tpu.text.anchors import dataset_prompt_tokens
+    from aaclip_tpu.train.optim import make_text_optimizer
+    from aaclip_tpu.train.steps import (
+        init_state, make_stage1_step, stage1_features_fn)
+
+    attn_fn = vv_attn_fn = None
+    if args.attn == "pallas" and on_tpu and args.precision == "bf16":
+        from aaclip_tpu.ops.flash_attention import make_attn_fn
+        attn_fn = make_attn_fn(cfg.vision.heads, policy)
+        vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
+
+    B = args.batch_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (B, 3, args.img_size, args.img_size)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, args.img_size, args.img_size)) > 0.9,
+                       jnp.float32)
+    n_cls = 2 if args.model_name == "tiny-test" else 12
+    cidx = jnp.asarray(rng.integers(0, n_cls, B), jnp.int32)
+    valid = jnp.ones((B,), jnp.float32)
+    tokens = dataset_prompt_tokens(
+        "VisA" if args.model_name != "tiny-test" else "MVTec")[:n_cls]
+    feats_fn = stage1_features_fn(clip, cfg, policy=policy, attn_fn=attn_fn,
+                                  vv_attn_fn=vv_attn_fn)
+    tx = make_text_optimizer()
+    step = make_stage1_step(clip, cfg, acfg, tx, tokens,
+                            img_size=args.img_size, policy=policy)
+    state = init_state(adapters["text"], tx)
+    for _ in range(args.warmup):
+        feats = feats_fn(images)
+        state, loss = step(state, feats, mask, cidx, valid)
+        float(loss)
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        feats = feats_fn(images)
+        state, loss = step(state, feats, mask, cidx, valid)
+        float(loss)
+    elapsed = time.perf_counter() - start
+
+    import jax as _jax
+    per_chip = args.batch_size * args.steps / elapsed / _jax.local_device_count()
+    print(json.dumps({
+        "metric": "stage1_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-1: "
+                f"surgery feats + text update, {args.precision}, "
+                f"attn={args.attn})",
         "vs_baseline": round(per_chip / 10.0, 3),
     }))
 
