@@ -67,6 +67,39 @@ def test_train_then_eval(env):
     assert "bottle" in tlog and "cable" in tlog
 
 
+def test_train_data_parallel_cli(env):
+    """train.py --data_parallel shards batches over all (virtual) devices."""
+    import subprocess
+    import sys
+
+    save = os.path.join(env, "ckpt_dp")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "1", "--image_epoch", "1",
+        "--text_batch_size", "8", "--image_batch_size", "8",
+        "--surgery_until_layer", "2", "--data_parallel",
+    ]
+    # env vars alone don't switch off a registered TPU plugin; force via
+    # jax.config inside the subprocess, then assert 8 devices were used
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        f"assert len(jax.devices()) == 8, jax.devices()\n"
+        f"import sys; sys.argv = ['train.py'] + {args!r}\n"
+        "import train; train.main()\n"
+    )
+    envv = dict(os.environ)
+    envv["JAX_PLATFORMS"] = "cpu"
+    envv["XLA_FLAGS"] = (envv.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=repo, env=envv, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = open(os.path.join(save, "train.log")).read()
+    assert "training text epoch 0" in log and "training image epoch 0" in log
+    assert os.path.isfile(os.path.join(save, "image_adapter_1.npz"))
+
+
 def test_stage1_resume_skip_quirk(env):
     """Reference quirk (train.py:277-288): when the saved text epoch equals
     text_epoch-1, stage 1 is SKIPPED entirely on resume."""
