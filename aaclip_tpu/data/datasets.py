@@ -198,15 +198,30 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # iterator (otherwise the producer thread would block forever)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(
-                        lambda i: self.dataset.get(int(i), epoch), b))
-                    q.put(self._assemble(samples, len(b)))
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(
+                            lambda i: self.dataset.get(int(i), epoch), b))
+                        if not _put(self._assemble(samples, len(b))):
+                            return
+                _put(None)
+            except BaseException as e:  # propagate to the consumer
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -215,6 +230,8 @@ class BatchLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -141,3 +141,39 @@ def test_shipped_metadata_loads():
     assert all(r.class_name for r in recs)
     anomalous = [r for r in recs if r.label]
     assert all(r.mask_path for r in anomalous)
+
+
+def test_loader_propagates_worker_errors(synth):
+    """A failing dataset.get must raise in the consumer, not hang."""
+    _, image_ds = get_train_datasets("MVTec", img_size=56)
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def get(self, idx, epoch):
+            raise OSError("corrupt image")
+
+    loader = BatchLoader(Broken(), 2, num_workers=2)
+    with pytest.raises(OSError, match="corrupt image"):
+        list(loader)
+
+
+def test_loader_abandoned_iterator_does_not_hang(synth):
+    """Breaking out of iteration early must not leave a stuck producer."""
+    import threading
+
+    _, image_ds = get_train_datasets("MVTec", img_size=56)
+    loader = BatchLoader(image_ds, 2, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon
+    # all non-main threads should wind down shortly
+    import time
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        workers = [t for t in threading.enumerate()
+                   if t.name.startswith("Thread-") and t.is_alive()]
+        if not workers:
+            break
+        time.sleep(0.1)
