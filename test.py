@@ -143,6 +143,10 @@ def main(argv=None):
         df = DataFrame(columns=columns)
         timer = StepTimer()
         for class_name, dataset in image_datasets.items():
+            # per-class size logging (reference dataset/__init__.py:145-148)
+            logger.info("Class name: %s", class_name)
+            logger.info("Sample number: %d", len(dataset))
+            logger.info("=====================================")
             if len(dataset) == 0:
                 logger.info("skipping empty class %s", class_name)
                 continue
