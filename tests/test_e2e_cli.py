@@ -67,6 +67,23 @@ def test_train_then_eval(env):
     assert "bottle" in tlog and "cable" in tlog
 
 
+def test_nondefault_img_size(env):
+    """img_size != the tiny config's native 70 flows through train + eval
+    (static-shape pipeline re-specializes; masks/maps track the size)."""
+    import train as train_cli
+    import test as test_cli
+
+    save = os.path.join(env, "ckpt_size84")
+    common = [c if c != "70" else "84" for c in COMMON]
+    train_cli.main(common + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "0", "--image_epoch", "1",
+        "--image_batch_size", "4", "--surgery_until_layer", "2"])
+    test_cli.main(common + ["--save_path", save, "--batch_size", "4"])
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert "'img_size': 84" in tlog and "Average" in tlog
+
+
 def test_train_data_parallel_cli(env):
     """train.py --data_parallel shards batches over all (virtual) devices."""
     import subprocess
