@@ -76,6 +76,7 @@ def main(argv=None):
     if args.attn == "pallas" and on_tpu and args.precision == "bf16":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    effective_attn = "pallas" if attn_fn is not None else "xla"
     uint8_inputs = args.precision == "bf16"
     predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
                               policy=policy, attn_fn=attn_fn,
@@ -118,7 +119,7 @@ def main(argv=None):
         "metric": "anomaly_maps_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "maps/s/chip (ViT-L-336 @ 518px, adapted fwd + fused map, "
-                f"{args.precision}, attn={args.attn})",
+                f"{args.precision}, attn={effective_attn})",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_MAPS_PER_SEC, 3),
     }))
 
@@ -138,6 +139,7 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
     if args.attn == "pallas" and on_tpu and args.precision == "bf16":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
+    effective_attn = "pallas" if attn_fn is not None else "xla"
 
     B = args.batch_size
     rng = np.random.default_rng(0)
@@ -170,7 +172,7 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
         "metric": "stage2_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-2 update, "
-                f"{args.precision}, attn={args.attn})",
+                f"{args.precision}, attn={effective_attn})",
         "vs_baseline": round(per_chip / 10.0, 3),
     }))
 
@@ -192,6 +194,7 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
         vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
+    effective_attn = "pallas" if attn_fn is not None else "xla"
 
     B = args.batch_size
     rng = np.random.default_rng(0)
@@ -228,7 +231,7 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
         "value": round(per_chip, 2),
         "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-1: "
                 f"surgery feats + text update, {args.precision}, "
-                f"attn={args.attn})",
+                f"attn={effective_attn})",
         "vs_baseline": round(per_chip / 10.0, 3),
     }))
 
