@@ -114,3 +114,33 @@ def test_http_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 404
+
+
+def test_engine_loads_adapter_checkpoints(tmp_path):
+    """save_path adapters change the engine's predictions."""
+    import jax
+    import numpy as np
+
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    acfg = dict(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    base = InferenceEngine(model_name="tiny-test", img_size=70,
+                           datasets=("MVTec",), precision="fp32",
+                           max_batch=2, adapter_cfg=acfg)
+    cfg = get_config("tiny-test")
+    other = init_adapter_params(jax.random.PRNGKey(99), cfg,
+                                AdapterConfig(**acfg))
+    save_adapter_checkpoint(str(tmp_path / "image_adapter_7.npz"), 7,
+                            other["image"])
+    loaded = InferenceEngine(model_name="tiny-test", img_size=70,
+                             datasets=("MVTec",), precision="fp32",
+                             max_batch=2, save_path=str(tmp_path),
+                             adapter_cfg=acfg)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+    m1, s1 = base.submit(img, "MVTec", "bottle")
+    m2, s2 = loaded.submit(img, "MVTec", "bottle")
+    base.shutdown(); loaded.shutdown()
+    assert not np.allclose(m1, m2)  # different adapters -> different maps
