@@ -16,3 +16,20 @@ reference's flag names and defaults.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience re-exports (avoid importing jax at package import)."""
+    if name in ("CLIPModel", "AdaptedCLIP"):
+        from aaclip_tpu.models import clip as _clip
+        return getattr(_clip, name)
+    if name in ("get_config", "AdapterConfig", "DtypePolicy"):
+        from aaclip_tpu.core import config as _config
+        return getattr(_config, name)
+    if name in ("create_clip_params", "init_adapter_params"):
+        from aaclip_tpu.core import params as _params
+        return getattr(_params, name)
+    if name == "tokenize":
+        from aaclip_tpu.text.bpe import tokenize as _tokenize
+        return _tokenize
+    raise AttributeError(f"module 'aaclip_tpu' has no attribute {name!r}")

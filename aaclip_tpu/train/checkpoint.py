@@ -53,8 +53,17 @@ def _restore_subtree_from(data, root: str, template):
     for p, leaf in flat:
         key = prefix + "/".join(
             str(getattr(x, "key", getattr(x, "idx", x))) for x in p)
+        if key not in data:
+            raise KeyError(
+                f"checkpoint is missing '{key}' — was it saved with "
+                f"different adapter flags (levels/adapt_until)?")
         arr = data[key]
         leaf_np = np.asarray(leaf)
+        if arr.size != leaf_np.size:
+            raise ValueError(
+                f"checkpoint entry '{key}' has shape {arr.shape} but the "
+                f"current config expects {leaf_np.shape} — adapter flags "
+                f"(levels/adapt_until/model) do not match the checkpoint")
         leaves.append(jnp.asarray(arr, dtype=leaf_np.dtype).reshape(leaf_np.shape))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves)

@@ -142,3 +142,18 @@ def test_torch_pth_interop(tmp_path, setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     for a, b in zip(jax.tree.leaves(image_back), jax.tree.leaves(adapters["image"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_mismatch_errors(tmp_path, setup):
+    """Loading with the wrong adapter flags fails with a clear message."""
+    _, adapters, *_ = setup
+    path = str(tmp_path / "image_adapter.npz")
+    ckpt.save_adapter_checkpoint(path, 1, adapters["image"])
+    from aaclip_tpu.core.config import AdapterConfig
+    from aaclip_tpu.core.params import init_adapter_params
+
+    wrong = init_adapter_params(
+        jax.random.PRNGKey(0), CFG,
+        AdapterConfig(levels=(1, 2), image_adapt_until=2, text_adapt_until=1))
+    with pytest.raises((KeyError, ValueError), match="adapter flags"):
+        ckpt.load_adapter_checkpoint(path, wrong["image"])
