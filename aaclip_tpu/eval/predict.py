@@ -95,9 +95,13 @@ def run_class_predictions(predict_fn, image_adapter, loader, anchors,
         n = batch["n_valid"]
         masks.append(batch["mask"][:n])
         labels.append(batch["label"][:n])
-        pix_preds.append(np.asarray(pix)[:n])
-        img_preds.append(np.asarray(score)[:n])
+        # keep device arrays; async dispatch lets the next batch's forward
+        # overlap these transfers, materialized together at the end
+        pix_preds.append(pix[:n])
+        img_preds.append(score[:n])
         files.extend(batch["file_name"][:n])
+    pix_preds = [np.asarray(p) for p in pix_preds]
+    img_preds = [np.asarray(s) for s in img_preds]
     return (np.concatenate(masks), np.concatenate(labels),
             np.concatenate(pix_preds), np.concatenate(img_preds), files)
 
