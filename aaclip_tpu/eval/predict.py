@@ -78,6 +78,11 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     def predict(image_adapter, images, anchors, M):
         return _predict(visual, image_adapter, images, anchors, M)
 
+    # expose the all-arguments form (visual first) for callers that re-jit
+    # the function themselves: re-jitting `predict` would bake the captured
+    # 1.7GB of frozen weights into the outer graph as constants
+    predict.raw = _predict
+    predict.visual = visual
     return predict
 
 
