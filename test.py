@@ -44,6 +44,9 @@ def parse_args(argv=None):
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--aupro", action="store_true",
                         help="also compute pixel AUPRO")
+    parser.add_argument("--csv", action="store_true",
+                        help="also write per-epoch results_<epoch>.csv "
+                             "under save_path")
     parser.add_argument("--fused_preprocess", action="store_true",
                         help="ship uint8 pixels; normalize on device inside "
                              "the patch-embed matmul (default with bf16)")
@@ -171,6 +174,11 @@ def main(argv=None):
         logger.info("final results:\n%s",
                     df.to_string(index=False, justify="center"))
         print(df.to_string(index=False, justify="center"))
+        if args.csv:
+            csv_path = os.path.join(args.save_path,
+                                    f"results_{test_epoch}.csv")
+            df.to_csv(csv_path, index=False)
+            logger.info("wrote %s", csv_path)
 
 
 if __name__ == "__main__":

@@ -55,7 +55,7 @@ def test_train_then_eval(env):
     assert all(np.isfinite(losses)) and len(losses) == 3
 
     test_cli.main(COMMON + [
-        "--save_path", save, "--batch_size", "4", "--aupro",
+        "--save_path", save, "--batch_size", "4", "--aupro", "--csv",
     ])
     tlog = open(os.path.join(save, "test.log")).read()
     assert "final results" in tlog
@@ -65,6 +65,14 @@ def test_train_then_eval(env):
     assert tlog.count("load model from epoch") == 2
     # per-class rows present for the two synthetic classes
     assert "bottle" in tlog and "cable" in tlog
+    # CSV export per evaluated epoch snapshot
+    import pandas as pd
+    csv1 = os.path.join(save, "results_1.csv")
+    csv2 = os.path.join(save, "results_2.csv")
+    assert os.path.isfile(csv1) and os.path.isfile(csv2)
+    df = pd.read_csv(csv1)
+    assert list(df["class name"])[-1] == "Average"
+    assert "pixel AUPRO" in df.columns
 
 
 def test_nondefault_img_size(env):
