@@ -25,13 +25,20 @@ from aaclip_tpu.ops.similarity import fused_postproc_matrix, level_scores
 def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                     *, img_size: int | None = None,
                     policy: DtypePolicy = DtypePolicy(), attn_fn=None,
-                    uint8_inputs: bool = False) -> Callable:
+                    uint8_inputs: bool = False, mesh=None) -> Callable:
     """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
     (pixel_map [B, img, img], image_score [B]).
 
     ``uint8_inputs=True`` accepts raw uint8 pixel batches: the CLIP
     normalization is folded into the patch-embedding matmul on device
     (ops/preprocess.py), quartering host->device transfer.
+
+    ``mesh``: a 1-D ``('data',)`` device mesh. Parameters/anchors are
+    replicated, the image batch is sharded over the data axis, and jit
+    partitions the whole forward — per-sample work is independent, so no
+    collectives are needed and per-sample results are identical to the
+    single-device path. The reference eval loop (reference test.py:53-99)
+    is strictly single-device; this is the TPU-native scale-out of it.
     """
     from aaclip_tpu.core.params import cast_matmul_weights
     from aaclip_tpu.models.layers import policy_act
@@ -53,8 +60,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                                   compute_dtype=policy.compute_dtype,
                                   precision=policy.precision)
 
-    @jax.jit
-    def _predict(visual, image_adapter, images, anchors, M):
+    def _predict_impl(visual, image_adapter, images, anchors, M):
         seg_tokens, det = adapted_forward(
             visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
@@ -75,14 +81,33 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         img_score = (det @ anchors[:, 1] + 1.0) / 2.0
         return pix, img_score
 
-    def predict(image_adapter, images, anchors, M):
-        return _predict(visual, image_adapter, images, anchors, M)
+    if mesh is None:
+        _predict = jax.jit(_predict_impl)
+
+        def predict(image_adapter, images, anchors, M):
+            return _predict(visual, image_adapter, images, anchors, M)
+    else:
+        from aaclip_tpu.parallel import sharding as sh
+
+        repl = sh.replicated(mesh)
+        bsh = sh.batch_sharding(mesh)
+        _predict = jax.jit(_predict_impl,
+                           in_shardings=(repl, repl, bsh, repl, repl),
+                           out_shardings=(bsh, bsh))
+        visual = jax.device_put(visual, repl)
+
+        def predict(image_adapter, images, anchors, M):
+            n_dev = mesh.devices.size
+            assert images.shape[0] % n_dev == 0, (
+                f"batch {images.shape[0]} not divisible by mesh size {n_dev}")
+            return _predict(visual, image_adapter, images, anchors, M)
 
     # expose the all-arguments form (visual first) for callers that re-jit
     # the function themselves: re-jitting `predict` would bake the captured
     # 1.7GB of frozen weights into the outer graph as constants
     predict.raw = _predict
     predict.visual = visual
+    predict.mesh = mesh
     return predict
 
 
@@ -93,9 +118,21 @@ def run_class_predictions(predict_fn, image_adapter, loader, anchors,
     pixel_preds, image_preds, file_names) trimmed to valid samples."""
     M = jnp.asarray(fused_postproc_matrix(grid, img_size, domain))
     anchors = jnp.asarray(anchors)
+    mesh = getattr(predict_fn, "mesh", None)
+    if mesh is not None:
+        from aaclip_tpu.parallel import sharding as sh
+
+        repl = sh.replicated(mesh)
+        bsh = sh.batch_sharding(mesh)
+        M, anchors = jax.device_put((M, anchors), repl)
+        image_adapter = jax.device_put(
+            jax.tree.map(jnp.asarray, image_adapter), repl)
+        _place = lambda imgs: jax.device_put(imgs, bsh)
+    else:
+        _place = jnp.asarray
     masks, labels, pix_preds, img_preds, files = [], [], [], [], []
     for batch in loader:
-        pix, score = predict_fn(image_adapter, jnp.asarray(batch["image"]),
+        pix, score = predict_fn(image_adapter, _place(batch["image"]),
                                 anchors, M)
         n = batch["n_valid"]
         masks.append(batch["mask"][:n])

@@ -43,6 +43,10 @@ def main(argv=None):
                         help="infer = anomaly-map throughput (north star); "
                              "train = stage-2 update-step throughput; "
                              "train_stage1 = text-anchor stage throughput")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="infer mode: shard the batch over all local "
+                             "devices and report aggregate + per-chip "
+                             "throughput (batch_size is per-chip)")
     args = parser.parse_args(argv)
 
     import jax
@@ -78,23 +82,39 @@ def main(argv=None):
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     effective_attn = "pallas" if attn_fn is not None else "xla"
     uint8_inputs = args.precision == "bf16"
+
+    mesh = None
+    batch = args.batch_size
+    if args.data_parallel:
+        from aaclip_tpu.parallel import sharding as sh
+        sh.initialize_multihost()
+        mesh = sh.make_data_mesh()
+        batch = args.batch_size * mesh.devices.size  # batch_size is per-chip
     predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
                               policy=policy, attn_fn=attn_fn,
-                              uint8_inputs=uint8_inputs)
+                              uint8_inputs=uint8_inputs, mesh=mesh)
 
     rng = np.random.default_rng(0)
     if uint8_inputs:
-        images = jnp.asarray(rng.integers(
-            0, 256, (args.batch_size, 3, args.img_size, args.img_size),
-            dtype=np.uint8))
+        images = rng.integers(
+            0, 256, (batch, 3, args.img_size, args.img_size), dtype=np.uint8)
     else:
-        images = jnp.asarray(rng.standard_normal(
-            (args.batch_size, 3, args.img_size, args.img_size)), jnp.float32)
+        images = rng.standard_normal(
+            (batch, 3, args.img_size, args.img_size)).astype(np.float32)
+    if mesh is not None:
+        from aaclip_tpu.parallel import sharding as sh
+        images = sh.shard_batch(mesh, images)
+    else:
+        images = jnp.asarray(images)
     anchors = jnp.asarray(rng.standard_normal((cfg.embed_dim, 2)), jnp.float32)
     anchors = anchors / jnp.linalg.norm(anchors, axis=0, keepdims=True)
     M = jnp.asarray(fused_postproc_matrix(cfg.vision.grid, args.img_size,
                                           "Industrial"))
     image_adapter = adapters["image"]
+    if mesh is not None:
+        from aaclip_tpu.parallel import sharding as sh
+        anchors, M = jax.device_put((anchors, M), sh.replicated(mesh))
+        image_adapter = sh.replicate_tree(mesh, image_adapter)
 
     for _ in range(args.warmup):
         pix, score = predict(image_adapter, images, anchors, M)
@@ -109,17 +129,19 @@ def main(argv=None):
         jax.block_until_ready((pix, score))
     elapsed = time.perf_counter() - start
 
-    n_chips = jax.local_device_count()
-    maps_per_sec = args.batch_size * args.steps / elapsed
+    n_chips = mesh.devices.size if mesh is not None else jax.local_device_count()
+    maps_per_sec = batch * args.steps / elapsed
     per_chip = maps_per_sec / n_chips
     if args.verbose:
         print(f"# devices={jax.devices()} elapsed={elapsed:.3f}s "
-              f"batch={args.batch_size} steps={args.steps}")
+              f"batch={batch} steps={args.steps} chips={n_chips} "
+              f"aggregate={maps_per_sec:.2f} maps/s")
+    dp = f", dp={n_chips} chips" if mesh is not None else ""
     print(json.dumps({
         "metric": "anomaly_maps_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": "maps/s/chip (ViT-L-336 @ 518px, adapted fwd + fused map, "
-                f"{args.precision}, attn={effective_attn})",
+        "unit": f"maps/s/chip ({args.model_name} @ {args.img_size}px, adapted fwd "
+                f"+ fused map, {args.precision}, attn={effective_attn}{dp})",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_MAPS_PER_SEC, 3),
     }))
 

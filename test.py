@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         help="ship uint8 pixels; normalize on device inside "
                              "the patch-embed matmul (default with bf16)")
     parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard eval batches over all local devices "
+                             "(params/anchors replicated); per-sample results "
+                             "are identical to single-device")
     return parser.parse_args(argv)
 
 
@@ -116,9 +120,20 @@ def main(argv=None):
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"
+    mesh = None
+    if args.data_parallel:
+        from aaclip_tpu.parallel import sharding as sh
+        sh.initialize_multihost()
+        mesh = sh.make_data_mesh()
+        n_dev = mesh.devices.size
+        if args.batch_size % n_dev:
+            args.batch_size = ((args.batch_size + n_dev - 1) // n_dev) * n_dev
+            logger.info("data_parallel: batch_size rounded up to %d "
+                        "(%d devices)", args.batch_size, n_dev)
     predict_fn = make_predict_fn(clip_params, cfg, acfg,
                                  img_size=args.img_size, policy=policy,
-                                 attn_fn=attn_fn, uint8_inputs=uint8_inputs)
+                                 attn_fn=attn_fn, uint8_inputs=uint8_inputs,
+                                 mesh=mesh)
     domain = DOMAINS[args.dataset]
 
     for file in files:

@@ -70,3 +70,66 @@ def test_pad_batch_to_devices():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_eval_matches_single_device(setup):
+    """Data-parallel predict (mesh path of make_predict_fn) must reproduce
+    the single-device pixel maps and image scores. Per-sample work is
+    independent, but the per-shard batch shape selects different XLA kernel
+    variants, so agreement is to float noise rather than bit-exact."""
+    from aaclip_tpu.eval.predict import make_predict_fn
+    from aaclip_tpu.ops.similarity import fused_postproc_matrix
+
+    clip, adapters, batch, table = setup
+    S = CFG.vision.image_size
+    anchors = jnp.asarray(table[0])
+    M = jnp.asarray(fused_postproc_matrix(CFG.vision.grid, S, "Industrial"))
+    images = jnp.asarray(batch["images"])
+
+    single = make_predict_fn(clip, CFG, ACFG)
+    pix0, score0 = single(adapters["image"], images, anchors, M)
+
+    mesh = sh.make_data_mesh(8)
+    dp = make_predict_fn(clip, CFG, ACFG, mesh=mesh)
+    pix1, score1 = dp(adapters["image"], sh.shard_batch(mesh, batch["images"]),
+                      anchors, M)
+
+    np.testing.assert_allclose(np.asarray(pix0), np.asarray(pix1),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score0), np.asarray(score1),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_run_class_predictions_mesh(tmp_path):
+    """run_class_predictions with a mesh-carrying predict_fn: shards each
+    loader batch, replicates adapters/anchors, trims padding."""
+    from aaclip_tpu.eval.predict import make_predict_fn, run_class_predictions
+
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(3)
+    S = CFG.vision.image_size
+    n = 11  # ragged: loader pads final batch to 8, n_valid trims it
+
+    class _Loader:
+        def __iter__(self):
+            for start in range(0, n, 8):
+                m = min(8, n - start)
+                imgs = rng.standard_normal((8, 3, S, S)).astype(np.float32)
+                yield dict(image=imgs,
+                           mask=np.zeros((8, S, S), np.float32),
+                           label=np.zeros((8,), np.int32),
+                           file_name=[f"f{start + i}" for i in range(8)],
+                           n_valid=m)
+
+    anchors = rng.standard_normal((CFG.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+
+    mesh = sh.make_data_mesh(8)
+    dp = make_predict_fn(clip, CFG, ACFG, mesh=mesh)
+    masks, labels, pix, img, files = run_class_predictions(
+        dp, adapters["image"], _Loader(), anchors, "Industrial",
+        S, CFG.vision.grid)
+    assert pix.shape == (n, S, S)
+    assert img.shape == (n,)
+    assert len(files) == n
