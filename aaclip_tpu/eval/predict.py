@@ -41,11 +41,11 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     is strictly single-device; this is the TPU-native scale-out of it.
     """
     from aaclip_tpu.core.params import cast_matmul_weights
-    from aaclip_tpu.models.layers import policy_act
+    from aaclip_tpu.models.layers import config_act
 
     img = img_size or cfg.vision.image_size
     visual = cast_matmul_weights(clip_params["visual"], policy)
-    _act = policy_act(policy)
+    _act = config_act(cfg, policy)
     _patch_embed = None
     if uint8_inputs:
         from aaclip_tpu.ops.preprocess import (

@@ -54,6 +54,20 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def config_act(cfg, policy: DtypePolicy):
+    """Activation selected by model config + dtype policy.
+
+    A config with ``quick_gelu: true`` (OpenAI pre-ViT-L checkpoints;
+    reference model/model.py:84, transformer.py:46-49) uses QuickGELU in
+    both precisions — it is already a cheap sigmoid form, so the policy's
+    fast-act preference does not apply.  Otherwise erf GELU (fp32 parity)
+    or tanh GELU (bf16 fast path) by policy.
+    """
+    if getattr(cfg, "quick_gelu", False):
+        return quick_gelu
+    return policy_act(policy)
+
+
 def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
     return jnp.where(x >= 0, x, negative_slope * x)
 

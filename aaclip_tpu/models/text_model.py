@@ -28,9 +28,11 @@ from aaclip_tpu.models.vit import run_block_range, slice_blocks
 
 def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
            adapters=None, adapt_weight: float = 0.1,
-           policy: DtypePolicy = DtypePolicy(), act=L.gelu,
+           policy: DtypePolicy = DtypePolicy(), act=None,
            remat: bool = False) -> jax.Array:
     """Shared embed + causal transformer + per-layer adapter blends."""
+    if act is None:
+        act = L.config_act(cfg, policy)
     t = cfg.text
     x = params["token_embedding"][text]  # [B, ctx, width]
     x = x.astype(policy.compute_dtype)
@@ -56,7 +58,7 @@ def _eot_pool(x: jax.Array, text: jax.Array) -> jax.Array:
 
 
 def encode_text(params: dict, cfg: CLIPConfig, text: jax.Array, *,
-                policy: DtypePolicy = DtypePolicy(), act=L.gelu) -> jax.Array:
+                policy: DtypePolicy = DtypePolicy(), act=None) -> jax.Array:
     """Frozen CLIP text encoding -> [B, embed_dim]."""
     x = _trunk(params, cfg, text, policy=policy, act=act)
     pooled = _eot_pool(x, text)
@@ -68,7 +70,7 @@ def encode_text(params: dict, cfg: CLIPConfig, text: jax.Array, *,
 
 def adapted_encode_text(params: dict, text_adapter: dict, cfg: CLIPConfig,
                         text: jax.Array, *, text_adapt_weight: float = 0.1,
-                        policy: DtypePolicy = DtypePolicy(), act=L.gelu,
+                        policy: DtypePolicy = DtypePolicy(), act=None,
                         remat: bool = False) -> jax.Array:
     """AdaptedCLIP text encoding: trainable blends + trainable final proj
     (reference model/adapter.py:114-145).  The SimpleProj always applies

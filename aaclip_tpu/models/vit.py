@@ -140,6 +140,8 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      vv_attn_fn=None, remat: bool = False,
                      patch_embed_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers)."""
+    if act is None:
+        act = L.config_act(cfg, policy)
     v = cfg.vision
     n_adapt = 0
     if adapters is not None:
@@ -177,7 +179,7 @@ def encode_image(
     *,
     vv_start: Optional[int] = None,
     policy: DtypePolicy = DtypePolicy(),
-    act=L.gelu,
+    act=None,
     attn_fn=None,
     vv_attn_fn=None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
@@ -209,7 +211,7 @@ def surgery_patch_features(
     surgery_until_layer: int = 20,
     *,
     policy: DtypePolicy = DtypePolicy(),
-    act=L.gelu,
+    act=None,
     attn_fn=None,
     vv_attn_fn=None,
 ) -> List[jax.Array]:
@@ -245,7 +247,7 @@ def adapted_forward(
     levels: Sequence[int] = (6, 12, 18, 24),
     proj_relu: bool = False,
     policy: DtypePolicy = DtypePolicy(),
-    act=L.gelu,
+    act=None,
     attn_fn=None,
     remat: bool = False,
     patch_embed_fn=None,

@@ -68,7 +68,7 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     """
     last_level = cfg.vision.layers
     visual = clip_params["visual"]
-    act = Lyr.policy_act(policy)
+    act = Lyr.config_act(cfg, policy)
 
     @jax.jit
     def _features(visual, images: jax.Array) -> jax.Array:

@@ -154,3 +154,38 @@ def test_norm_matched_blend():
     want = 0.1 * (a * xn / an) + 0.9 * x
     got = np.asarray(L.norm_matched_blend(jnp.asarray(x), jnp.asarray(a), 0.1))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_quick_gelu_config_wiring():
+    """A config with quick_gelu=True must actually run QuickGELU
+    (reference model/model.py:84 selects the act class from the config) —
+    encode_text output must diverge from the erf-GELU path, and
+    config_act must pick the right function per config/policy."""
+    import dataclasses
+
+    import jax
+
+    from aaclip_tpu.core.config import DtypePolicy, get_config
+    from aaclip_tpu.core.params import create_clip_params
+    from aaclip_tpu.models.text_model import encode_text
+
+    cfg = get_config("tiny-test")
+    cfg_qg = dataclasses.replace(cfg, quick_gelu=True)
+
+    assert L.config_act(cfg, DtypePolicy.fp32()) is L.gelu
+    assert L.config_act(cfg, DtypePolicy.bf16()) is L.gelu_tanh
+    assert L.config_act(cfg_qg, DtypePolicy.fp32()) is L.quick_gelu
+    assert L.config_act(cfg_qg, DtypePolicy.bf16()) is L.quick_gelu
+
+    clip = create_clip_params(cfg, seed=0)
+    tokens = jnp.array([[49406, 320, 1125, 49407] + [0] * 73])
+    out_erf = np.asarray(encode_text(clip["text"], cfg, tokens))
+    out_qg = np.asarray(encode_text(clip["text"], cfg_qg, tokens))
+    assert np.abs(out_erf - out_qg).max() > 1e-4
+
+    # QuickGELU numerics match the reference formula x * sigmoid(1.702 x)
+    import torch
+    x = _rand((64,), 5)
+    want = (torch.from_numpy(x) * torch.sigmoid(1.702 * torch.from_numpy(x))).numpy()
+    np.testing.assert_allclose(np.asarray(L.quick_gelu(jnp.asarray(x))), want,
+                               atol=1e-6)
