@@ -73,14 +73,21 @@ def _ap_numpy(labels: np.ndarray, scores: np.ndarray) -> float:
     return float(np.sum(np.diff(np.r_[0.0, recall]) * precision))
 
 
-def aupro(masks: np.ndarray, preds: np.ndarray, fpr_limit: float = 0.3,
-          num_thresholds: int = 200) -> float:
+def aupro(masks: np.ndarray, preds: np.ndarray, fpr_limit: float = 0.3) -> float:
     """Area under the per-region-overlap curve up to ``fpr_limit``
     (MVTec-AD protocol), normalized to [0, 1].
 
     masks: [N, H, W] binary ground truth; preds: [N, H, W] scores.
-    Connected components via scipy.ndimage.label (8-neighborhood off: the
-    standard protocol uses 4-connectivity's default structure).
+    Connected components via scipy.ndimage.label (4-connectivity, the
+    standard protocol structure).
+
+    Exact over ALL distinct score thresholds — no quantile grid. One event
+    sweep: sort every pixel's score descending; each negative pixel
+    contributes 1/n_neg to FPR, each pixel of region r contributes
+    1/(|r|·n_regions) to PRO; cumulative sums sampled at the last event of
+    each distinct score give the full (FPR, PRO) curve for the ``>= t``
+    binarization, which is then trapezoid-integrated to ``fpr_limit`` (with
+    linear interpolation at the boundary) and normalized.
     """
     from aaclip_tpu import native
 
@@ -96,48 +103,56 @@ def aupro(masks: np.ndarray, preds: np.ndarray, fpr_limit: float = 0.3,
         from scipy import ndimage
         return ndimage.label(m)
 
-    # label all regions across images
-    regions = []  # (pred_values_in_region, region_size)
+    # per-region score arrays across all images
+    regions = []
     for i in range(masks.shape[0]):
         if not masks[i].any():
             continue
         lab, n = _label(masks[i])
         for r in range(1, n + 1):
-            sel = lab == r
-            regions.append(preds[i][sel])
+            regions.append(preds[i][lab == r])
 
-    neg_scores = preds[~masks]
-    # thresholds: FPR-uniform grid over the negative-score distribution
-    qs = np.quantile(neg_scores, 1.0 - np.linspace(0.0, fpr_limit, num_thresholds))
-    thresholds = np.unique(qs)[::-1]
+    neg_scores = preds[~masks].ravel()
+    n_neg = neg_scores.size
+    n_regions = len(regions)
+    if n_neg == 0:
+        return float("nan")
 
-    fprs = np.empty(thresholds.size)
-    pros = np.empty(thresholds.size)
-    sorted_neg = np.sort(neg_scores)
-    region_sorted = [np.sort(r) for r in regions]
-    n_neg = sorted_neg.size
-    for t_idx, t in enumerate(thresholds):
-        fprs[t_idx] = (n_neg - np.searchsorted(sorted_neg, t, side="left")) / n_neg
-        overlaps = [
-            (r.size - np.searchsorted(r, t, side="left")) / r.size
-            for r in region_sorted
-        ]
-        pros[t_idx] = np.mean(overlaps)
+    # ONE big value-sort (the negatives are ~99% of pixels); the region
+    # events are merged in with an O(P) np.insert — this avoids a 21M-element
+    # argsort and mass searchsorted, which dominate wall-clock on this metric
+    sn = np.sort(neg_scores)
+    reg_all = np.concatenate(regions)
+    rw = np.concatenate(
+        [np.full(r.size, 1.0 / (r.size * n_regions)) for r in regions])
+    o = np.argsort(reg_all, kind="stable")
+    rs, rw_s = reg_all[o], rw[o]
+    ins = np.searchsorted(sn, rs, side="left")
+    s = np.insert(sn, ins, rs)               # merged ascending, all pixels
+    mi = ins + np.arange(rs.size)            # region-event indices in s
+    total = s.size
+    w_fpr = np.full(total, 1.0 / n_neg)
+    w_fpr[mi] = 0.0
+    w_pro = np.zeros(total)
+    w_pro[mi] = rw_s
 
-    order = np.argsort(fprs)
-    fprs, pros = fprs[order], pros[order]
-    # clip to the fpr limit and integrate
-    keep = fprs <= fpr_limit
-    if keep.sum() < 2:
+    # descending-threshold cumulative curve for the `pred >= t` binarization
+    fpr_c = np.cumsum(w_fpr[::-1])
+    pro_c = np.cumsum(w_pro[::-1])
+    sd = s[::-1]
+    distinct = np.r_[np.where(np.diff(sd))[0], total - 1]
+    fprs = np.r_[0.0, fpr_c[distinct]]
+    pros = np.r_[0.0, pro_c[distinct]]
+
+    # clip at the fpr limit with boundary interpolation, then integrate
+    idx = int(np.searchsorted(fprs, fpr_limit, side="right"))
+    if idx < 2:
         return 0.0
-    f, p = fprs[keep], pros[keep]
-    if f[-1] < fpr_limit and keep.sum() < fprs.size:
-        # interpolate the curve at the limit for a clean upper bound
-        j = keep.sum()
-        f_hi, p_hi = fprs[j], pros[j]
-        w = (fpr_limit - f[-1]) / max(f_hi - f[-1], 1e-12)
+    f, p = fprs[:idx], pros[:idx]
+    if f[-1] < fpr_limit and idx < fprs.size:
+        w = (fpr_limit - f[-1]) / max(fprs[idx] - f[-1], 1e-12)
         f = np.r_[f, fpr_limit]
-        p = np.r_[p, p[-1] + w * (p_hi - p[-1])]
+        p = np.r_[p, p[-1] + w * (pros[idx] - p[-1])]
     area = np.trapezoid(p, f)
     return float(area / fpr_limit)
 

@@ -114,3 +114,73 @@ def test_native_label_components_matches_scipy():
         assert (a == 0) == (b == 0)
         if a:
             assert mapping.setdefault(a, b) == b
+
+
+def _naive_aupro(masks, preds, fpr_limit=0.3):
+    """Independent oracle: direct transcription of the MVTec AUPRO protocol
+    — binarize at EVERY distinct score, FPR over negative pixels, PRO =
+    mean per-region overlap, trapezoid to the limit. O(T·P); test-only."""
+    from scipy import ndimage
+
+    regions = []
+    for i in range(masks.shape[0]):
+        lab, n = ndimage.label(masks[i])
+        for r in range(1, n + 1):
+            regions.append((i, lab == r))
+    neg = ~masks
+    thresholds = np.unique(preds)[::-1]
+    fprs, pros = [0.0], [0.0]
+    for t in thresholds:
+        b = preds >= t
+        fprs.append((b & neg).sum() / neg.sum())
+        pros.append(np.mean([b[i][sel].mean() for i, sel in regions]))
+    fprs, pros = np.array(fprs), np.array(pros)
+    idx = int(np.searchsorted(fprs, fpr_limit, side="right"))
+    f, p = fprs[:idx], pros[:idx]
+    if f[-1] < fpr_limit and idx < fprs.size:
+        w = (fpr_limit - f[-1]) / (fprs[idx] - f[-1])
+        f = np.r_[f, fpr_limit]
+        p = np.r_[p, p[-1] + w * (pros[idx] - p[-1])]
+    return float(np.trapezoid(p, f) / fpr_limit)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_aupro_matches_naive_oracle(seed):
+    """Exact event-sweep AUPRO == brute-force all-thresholds protocol, on
+    data with multiple images, multiple regions per image, ties, and
+    region/background score overlap."""
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((3, 24, 24), bool)
+    masks[0, 2:8, 2:8] = True
+    masks[0, 14:20, 14:22] = True   # two regions in one image
+    masks[1, 5:7, 5:19] = True
+    masks[2, 10:11, 3:4] = True     # single-pixel region
+    preds = rng.random(masks.shape)
+    preds[masks] += rng.uniform(-0.3, 0.6)  # partial separation
+    preds = np.round(preds, 2)              # force ties
+    got = aupro(masks, preds)
+    want = _naive_aupro(masks, preds)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_aupro_analytic_value():
+    """Hand-computed AUPRO: one 2-pixel region; negatives dense-uniform on
+    [0, 1); region scores 0.85 and 0.55.
+
+    PRO(t) = 0 for t > 0.85, 0.5 for 0.55 < t <= 0.85, 1 for t <= 0.55;
+    FPR(t) = 1 - t. As a function of FPR f: PRO = 0 on [0, .15), 0.5 on
+    (.15, .45), 1 above. AUPRO@0.3 = (0·0.15 + 0.5·0.15)/0.3 = 0.25.
+    """
+    side = 100  # 10k negative pixels -> discretization error O(1e-4)
+    masks = np.zeros((1, side, side + 1), bool)
+    masks[0, 50, 50:52] = True
+    preds = np.zeros_like(masks, np.float64)
+    neg_vals = np.linspace(0.0, 1.0, side * (side + 1) - 2, endpoint=False)
+    preds[~masks] = np.random.default_rng(0).permutation(neg_vals)
+    preds[0, 50, 50] = 0.85
+    preds[0, 50, 51] = 0.55
+    np.testing.assert_allclose(aupro(masks, preds), 0.25, atol=1e-3)
+
+    # AUPRO of a perfect predictor is exactly 1
+    perfect = masks.astype(np.float64)
+    np.testing.assert_allclose(aupro(masks, perfect), 1.0, atol=1e-12)
