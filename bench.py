@@ -4,12 +4,15 @@ path (ViT-L-14-336 @ 518px, adapted forward -> fused anomaly map).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-``vs_baseline`` is measured against REFERENCE_BASELINE_MAPS_PER_SEC — the
-reference publishes no throughput numbers (SURVEY §6), so this constant is
-a provisional estimate of the PyTorch pipeline on a single datacenter GPU
-(ViT-L-336 @ 518, fp16, batch 32, including its per-level blur/upsample
-chain); it is to be replaced by a fresh measurement of the reference when
-GPU hardware is available.
+``vs_baseline`` is measured against the REFERENCE_BASELINE_* constants —
+the reference publishes no throughput numbers (SURVEY §6) and no GPU
+exists in this environment, so each constant is an analytic estimate of
+the as-published PyTorch pipeline on an A100-SXM, derived from the
+pipeline's FLOP count and the datasheet: full arithmetic in
+docs/PERFORMANCE.md ("Reference baseline derivation"). They adopt the
+TF32 band, which is GENEROUS to the reference (as written it runs pure
+fp32 with torch's TF32 default off, ~3x slower). Replace with fresh
+measurements if GPU hardware becomes available.
 
 Flags: --batch_size, --precision, --steps, --model_name, --img_size.
 """
@@ -21,9 +24,13 @@ import json
 import time
 
 
-# Provisional single-GPU estimate for the reference implementation
-# (unmeasured in the reference repo; see module docstring).
+# Analytic single-GPU (A100, TF32 band) estimates for the reference
+# pipeline; derivations in docs/PERFORMANCE.md. ~1.04 TFLOP/map inference;
+# stage-2 ~3.1 TFLOP/img (backward reaches layer-0 adapters, batch 2);
+# stage-1 ~2.2 TFLOP/img (two frozen ViT-L forwards).
 REFERENCE_BASELINE_MAPS_PER_SEC = 40.0
+REFERENCE_BASELINE_STAGE2_IMG_PER_SEC = 10.0
+REFERENCE_BASELINE_STAGE1_IMG_PER_SEC = 20.0
 
 
 def main(argv=None):
@@ -193,9 +200,9 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
     print(json.dumps({
         "metric": "stage2_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-2 update, "
-                f"{args.precision}, attn={effective_attn})",
-        "vs_baseline": round(per_chip / 10.0, 3),
+        "unit": f"img/s/chip ({args.model_name} @ {args.img_size}px stage-2 "
+                f"update, {args.precision}, attn={effective_attn})",
+        "vs_baseline": round(per_chip / REFERENCE_BASELINE_STAGE2_IMG_PER_SEC, 3),
     }))
 
 
@@ -251,10 +258,10 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
     print(json.dumps({
         "metric": "stage1_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
-        "unit": f"img/s/chip (ViT-L-336 @ {args.img_size}px stage-1: "
+        "unit": f"img/s/chip ({args.model_name} @ {args.img_size}px stage-1: "
                 f"surgery feats + text update, {args.precision}, "
                 f"attn={effective_attn})",
-        "vs_baseline": round(per_chip / 10.0, 3),
+        "vs_baseline": round(per_chip / REFERENCE_BASELINE_STAGE1_IMG_PER_SEC, 3),
     }))
 
 
