@@ -114,13 +114,36 @@ class DtypePolicy:
 
     @classmethod
     def fp32(cls) -> "DtypePolicy":
-        """Exact-parity path: fp32 matmuls at full TPU precision, erf GELU."""
+        """Exact-parity path: fp32 matmuls at full TPU precision (6-pass
+        bf16 decomposition, ~fp32-exact), erf GELU."""
         return cls(jnp.float32, jnp.float32, "highest", False)
+
+    @classmethod
+    def fp32_high(cls) -> "DtypePolicy":
+        """Fast-parity path: fp32 storage/residual stream and erf GELU, but
+        3-pass (F32_AS_3BF16) matmuls — ~1.6x the fp32 throughput at a
+        measured ~3e-5 relative deviation from the 6-pass parity path
+        (docs/PERFORMANCE.md, round-2 fp32 section).  The Pallas attention
+        kernel runs at full precision in this mode (Mosaic lowers only
+        DEFAULT/HIGHEST)."""
+        return cls(jnp.float32, jnp.float32, "high", False)
 
     @classmethod
     def bf16(cls) -> "DtypePolicy":
         """Fast TPU path: bf16 matmuls (fp32 accumulation), tanh GELU."""
         return cls(jnp.float32, jnp.bfloat16, None, True)
+
+    @classmethod
+    def from_name(cls, name: str) -> "DtypePolicy":
+        """CLI --precision string -> policy."""
+        try:
+            return {"fp32": cls.fp32, "fp32_high": cls.fp32_high,
+                    "bf16": cls.bf16}[name]()
+        except KeyError:
+            raise ValueError(f"unknown precision {name!r}") from None
+
+
+PRECISION_CHOICES = ("fp32", "fp32_high", "bf16")
 
 
 VIT_L_14_336 = CLIPConfig()

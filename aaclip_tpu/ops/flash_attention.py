@@ -35,16 +35,50 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _kernel_precision(dtype, precision):
+    """Dot strategy for 4-byte kernel inputs.  Mosaic only lowers DEFAULT
+    and HIGHEST natively; the 3-pass F32_AS_3BF16 scheme ("high") is
+    implemented manually in ``_kdot``.  bf16 inputs always run
+    single-pass."""
+    if jnp.dtype(dtype).itemsize < 4 or precision is None:
+        return None
+    name = str(precision).lower()
+    return "high" if "high" == name.removeprefix("precision.") else "highest"
+
+
+def _kdot(a, b, dims, precision):
+    """dot_general inside the kernel honoring the fp32 precision request.
+
+    "high" = manual 3-pass bf16 split (hi*hi + hi*lo + lo*hi, fp32
+    accumulation) — exactly XLA's F32_AS_3BF16, which Mosaic cannot lower
+    natively; "highest" lowers to the native 6-pass form.
+    """
+    if precision == "high":
+        a32 = a.astype(jnp.float32)
+        b32 = b.astype(jnp.float32)
+        a_hi = a32.astype(jnp.bfloat16)
+        b_hi = b32.astype(jnp.bfloat16)
+        a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(x, y, dims,
+                                       preferred_element_type=jnp.float32)
+
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int,
-                 bh_blk: int):
+                 bh_blk: int, precision=None):
     for j in range(bh_blk):  # static unroll over heads in this block
         q = q_ref[j]                      # [q_blk, D]
         k = k_ref[j]                      # [S_pad, D]
         v = v_ref[j]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                         # [q_blk, S_pad]
+        s = _kdot(q, k, (((1,), (1,)), ((), ())),
+                  precision) * scale      # [q_blk, S_pad]
         if valid_len < k.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < valid_len, s, -jnp.inf)
@@ -53,16 +87,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int,
         # defer normalization to the [q_blk, D] output (cheaper than
         # dividing the full [q_blk, S_pad] panel)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        o = _kdot(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), precision)
         o_ref[j] = (o / l).astype(o_ref.dtype)
 
 
 def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
                      valid_len: int, *, q_blk: int = 512, bh_blk: int = 2,
-                     interpret: bool = False) -> jax.Array:
+                     precision=None, interpret: bool = False) -> jax.Array:
     """Batched multi-head attention via the Pallas kernel.
 
     q/k/v: [B, H, S, D]; ``valid_len`` <= S is the real sequence length
@@ -87,7 +118,8 @@ def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
 
     grid = (BH // bh_blk, S_pad // q_blk)
     kernel = functools.partial(_attn_kernel, scale=scale,
-                               valid_len=valid_len, bh_blk=bh_blk)
+                               valid_len=valid_len, bh_blk=bh_blk,
+                               precision=_kernel_precision(q.dtype, precision))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((BH, S_pad, D), q.dtype),
@@ -114,7 +146,8 @@ def attention_kernel(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                   valid_len: int, heads_per_blk: int, hd: int, vv: bool):
+                   valid_len: int, heads_per_blk: int, hd: int, vv: bool,
+                   precision=None):
     """Attention over packed-QKV feature sections.
 
     q_ref: [1, q_blk, heads_per_blk*hd]; k_ref/v_ref: [1, S_pad, ...] —
@@ -128,29 +161,28 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         vs = v_ref[0][:, sl]
         qs = q_ref[0][:, sl]
         ks = k_ref[0][:, sl]
-        s = jax.lax.dot_general(
-            qs, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        s = _kdot(qs, ks, (((1,), (1,)), ((), ())), precision) * scale
         if valid_len < ks.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < valid_len, s, -jnp.inf)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        o = _kdot(p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())), precision)
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
 
-def _auto_q_blk(S: int) -> tuple[int, int]:
+def _auto_q_blk(S: int, itemsize: int = 2,
+                kernel_precision=None) -> tuple[int, int]:
     """(q_blk, S_pad) minimizing pad waste: pad to the next 128 lanes, then
-    halve until the q panel is a reasonable size (<= 768 rows)."""
+    halve until the q panel is a reasonable size.  4-byte inputs at native
+    6-pass ("highest") precision keep double-width fp32 operand panels in
+    VMEM, so they get a smaller cap; the manual 3-pass path ("high")
+    operates on bf16 splits and fits the full-width panels."""
     S_pad = _round_up(S, 128)
+    cap = 384 if (itemsize >= 4 and kernel_precision == "highest") else 768
     q_blk = S_pad
-    while q_blk > 768 and q_blk % 2 == 0:
+    while q_blk > cap and q_blk % 2 == 0:
         q_blk //= 2
     return q_blk, S_pad
 
@@ -158,7 +190,7 @@ def _auto_q_blk(S: int) -> tuple[int, int]:
 def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
                      vv: bool = False, heads_per_blk: int = 2,
                      q_blk: int | None = None, packed_sections: int = 3,
-                     interpret: bool = False) -> jax.Array:
+                     precision=None, interpret: bool = False) -> jax.Array:
     """Attention directly on the packed QKV projection — zero head
     transposes.
 
@@ -177,8 +209,9 @@ def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
     scale = hd ** -0.5
     while heads_per_blk > 1 and num_heads % heads_per_blk:
         heads_per_blk //= 2
+    kprec = _kernel_precision(qkv.dtype, precision)
     if q_blk is None:
-        q_blk, S_pad = _auto_q_blk(S)
+        q_blk, S_pad = _auto_q_blk(S, qkv.dtype.itemsize, kprec)
     else:
         S_pad = _round_up(S, q_blk)
     if S_pad != S:
@@ -189,7 +222,7 @@ def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
     grid = (B, n_hblk, S_pad // q_blk)
     kernel = functools.partial(
         _packed_kernel, scale=scale, valid_len=valid_len,
-        heads_per_blk=heads_per_blk, hd=hd, vv=vv)
+        heads_per_blk=heads_per_blk, hd=hd, vv=vv, precision=kprec)
     # feature-block index: q section = h, k = n_hblk + h, v = v_base + h
     v_base = (packed_sections - 1) * n_hblk
     q_off = v_base if vv else 0
@@ -223,7 +256,7 @@ def attention_packed(qkv: jax.Array, num_heads: int, valid_len: int, *,
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                        *, scale: float, valid_len: int, heads_per_blk: int,
-                       hd: int):
+                       hd: int, precision=None):
     """Backward for the packed attention (one q-block per program).
 
     Standard attention VJP with the full key row per program:
@@ -245,9 +278,7 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         do = do_ref[0][:, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        s = _kdot(q, k, (((1,), (1,)), ((), ())), precision) * scale
         if valid_len < k.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < valid_len, s, -jnp.inf)
@@ -255,31 +286,29 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)      # [q_blk, S_pad]
         pc = p.astype(v.dtype)
-        dv_ref[0, :, sl] += jax.lax.dot_general(
-            pc, do.astype(v.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [q_blk, S_pad]
+        dv_ref[0, :, sl] += _kdot(pc, do.astype(v.dtype),
+                                  (((0,), (0,)), ((), ())), precision)
+        dp = _kdot(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                   precision)                           # [q_blk, S_pad]
         dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - dsum) * scale).astype(q.dtype)
-        dq_ref[0, :, sl] = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = _kdot(ds, k, (((1,), (0,)), ((), ())),
+                                 precision).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] += _kdot(ds, q, (((0,), (0,)), ((), ())), precision)
 
 
 def _attention_packed_bwd_impl(qkv, d_out, num_heads: int, valid_len: int,
-                               q_blk, interpret: bool):
+                               q_blk, precision, interpret: bool):
     B, S, three_dm = qkv.shape
     dm = three_dm // 3
     hd = dm // num_heads
     scale = hd ** -0.5
     heads_per_blk = 2 if num_heads % 2 == 0 else 1
+    kprec = _kernel_precision(qkv.dtype, precision)
     if q_blk is None:
-        q_blk, S_pad = _auto_q_blk(S)
+        q_blk, S_pad = _auto_q_blk(S, qkv.dtype.itemsize, kprec)
+        if qkv.dtype.itemsize >= 4:
+            q_blk //= 2  # bwd holds ~2x the forward's panels
     else:
         S_pad = _round_up(S, q_blk)
     if S_pad != S:
@@ -291,7 +320,7 @@ def _attention_packed_bwd_impl(qkv, d_out, num_heads: int, valid_len: int,
     grid = (B, n_hblk, S_pad // q_blk)
     kernel = functools.partial(
         _packed_bwd_kernel, scale=scale, valid_len=valid_len,
-        heads_per_blk=heads_per_blk, hd=hd)
+        heads_per_blk=heads_per_blk, hd=hd, precision=kprec)
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -328,24 +357,25 @@ def _attention_packed_bwd_impl(qkv, d_out, num_heads: int, valid_len: int,
     return d_qkv[:, :S, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def attention_packed_diff(qkv: jax.Array, num_heads: int, valid_len: int,
-                          q_blk=None, interpret: bool = False) -> jax.Array:
+                          q_blk=None, precision=None,
+                          interpret: bool = False) -> jax.Array:
     """Differentiable packed attention (standard mode): forward is
     ``attention_packed``, backward is a matching Pallas kernel pair."""
     return attention_packed(qkv, num_heads, valid_len, q_blk=q_blk,
-                            interpret=interpret)
+                            precision=precision, interpret=interpret)
 
 
-def _apd_fwd(qkv, num_heads, valid_len, q_blk, interpret):
+def _apd_fwd(qkv, num_heads, valid_len, q_blk, precision, interpret):
     out = attention_packed(qkv, num_heads, valid_len, q_blk=q_blk,
-                           interpret=interpret)
+                           precision=precision, interpret=interpret)
     return out, qkv
 
 
-def _apd_bwd(num_heads, valid_len, q_blk, interpret, qkv, d_out):
+def _apd_bwd(num_heads, valid_len, q_blk, precision, interpret, qkv, d_out):
     return (_attention_packed_bwd_impl(qkv, d_out, num_heads, valid_len,
-                                       q_blk, interpret),)
+                                       q_blk, precision, interpret),)
 
 
 attention_packed_diff.defvjp(_apd_fwd, _apd_bwd)
@@ -376,6 +406,7 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
             proj = (proj + p["b_qkv"][2 * Dm:].astype(jnp.float32)).astype(cd)
             out = attention_packed(proj, num_heads, valid_len=L, vv=True,
                                    q_blk=q_blk, packed_sections=1,
+                                   precision=policy.precision,
                                    interpret=interpret)
         else:
             qkv = jnp.dot(xc, p["w_qkv"].astype(cd),
@@ -383,10 +414,13 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                           precision=policy.precision)
             qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(cd)
             if differentiable:
-                out = attention_packed_diff(qkv, num_heads, L, q_blk, interpret)
+                out = attention_packed_diff(qkv, num_heads, L, q_blk,
+                                            policy.precision, interpret)
             else:
                 out = attention_packed(qkv, num_heads, valid_len=L,
-                                       q_blk=q_blk, interpret=interpret)
+                                       q_blk=q_blk,
+                                       precision=policy.precision,
+                                       interpret=interpret)
         out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
                       preferred_element_type=jnp.float32,
                       precision=policy.precision)

@@ -56,7 +56,7 @@ class InferenceEngine:
         self.img_size = img_size
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
-        policy = DtypePolicy.bf16() if precision == "bf16" else DtypePolicy.fp32()
+        policy = DtypePolicy.from_name(precision)
         self.policy = policy
         cfg = get_config(model_name, img_size)
         self.cfg = cfg
@@ -89,7 +89,7 @@ class InferenceEngine:
         self.image_adapter = jax.tree.map(jax.numpy.asarray, self.image_adapter)
 
         attn_fn = None
-        if jax.devices()[0].platform == "tpu" and precision == "bf16":
+        if jax.devices()[0].platform == "tpu":
             from aaclip_tpu.ops.flash_attention import make_attn_fn
 
             attn_fn = make_attn_fn(cfg.vision.heads, policy)
@@ -282,7 +282,8 @@ def main(argv=None):
     parser.add_argument("--datasets", nargs="+", default=["MVTec"])
     parser.add_argument("--save_path", default=None,
                         help="adapter checkpoint dir (optional)")
-    parser.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    parser.add_argument("--precision", default="bf16",
+                        choices=["fp32", "fp32_high", "bf16"])
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8400)

@@ -38,7 +38,8 @@ def main(argv=None):
     parser.add_argument("--model_name", default="ViT-L-14-336")
     parser.add_argument("--img_size", type=int, default=518)
     parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    parser.add_argument("--precision", default="bf16",
+                        choices=["fp32", "fp32_high", "bf16"])
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--warmup", type=int, default=3)
@@ -71,7 +72,7 @@ def main(argv=None):
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig() if args.model_name != "tiny-test" else AdapterConfig(
         levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
-    policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
+    policy = DtypePolicy.from_name(args.precision)
 
     clip = create_clip_params(cfg, seed=0, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
@@ -84,7 +85,7 @@ def main(argv=None):
                                   on_tpu)
 
     attn_fn = None
-    if args.attn == "pallas" and on_tpu and args.precision == "bf16":
+    if args.attn == "pallas" and on_tpu:
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     effective_attn = "pallas" if attn_fn is not None else "xla"
@@ -165,7 +166,7 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
     from aaclip_tpu.train.steps import init_state, make_stage2_step
 
     attn_fn = None
-    if args.attn == "pallas" and on_tpu and args.precision == "bf16":
+    if args.attn == "pallas" and on_tpu:
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
     effective_attn = "pallas" if attn_fn is not None else "xla"
@@ -219,7 +220,7 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
         init_state, make_stage1_step, stage1_features_fn)
 
     attn_fn = vv_attn_fn = None
-    if args.attn == "pallas" and on_tpu and args.precision == "bf16":
+    if args.attn == "pallas" and on_tpu:
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
         vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)

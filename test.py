@@ -40,7 +40,10 @@ def parse_args(argv=None):
     # TPU-framework extras
     parser.add_argument("--levels", type=int, nargs="+", default=[6, 12, 18, 24])
     parser.add_argument("--precision", type=str, default="fp32",
-                        choices=["fp32", "bf16"])
+                        choices=["fp32", "fp32_high", "bf16"],
+                        help="fp32 = reference-exact (6-pass matmuls); "
+                             "fp32_high = 3-pass fast-parity (~3e-5 rel); "
+                             "bf16 = fast path")
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--aupro", action="store_true",
                         help="also compute pixel AUPRO")
@@ -86,7 +89,7 @@ def main(argv=None):
     from aaclip_tpu.train import checkpoint as ckpt
     from aaclip_tpu.utils.profiling import StepTimer
 
-    policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
+    policy = DtypePolicy.from_name(args.precision)
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig(
         text_adapt_weight=args.text_adapt_weight,
@@ -116,7 +119,7 @@ def main(argv=None):
     assert len(files) > 0, "image adapter checkpoint not found"
 
     attn_fn = None
-    if jax.devices()[0].platform == "tpu" and args.precision == "bf16":
+    if jax.devices()[0].platform == "tpu":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         attn_fn = make_attn_fn(cfg.vision.heads, policy)
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"

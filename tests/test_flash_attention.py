@@ -84,3 +84,46 @@ def test_attn_fn_multiple_q_blocks():
         got = fn(x, p)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4, err_msg=f"vv={vv}")
+
+
+def test_fp32_kernel_precision_modes():
+    """fp32 inputs through the packed kernel at the two parity precisions
+    (interpret mode: the manual 3-pass bf16 split's quantization is real on
+    CPU, so its error shows here).  'highest' must track exact fp32
+    attention tightly; 'high' within the fast-parity band."""
+    from aaclip_tpu.ops.flash_attention import attention_packed
+
+    d, heads, n = 128, 2, 200
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((2, n, 3 * d)), jnp.float32)
+    q, k, v = np.split(np.asarray(qkv), 3, axis=-1)
+    hd = d // heads
+    qh = q.reshape(2, n, heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(2, n, heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(2, n, heads, hd).transpose(0, 2, 1, 3)
+    s = np.einsum("bhqd,bhkd->bhqk", qh, kh) * hd ** -0.5
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, vh).transpose(0, 2, 1, 3).reshape(2, n, d)
+
+    got_hi = np.asarray(attention_packed(qkv, heads, n, q_blk=128,
+                                         precision="highest", interpret=True))
+    np.testing.assert_allclose(got_hi, want, atol=2e-6)
+    got_h = np.asarray(attention_packed(qkv, heads, n, q_blk=128,
+                                        precision="high", interpret=True))
+    np.testing.assert_allclose(got_h, want, atol=1e-4)
+    # the 3-pass split really quantized (it is not silently exact fp32)
+    assert np.abs(got_h - want).max() > 1e-7
+
+
+def test_fp32_high_policy_table():
+    from aaclip_tpu.core.config import DtypePolicy
+
+    p = DtypePolicy.from_name("fp32_high")
+    assert p.precision == "high" and p.compute_dtype == jnp.float32
+    assert not p.fast_act  # erf GELU: fp32_high stays a parity-family path
+    assert DtypePolicy.from_name("fp32").precision == "highest"
+    assert DtypePolicy.from_name("bf16").compute_dtype == jnp.bfloat16
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        DtypePolicy.from_name("fp64")

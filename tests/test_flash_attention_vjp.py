@@ -29,7 +29,7 @@ def test_forward_matches_reference():
     dm = H * hd
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.standard_normal((B, S, 3 * dm)), jnp.float32)
-    got = attention_packed_diff(qkv, H, S, 128, True)
+    got = attention_packed_diff(qkv, H, S, 128, None, True)
     want = _reference_packed(qkv, H, S)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
@@ -43,7 +43,7 @@ def test_gradient_matches_reference():
     cot = jnp.asarray(rng.standard_normal((B, S, dm)), jnp.float32)
 
     def loss_kernel(x):
-        return jnp.sum(attention_packed_diff(x, H, S, 96, True) * cot)
+        return jnp.sum(attention_packed_diff(x, H, S, 96, None, True) * cot)
 
     def loss_ref(x):
         return jnp.sum(_reference_packed(x, H, S) * cot)
@@ -63,7 +63,7 @@ def test_gradient_with_padding():
     qkv = jnp.asarray(rng.standard_normal((B, S, 3 * dm)), jnp.float32)
     cot = jnp.asarray(rng.standard_normal((B, S, dm)), jnp.float32)
     g_kernel = jax.grad(
-        lambda x: jnp.sum(attention_packed_diff(x, H, S, 64, True) * cot))(qkv)
+        lambda x: jnp.sum(attention_packed_diff(x, H, S, 64, None, True) * cot))(qkv)
     g_ref = jax.grad(
         lambda x: jnp.sum(_reference_packed(x, H, S) * cot))(qkv)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),

@@ -55,7 +55,10 @@ def parse_args(argv=None):
     # TPU-framework extras
     parser.add_argument("--levels", type=int, nargs="+", default=[6, 12, 18, 24])
     parser.add_argument("--precision", type=str, default="fp32",
-                        choices=["fp32", "bf16"])
+                        choices=["fp32", "fp32_high", "bf16"],
+                        help="fp32 = reference-exact (6-pass matmuls); "
+                             "fp32_high = 3-pass fast-parity (~3e-5 rel); "
+                             "bf16 = fast path")
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--require_pretrained", action="store_true")
     parser.add_argument("--num_workers", type=int, default=4)
@@ -96,7 +99,7 @@ def main(argv=None):
 
     sh.initialize_multihost()
     host_id, num_hosts = jax.process_index(), jax.process_count()
-    policy = DtypePolicy.bf16() if args.precision == "bf16" else DtypePolicy.fp32()
+    policy = DtypePolicy.from_name(args.precision)
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig(
         text_adapt_weight=args.text_adapt_weight,
@@ -174,7 +177,7 @@ def main(argv=None):
     # ---- stage 1 ----------------------------------------------------------
     if adapt_text and text_start_epoch < args.text_epoch:
         attn_fn = vv_attn_fn = None
-        if jax.devices()[0].platform == "tpu" and args.precision == "bf16":
+        if jax.devices()[0].platform == "tpu":
             from aaclip_tpu.ops.flash_attention import make_attn_fn
             attn_fn = make_attn_fn(cfg.vision.heads, policy)
             vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
@@ -215,7 +218,7 @@ def main(argv=None):
 
     # ---- stage 2 ----------------------------------------------------------
     s2_attn_fn = None
-    if jax.devices()[0].platform == "tpu" and args.precision == "bf16":
+    if jax.devices()[0].platform == "tpu":
         from aaclip_tpu.ops.flash_attention import make_attn_fn
         s2_attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
     step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
