@@ -62,9 +62,27 @@ def pad_batch_to_devices(arrays: Iterable[np.ndarray], valid: np.ndarray,
 
 
 def initialize_multihost() -> None:
-    """Initialize the JAX distributed runtime when launched across hosts
-    (controlled by the standard JAX coordination env vars)."""
+    """Initialize the JAX distributed runtime when launched across hosts.
+
+    Contract: set ``JAX_COORDINATOR_ADDRESS`` (host:port of process 0) on
+    every process, plus ``JAX_NUM_PROCESSES`` and ``JAX_PROCESS_ID`` when
+    not under a cluster manager jax auto-detects (SLURM etc.).  No-op in
+    single-process runs.  Rehearsed on two CPU processes by
+    ``tests/test_multihost.py`` (no multi-host TPU hardware needed).
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+
+
+def global_data_mesh() -> Mesh:
+    """1-D ('data',) mesh over ALL devices in the job (multi-host aware:
+    jax.devices() is global after jax.distributed.initialize)."""
+    return Mesh(np.asarray(jax.devices()), ("data",))

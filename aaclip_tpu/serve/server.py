@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import io
 import json
+import logging
 import queue
 import threading
 import time
@@ -72,6 +73,7 @@ class InferenceEngine:
                                        policy)
         text_adapter = None
         self.image_adapter = adapters["image"]
+        self.untrained = True  # until a real image-adapter checkpoint loads
         if save_path:
             import glob
             import os
@@ -86,6 +88,14 @@ class InferenceEngine:
             if snaps:
                 _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint(
                     snaps[-1], adapters["image"])
+                self.untrained = False
+        if self.untrained:
+            # random-init adapters produce syntactically valid but
+            # meaningless maps; refuse to pretend otherwise silently
+            logging.getLogger("aaclip.serve").warning(
+                "serving with RANDOM-INIT adapters (no image_adapter_*.npz "
+                "under save_path=%r) — /predict responses are not anomaly "
+                "detections; responses carry \"untrained\": true", save_path)
         self.image_adapter = jax.tree.map(jax.numpy.asarray, self.image_adapter)
 
         attn_fn = None
@@ -215,6 +225,7 @@ def make_handler(engine: InferenceEngine):
                     "status": "ok",
                     "img_size": engine.img_size,
                     "datasets": sorted(engine.anchors),
+                    "untrained": engine.untrained,
                 })
             elif url.path == "/classes":
                 q = parse_qs(url.query)
@@ -257,12 +268,15 @@ def make_handler(engine: InferenceEngine):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             stride = max(1, int(q.get("map_stride", ["1"])[0]))
-            self._json(200, {
+            payload = {
                 "image_score": score,
                 "map_shape": list(amap[::stride, ::stride].shape),
                 "anomaly_map": np.round(
                     amap[::stride, ::stride], 4).tolist(),
-            })
+            }
+            if engine.untrained:
+                payload["untrained"] = True
+            self._json(200, payload)
 
     return Handler
 

@@ -81,12 +81,15 @@ def test_http_predict(server):
     assert 0.0 <= payload["image_score"] <= 1.0
     assert payload["map_shape"] == [10, 10]
     assert len(payload["anomaly_map"]) == 10
+    # the test engine has no checkpoint: responses must be flagged
+    assert payload["untrained"] is True
 
 
 def test_http_health_and_classes(server):
     with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
         h = json.loads(r.read())
     assert h["status"] == "ok" and h["datasets"] == ["MVTec"]
+    assert h["untrained"] is True
     with urllib.request.urlopen(server + "/classes?dataset=MVTec",
                                 timeout=10) as r:
         c = json.loads(r.read())
@@ -140,6 +143,7 @@ def test_engine_loads_adapter_checkpoints(tmp_path):
                              adapter_cfg=acfg)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+    assert base.untrained and not loaded.untrained
     m1, s1 = base.submit(img, "MVTec", "bottle")
     m2, s2 = loaded.submit(img, "MVTec", "bottle")
     base.shutdown(); loaded.shutdown()

@@ -42,7 +42,11 @@ def parse_args(argv=None):
     parser.add_argument("--text_lr", type=float, default=0.00001)
     parser.add_argument("--image_lr", type=float, default=0.0005)
     parser.add_argument("--criterion", type=str, nargs="+",
-                        default=["dice_loss", "focal_loss"])
+                        default=["dice_loss", "focal_loss"],
+                        help="accepted for reference-CLI compatibility but "
+                             "IGNORED, exactly like the reference (its "
+                             "train.py never reads args.criterion; the loss "
+                             "is hard-wired focal+dice)")
     # exp (reference train.py:208-209)
     parser.add_argument("--seed", type=int, default=111)
     parser.add_argument("--save_path", type=str, default="ckpt/baseline")
