@@ -60,6 +60,11 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                                   compute_dtype=policy.compute_dtype,
                                   precision=policy.precision)
 
+    # the M (blur+upsample) einsums stay exact 6-pass fp32 only on the fp32
+    # parity policy; the fast policies use the 3-pass form (~1e-5 rel on the
+    # map, ~5% of the e2e step)
+    _pp_prec = "highest" if policy.precision == "highest" else "high"
+
     def _predict_impl(visual, image_adapter, images, anchors, M):
         seg_tokens, det = adapted_forward(
             visual, image_adapter, cfg, images,
@@ -75,9 +80,9 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         q = (scores[..., 1] - scores[..., 0]).sum(axis=0) * 0.5 + n_levels * 0.5
         q = q.reshape(B, grid, grid)
         pix = jnp.einsum("Ig,bgh->bIh", M, q,
-                         preferred_element_type=jnp.float32, precision="highest")
+                         preferred_element_type=jnp.float32, precision=_pp_prec)
         pix = jnp.einsum("Jh,bIh->bIJ", M, pix,
-                         preferred_element_type=jnp.float32, precision="highest")
+                         preferred_element_type=jnp.float32, precision=_pp_prec)
         img_score = (det @ anchors[:, 1] + 1.0) / 2.0
         return pix, img_score
 
