@@ -124,9 +124,14 @@ def main(argv=None):
         anchors, M = jax.device_put((anchors, M), sh.replicated(mesh))
         image_adapter = sh.replicate_tree(mesh, image_adapter)
 
+    def _sync(p, s):
+        # fetch a scalar: the relay's block_until_ready can return before
+        # execution completes (CLAUDE.md); a host fetch cannot
+        return float(jnp.sum(p[:1, :1])) + float(jnp.sum(s[:1]))
+
     for _ in range(args.warmup):
         pix, score = predict(image_adapter, images, anchors, M)
-    jax.block_until_ready((pix, score))
+    _sync(pix, score)
 
     from aaclip_tpu.utils.profiling import profile_trace
 
@@ -134,7 +139,7 @@ def main(argv=None):
     with profile_trace(args.profile_dir):
         for _ in range(args.steps):
             pix, score = predict(image_adapter, images, anchors, M)
-        jax.block_until_ready((pix, score))
+        _sync(pix, score)
     elapsed = time.perf_counter() - start
 
     n_chips = mesh.devices.size if mesh is not None else jax.local_device_count()

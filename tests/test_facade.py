@@ -69,3 +69,34 @@ def test_inference_runtime_is_torch_free():
                        text=True, env={**__import__('os').environ,
                                         "JAX_PLATFORMS": "cpu"})
     assert "TORCH_FREE_OK" in r.stdout, r.stderr[-500:]
+
+
+def test_model_config_registry_families():
+    """Every registered architecture JSON builds and runs both towers
+    (tiny img_size keeps the grids small); the -quickgelu variant diverges
+    from its erf sibling on identical weights (reference model/clip.py:23-44
+    scans model_configs/*.json the same way)."""
+    from aaclip_tpu.core.config import MODEL_CONFIGS
+    from aaclip_tpu.core.params import create_clip_params
+    from aaclip_tpu.models.vit import encode_image
+
+    for name in ["ViT-L-14-336", "ViT-L-14", "ViT-B-16", "ViT-B-32",
+                 "ViT-B-16-quickgelu"]:
+        assert name in MODEL_CONFIGS, sorted(MODEL_CONFIGS)
+
+    outs = {}
+    for name in ["ViT-B-16", "ViT-B-16-quickgelu"]:
+        cfg = get_config(name, img_size=32)  # 2x2 grid
+        assert cfg.vision.grid == 2
+        clip = create_clip_params(cfg, seed=0)
+        imgs = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, 3, 32, 32)), jnp.float32)
+        pooled, taps = encode_image(clip["visual"], cfg, imgs, out_layers=[12])
+        assert pooled.shape == (1, cfg.embed_dim)
+        assert taps[0].shape == (1, 5, cfg.vision.width)
+        tokens = jnp.array([[49406, 320, 49407] + [0] * 74])
+        txt = encode_text(clip["text"], cfg, tokens)
+        assert txt.shape == (1, cfg.embed_dim)
+        outs[name] = np.asarray(pooled)
+    # same weights, different activation -> different outputs
+    assert np.abs(outs["ViT-B-16"] - outs["ViT-B-16-quickgelu"]).max() > 1e-4
