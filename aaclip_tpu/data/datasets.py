@@ -67,12 +67,18 @@ def metadata_path(dataset_name: str, shot: int = -1) -> str:
 
 @dataclasses.dataclass
 class TrainDataset:
-    """Randomly-augmented training view (text or image stage)."""
+    """Randomly-augmented training view (text or image stage).
+
+    ``device_augment=True`` skips the host-side joint geometric
+    augmentation (color jitter / resize / normalize still run here); the
+    training loop then applies ops/augment.py on device per batch.
+    """
     spec: DatasetSpec
     records: List[Record]
     img_size: int
     text_stage: bool
     seed: int = 111
+    device_augment: bool = False
 
     def __len__(self) -> int:
         return len(self.records)
@@ -86,6 +92,7 @@ class TrainDataset:
             os.path.join(self.spec.data_path, r.image_path),
             os.path.join(self.spec.data_path, r.mask_path) if r.mask_path else None,
             self.img_size, r.label, rng, self.text_stage,
+            geometric=not self.device_augment,
         )
         return {"image": img, "mask": mask, "label": r.label,
                 "class_name": r.class_name, "file_name": r.image_path}
@@ -116,14 +123,16 @@ class TestDataset:
 
 
 def get_train_datasets(dataset_name: str, img_size: int, shot: int = -1,
-                       seed: int = 111):
+                       seed: int = 111, device_augment: bool = False):
     """(text_dataset, image_dataset) over the same metadata
     (reference dataset/__init__.py:188-202)."""
     spec = DATASETS[dataset_name]
     records = read_jsonl(metadata_path(dataset_name, shot))
     return (
-        TrainDataset(spec, records, img_size, text_stage=True, seed=seed),
-        TrainDataset(spec, records, img_size, text_stage=False, seed=seed),
+        TrainDataset(spec, records, img_size, text_stage=True, seed=seed,
+                     device_augment=device_augment),
+        TrainDataset(spec, records, img_size, text_stage=False, seed=seed,
+                     device_augment=device_augment),
     )
 
 

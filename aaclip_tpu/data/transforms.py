@@ -144,9 +144,11 @@ def preprocess_test(img_path: str, mask_path: Optional[str], img_size: int,
 
 def preprocess_train(img_path: str, mask_path: Optional[str], img_size: int,
                      label: int, rng: np.random.Generator,
-                     text_stage: bool) -> Tuple[np.ndarray, np.ndarray]:
+                     text_stage: bool,
+                     geometric: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """Training transform; ``text_stage=True`` skips color jitter
-    (dataset/__init__.py:41-52)."""
+    (dataset/__init__.py:41-52).  ``geometric=False`` defers the joint
+    geometric augmentation to the device (ops/augment.py)."""
     pil = load_image_rgb(img_path)
     if not text_stage:
         pil = color_jitter(pil, rng)
@@ -155,4 +157,6 @@ def preprocess_train(img_path: str, mask_path: Optional[str], img_size: int,
         mask = binarize_mask(resize_mask(load_mask(mask_path), img_size))
     else:
         mask = np.zeros((1, img_size, img_size), np.float32)
+    if not geometric:
+        return img, mask
     return joint_geometric_augment(img, mask, rng)

@@ -1,0 +1,86 @@
+"""On-device joint geometric augmentation (training input pipeline).
+
+The reference augments on the host per sample (torchvision transforms on
+the stacked image+mask tensor, dataset/__init__.py:30-39,89-94); the host
+path here (data/transforms.joint_geometric_augment) mirrors it exactly.
+This module is the TPU-native alternative: the SAME transform sequence —
+RandomRotation(30) p=0.5 -> RandomAffine(translate 0.15, integer offsets)
+p=0.5 -> H/V flips p=0.5, nearest resampling, zero fill — applied to the
+whole batch on device with jax.random, so large data-parallel batches do
+not serialize augmentation on host CPUs.
+
+Parity: given identical transform parameters, the device output is
+bit-identical to the host `_affine_nearest` + flips pipeline (same
+inverse-mapped nearest gather, same rint rounding, two separate resamples
+for rotation and translation exactly like torchvision applies them) —
+asserted by tests/test_augment_device.py.  The random STREAM differs from
+the host path (jax.random vs numpy Generator); both draw the same
+distributions (docs/PARITY.md, intentional deviation 3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _nearest_affine_one(chans: jax.Array, angle_deg: jax.Array,
+                        ty: jax.Array, tx: jax.Array) -> jax.Array:
+    """Inverse-mapped nearest affine on [C, H, W] — the jnp twin of
+    data/transforms._affine_nearest (rotation about center + translation,
+    zero fill).  angle 0 with zero offsets is an exact identity."""
+    C, H, W = chans.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    a = jnp.deg2rad(angle_deg)
+    cos_a, sin_a = jnp.cos(a), jnp.sin(a)
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    y0 = ys.astype(jnp.float32) - ty - cy
+    x0 = xs.astype(jnp.float32) - tx - cx
+    src_x = cos_a * x0 - sin_a * y0 + cx
+    src_y = sin_a * x0 + cos_a * y0 + cy
+    sx = jnp.rint(src_x).astype(jnp.int32)
+    sy = jnp.rint(src_y).astype(jnp.int32)
+    valid = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
+    sx = jnp.clip(sx, 0, W - 1)
+    sy = jnp.clip(sy, 0, H - 1)
+    return chans[:, sy, sx] * valid[None].astype(chans.dtype)
+
+
+def _augment_one(key: jax.Array, img: jax.Array, mask: jax.Array):
+    """One sample: img [3, H, W], mask [H, W].  Draw order mirrors the host
+    pipeline (rotation gate+angle, translate gate+offsets, hflip, vflip)."""
+    H, W = mask.shape
+    stacked = jnp.concatenate([img, mask[None].astype(img.dtype)], axis=0)
+    k = jax.random.split(key, 7)
+
+    rot = jax.random.uniform(k[0]) < 0.5
+    angle = jnp.where(rot, jax.random.uniform(k[1], minval=-30.0, maxval=30.0),
+                      0.0)
+    stacked = _nearest_affine_one(stacked, angle, jnp.float32(0), jnp.float32(0))
+
+    trans = jax.random.uniform(k[2]) < 0.5
+    tx = jnp.rint(jax.random.uniform(k[3], minval=-0.15 * W, maxval=0.15 * W))
+    ty = jnp.rint(jax.random.uniform(k[4], minval=-0.15 * H, maxval=0.15 * H))
+    tx = jnp.where(trans, tx, 0.0)
+    ty = jnp.where(trans, ty, 0.0)
+    stacked = _nearest_affine_one(stacked, jnp.float32(0), ty, tx)
+
+    stacked = jnp.where(jax.random.uniform(k[5]) < 0.5,
+                        stacked[:, :, ::-1], stacked)
+    stacked = jnp.where(jax.random.uniform(k[6]) < 0.5,
+                        stacked[:, ::-1, :], stacked)
+    return stacked[:3], stacked[3].astype(mask.dtype)
+
+
+def joint_geometric_augment_device(key: jax.Array, images: jax.Array,
+                                   masks: jax.Array):
+    """Batch form: images [B, 3, H, W], masks [B, H, W]; independent
+    per-sample keys.  jittable; typically wrapped in one jax.jit at the
+    top of the training step pipeline."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(_augment_one)(keys, images, masks)
+
+
+def make_device_augment():
+    """jitted (key, images, masks) -> (images, masks)."""
+    return jax.jit(joint_geometric_augment_device)

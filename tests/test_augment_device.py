@@ -1,0 +1,103 @@
+"""On-device joint geometric augmentation vs the host pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aaclip_tpu.data.transforms import _affine_nearest
+from aaclip_tpu.ops.augment import (
+    _nearest_affine_one,
+    joint_geometric_augment_device,
+)
+
+
+@pytest.mark.parametrize("angle,ty,tx", [
+    (17.3, 0.0, 0.0), (-29.9, 0.0, 0.0), (0.0, 4.0, -6.0), (45.0, 0.0, 0.0),
+])
+def test_device_affine_matches_host(angle, ty, tx):
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 33, 37)).astype(np.float32)
+    want = _affine_nearest(x.copy(), angle, (ty, tx))
+    got = np.asarray(_nearest_affine_one(
+        jnp.asarray(x), jnp.float32(angle), jnp.float32(ty), jnp.float32(tx)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_affine_identity_is_exact():
+    rng = np.random.default_rng(1)
+    x = rng.random((4, 32, 32)).astype(np.float32)
+    got = np.asarray(_nearest_affine_one(
+        jnp.asarray(x), jnp.float32(0), jnp.float32(0), jnp.float32(0)))
+    np.testing.assert_array_equal(got, x)
+
+
+def test_batch_augment_semantics():
+    """Batch form: per-sample independence, binary masks preserved, pixel
+    values are a permutation-with-zero-fill of the input (nearest, no
+    interpolation), deterministic in the key."""
+    rng = np.random.default_rng(2)
+    B, H = 6, 24
+    imgs = rng.random((B, 3, H, H)).astype(np.float32) + 0.5
+    masks = (rng.random((B, H, H)) > 0.7).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    out_i, out_m = joint_geometric_augment_device(key, jnp.asarray(imgs),
+                                                  jnp.asarray(masks))
+    out_i, out_m = np.asarray(out_i), np.asarray(out_m)
+    assert out_i.shape == imgs.shape and out_m.shape == masks.shape
+    assert set(np.unique(out_m)) <= {0.0, 1.0}
+    for b in range(B):
+        vals = set(np.round(out_i[b].ravel(), 6)) - {0.0}
+        src = set(np.round(imgs[b].ravel(), 6))
+        assert vals <= src  # nearest resampling never invents values
+
+    # deterministic; different keys differ
+    out_i2, _ = joint_geometric_augment_device(key, jnp.asarray(imgs),
+                                               jnp.asarray(masks))
+    np.testing.assert_array_equal(out_i, np.asarray(out_i2))
+    out_i3, _ = joint_geometric_augment_device(jax.random.PRNGKey(7),
+                                               jnp.asarray(imgs),
+                                               jnp.asarray(masks))
+    assert np.abs(out_i - np.asarray(out_i3)).max() > 0
+
+    # samples draw independent transforms: not all identical when inputs are
+    identical = jnp.broadcast_to(imgs[:1], imgs.shape)
+    out_same, _ = joint_geometric_augment_device(
+        key, identical, jnp.broadcast_to(masks[:1], masks.shape))
+    out_same = np.asarray(out_same)
+    assert any(np.abs(out_same[b] - out_same[0]).max() > 0 for b in range(1, B))
+
+
+def test_train_cli_device_augment(tmp_path):
+    """train.py --device_augment trains end-to-end on synthetic data."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.synthetic import make_synthetic_dataset
+    import train as train_cli
+
+    data_root, meta_root = make_synthetic_dataset(str(tmp_path), img_px=64)
+    old = dict(os.environ)
+    os.environ["AACLIP_DATA"] = data_root
+    os.environ["AACLIP_METADATA"] = meta_root
+    try:
+        save = str(tmp_path / "ckpt")
+        train_cli.main([
+            "--model_name", "tiny-test", "--img_size", "70",
+            "--dataset", "MVTec", "--text_adapt_until", "1",
+            "--image_adapt_until", "1", "--levels", "1", "2",
+            "--num_workers", "2", "--save_path", save,
+            "--training_mode", "full_shot", "--text_epoch", "1",
+            "--image_epoch", "1", "--text_batch_size", "4",
+            "--image_batch_size", "4", "--surgery_until_layer", "2",
+            "--device_augment",
+        ])
+        assert os.path.isfile(os.path.join(save, "image_adapter_1.npz"))
+        log = open(os.path.join(save, "train.log")).read()
+        import re
+        losses = [float(m) for m in re.findall(r"loss: ([\d.]+)", log)]
+        assert losses and all(np.isfinite(losses))
+    finally:
+        os.environ.clear()
+        os.environ.update(old)

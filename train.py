@@ -65,6 +65,11 @@ def parse_args(argv=None):
                              "bf16 = fast path")
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--require_pretrained", action="store_true")
+    parser.add_argument("--device_augment", action="store_true",
+                        help="apply the joint geometric augmentation on "
+                             "device (jax.random, whole batch at once) "
+                             "instead of per-sample on the host; same "
+                             "transform distribution, different RNG stream")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
@@ -132,7 +137,20 @@ def main(argv=None):
         args.shot = -1
     logger.info("loading dataset ...")
     text_ds, image_ds = get_train_datasets(
-        args.dataset, args.img_size, args.shot, seed=args.seed)
+        args.dataset, args.img_size, args.shot, seed=args.seed,
+        device_augment=args.device_augment)
+    aug_fn = None
+    if args.device_augment:
+        from aaclip_tpu.ops.augment import make_device_augment
+        aug_fn = make_device_augment()
+        aug_base = jax.random.PRNGKey(args.seed ^ 0x5EED)
+
+    def maybe_augment(images, mask, stage, epoch, it):
+        if aug_fn is None:
+            return images, mask
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.fold_in(aug_base, stage), epoch), it)
+        return aug_fn(key, images, mask)
 
     text_tx = make_text_optimizer(args.text_lr)
     image_tx = make_image_optimizer(args.image_lr)
@@ -200,8 +218,9 @@ def main(argv=None):
         for epoch in range(text_start_epoch, args.text_epoch):
             logger.info("training text epoch %d:", epoch)
             losses = []
-            for batch in loader:
+            for it, batch in enumerate(loader):
                 images, mask, label, class_idx, valid = device_batch(batch)
+                images, mask = maybe_augment(images, mask, 1, epoch, it)
                 feats = feats_fn(images)
                 text_state, loss = step_fn(text_state, feats, mask,
                                            class_idx, valid)
@@ -236,8 +255,9 @@ def main(argv=None):
     for epoch in range(image_start_epoch, args.image_epoch):
         logger.info("training image epoch %d:", epoch)
         losses = []
-        for batch in loader:
+        for it, batch in enumerate(loader):
             images, mask, label, class_idx, valid = device_batch(batch)
+            images, mask = maybe_augment(images, mask, 2, epoch, it)
             image_state, loss = step_fn(image_state, images, mask, label,
                                         class_idx, valid)
             losses.append(float(loss))
