@@ -37,3 +37,32 @@ def test_bench_modes_emit_contract(mode, metric):
     assert payload["metric"] == metric
     assert payload["value"] > 0
     assert "vs_baseline" in payload and "unit" in payload
+
+
+def test_profile_report_tool(tmp_path):
+    """tools/profile_report.py parses a trace archive and buckets ops."""
+    import gzip
+    import json
+    import subprocess
+    import sys
+
+    d = tmp_path / "plugins" / "profile" / "run1"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "X", "name": "while.3", "dur": 5000, "ts": 0},
+        {"ph": "X", "name": "fusion.12", "dur": 2000, "ts": 0},
+        {"ph": "X", "name": "closed_call.1", "dur": 1000, "ts": 0},
+        {"ph": "X", "name": "pad.9", "dur": 250, "ts": 0},
+        {"ph": "X", "name": "$api.py block_until_ready", "dur": 9e9, "ts": 0},
+        {"ph": "M", "name": "metadata"},
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/profile_report.py", str(tmp_path), "--top", "3"],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr
+    assert "scan/while" in r.stdout and "Pallas" in r.stdout
+    assert "while.3" in r.stdout
+    assert "block_until_ready" not in r.stdout  # python spans excluded
