@@ -9,6 +9,12 @@ complete-event durations per op name, groups XLA/Pallas op families
 (fusion kernels, scan bodies, custom calls, copies/pads), and prints a
 table of where device time goes.  This replaces eyeballing the raw
 TensorBoard trace, which is unavailable in headless environments.
+
+CAVEAT (axon relay): traces captured through the relayed TPU report
+COMPILER COST-MODEL durations, not measured wall times — the numbers are
+bit-identical across runs and insensitive to some numeric-mode changes.
+They are still useful for relative op-family weighting; trust end-to-end
+wall times (bench.py's scalar-fetch timing) for absolute numbers.
 """
 
 from __future__ import annotations
