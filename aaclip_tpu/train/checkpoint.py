@@ -99,6 +99,102 @@ def _restore_subtree(data, root: str, template):
 
 
 # ---------------------------------------------------------------------------
+# Orbax backend (opt-in: async saves, multi-host-safe directory format)
+
+_ORBAX_SUFFIX = ".orbax"
+_async_checkpointer = None
+
+
+def _orbax():
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        import orbax.checkpoint as ocp
+
+        _async_checkpointer = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _async_checkpointer
+
+
+def orbax_path(path: str) -> str:
+    """npz checkpoint path -> the orbax directory for the same snapshot."""
+    base = path[:-4] if path.endswith(".npz") else path
+    return os.path.abspath(base + _ORBAX_SUFFIX)
+
+
+def save_adapter_checkpoint_orbax(path: str, epoch: int, adapter: dict,
+                                  opt_state=None, step: int = 0) -> None:
+    """Async save (returns immediately; the write completes in the
+    background — call wait_for_async_saves() before process exit)."""
+    import orbax.checkpoint as ocp
+
+    payload = {"adapter": adapter, "epoch": int(epoch), "step": int(step)}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    _orbax().save(orbax_path(path), args=ocp.args.StandardSave(payload),
+                  force=True)
+
+
+def load_adapter_checkpoint_orbax(path: str, adapter_template,
+                                  opt_state_template=None) -> Tuple[int, dict, Any, int]:
+    """Returns (epoch, adapter, opt_state_or_None, step) — same contract as
+    the npz loader.  ``path`` may be the .orbax directory or the sibling
+    .npz name."""
+    import orbax.checkpoint as ocp
+
+    d = path if path.endswith(_ORBAX_SUFFIX) else orbax_path(path)
+    ck = _orbax()
+    ck.wait_until_finished()  # a just-issued async save of this path
+    if opt_state_template is not None:
+        template = {"adapter": adapter_template, "epoch": 0, "step": 0,
+                    "opt_state": opt_state_template}
+        out = ck.restore(d, args=ocp.args.StandardRestore(template))
+        opt_state = out["opt_state"]
+        adapter = out["adapter"]
+    else:
+        # eval-style load: the on-disk tree may carry optimizer state we
+        # have no template for; restore raw and re-type the adapter leaves
+        out = ck.restore(d)
+        opt_state = None
+        adapter = jax.tree.map(
+            lambda t, x: jnp.asarray(x, np.asarray(t).dtype),
+            adapter_template, out["adapter"])
+    return int(out["epoch"]), adapter, opt_state, int(out["step"])
+
+
+def wait_for_async_saves() -> None:
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
+def save_adapter_checkpoint_any(path: str, epoch: int, adapter: dict,
+                                opt_state=None, step: int = 0,
+                                backend: str = "npz") -> None:
+    if backend == "orbax":
+        save_adapter_checkpoint_orbax(path, epoch, adapter, opt_state, step)
+    else:
+        save_adapter_checkpoint(path, epoch, adapter, opt_state, step)
+
+
+def find_adapter_checkpoint(path: str):
+    """Resolve an adapter snapshot saved by EITHER backend: returns the
+    concrete path (npz file or orbax dir) or None."""
+    if os.path.isfile(path):
+        return path
+    d = orbax_path(path)
+    if os.path.isdir(d):
+        return d
+    return None
+
+
+def load_adapter_checkpoint_any(path: str, adapter_template,
+                                opt_state_template=None):
+    if path.endswith(_ORBAX_SUFFIX):
+        return load_adapter_checkpoint_orbax(path, adapter_template,
+                                             opt_state_template)
+    return load_adapter_checkpoint(path, adapter_template, opt_state_template)
+
+
+# ---------------------------------------------------------------------------
 # Reference .pth interop (host-side, uses torch)
 
 

@@ -105,16 +105,19 @@ def main(argv=None):
 
     # ---- text adapter (reference test.py:163-170) -------------------------
     text_adapter = None
-    npz = os.path.join(args.save_path, "text_adapter.npz")
+    npz = ckpt.find_adapter_checkpoint(
+        os.path.join(args.save_path, "text_adapter.npz"))
     pths = glob.glob(os.path.join(args.save_path, "text_adapter.pth"))
-    if os.path.isfile(npz):
-        _, text_adapter, _, _ = ckpt.load_adapter_checkpoint(npz, adapters["text"])
+    if npz:
+        _, text_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
+            npz, adapters["text"])
     elif pths:
         _, text_adapter = ckpt.load_reference_checkpoint(
             pths[0], "text", n_adapt=args.text_adapt_until)
 
     # ---- image adapter snapshots (reference test.py:172-177) -------------
     files = sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.npz")))
+    files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.orbax")))
     files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")))
     assert len(files) > 0, "image adapter checkpoint not found"
 
@@ -140,8 +143,8 @@ def main(argv=None):
     domain = DOMAINS[args.dataset]
 
     for file in files:
-        if file.endswith(".npz"):
-            test_epoch, image_adapter, _, _ = ckpt.load_adapter_checkpoint(
+        if file.endswith(".npz") or file.endswith(".orbax"):
+            test_epoch, image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
                 file, adapters["image"])
         else:
             test_epoch, image_adapter = ckpt.load_reference_checkpoint(

@@ -313,3 +313,33 @@ def test_train_resume(env):
     # epoch 0 trained once, epoch 1 trained once after resume
     assert log.count("training image epoch 0:") == 1
     assert log.count("training image epoch 1:") == 1
+
+
+def test_orbax_backend_cli(env):
+    """train.py --ckpt_backend orbax writes directory snapshots; resume
+    works across backends; test.py evaluates the .orbax snapshots."""
+    import train as train_cli
+    import test as test_cli
+
+    save = os.path.join(env, "ckpt_orbax")
+    base = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "1", "--text_batch_size", "4",
+        "--image_batch_size", "4", "--surgery_until_layer", "2",
+        "--ckpt_backend", "orbax",
+    ]
+    train_cli.main(base + ["--image_epoch", "1"])
+    assert os.path.isdir(os.path.join(save, "image_adapter_1.orbax"))
+    assert os.path.isdir(os.path.join(save, "text_adapter.orbax"))
+    assert not os.path.exists(os.path.join(save, "image_adapter_1.npz"))
+    # resume from the orbax snapshot, continuing to epoch 2
+    train_cli.main(base + ["--image_epoch", "2"])
+    assert os.path.isdir(os.path.join(save, "image_adapter_2.orbax"))
+    log = open(os.path.join(save, "train.log")).read()
+    assert log.count("training image epoch 0:") == 1
+    assert log.count("training image epoch 1:") == 1
+
+    test_cli.main(COMMON + ["--save_path", save, "--batch_size", "4"])
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert tlog.count("load model from epoch") == 2
+    assert "Average" in tlog

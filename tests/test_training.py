@@ -157,3 +157,41 @@ def test_checkpoint_mismatch_errors(tmp_path, setup):
         AdapterConfig(levels=(1, 2), image_adapt_until=2, text_adapt_until=1))
     with pytest.raises((KeyError, ValueError), match="adapter flags"):
         ckpt.load_adapter_checkpoint(path, wrong["image"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: async save -> restore equals the saved state
+    (adapter + optimizer + counters), matching the npz loader contract."""
+    import jax
+
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train import checkpoint as ckpt
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state
+
+    cfg = get_config("tiny-test")
+    acfg = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    adapters = init_adapter_params(jax.random.PRNGKey(5), cfg, acfg)
+    tx = make_image_optimizer(1e-3)
+    state = init_state(adapters["image"], tx)
+
+    path = str(tmp_path / "image_adapter_3.npz")
+    ckpt.save_adapter_checkpoint_any(path, 3, state.params, state.opt_state,
+                                     step=42, backend="orbax")
+    ckpt.wait_for_async_saves()
+    found = ckpt.find_adapter_checkpoint(path)
+    assert found and found.endswith(".orbax")
+
+    epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint_any(
+        found, adapters["image"], state.opt_state)
+    assert (epoch, step) == (3, 42)
+    for a, b in zip(jax.tree.leaves(adapter), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # loading without an optimizer template also works (test.py path)
+    epoch2, adapter2, none_opt, _ = ckpt.load_adapter_checkpoint_any(
+        found, adapters["image"])
+    assert epoch2 == 3 and none_opt is None

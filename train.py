@@ -65,6 +65,11 @@ def parse_args(argv=None):
                              "bf16 = fast path")
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--require_pretrained", action="store_true")
+    parser.add_argument("--ckpt_backend", type=str, default="npz",
+                        choices=["npz", "orbax"],
+                        help="npz = single-file flat archive (default); "
+                             "orbax = async, multi-host-safe directory "
+                             "checkpoints")
     parser.add_argument("--device_augment", action="store_true",
                         help="apply the joint geometric augmentation on "
                              "device (jax.random, whole batch at once) "
@@ -160,9 +165,10 @@ def main(argv=None):
     text_start_epoch = 0
     adapt_text = args.text_epoch != 0
     text_ckpt = os.path.join(args.save_path, "text_adapter.npz")
-    if os.path.isfile(text_ckpt):
-        epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint(
-            text_ckpt, adapters["text"], text_state.opt_state)
+    found = ckpt.find_adapter_checkpoint(text_ckpt)
+    if found:
+        epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint_any(
+            found, adapters["text"], text_state.opt_state)
         text_state = TrainState(adapter, opt_state or text_state.opt_state,
                                 jnp.asarray(step, jnp.int32))
         text_start_epoch = epoch
@@ -171,9 +177,10 @@ def main(argv=None):
     image_state = init_state(adapters["image"], image_tx)
     image_start_epoch = 0
     image_ckpt = os.path.join(args.save_path, "image_adapter.npz")
-    if os.path.isfile(image_ckpt):
-        epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint(
-            image_ckpt, adapters["image"], image_state.opt_state)
+    found = ckpt.find_adapter_checkpoint(image_ckpt)
+    if found:
+        epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint_any(
+            found, adapters["image"], image_state.opt_state)
         image_state = TrainState(adapter, opt_state or image_state.opt_state,
                                  jnp.asarray(step, jnp.int32))
         image_start_epoch = epoch
@@ -228,9 +235,10 @@ def main(argv=None):
                 timer.tick(images.shape[0])
             logger.info("loss: %s", float(np.mean(losses)))
             logger.info("throughput: %.2f img/s", timer.rate())
-            ckpt.save_adapter_checkpoint(
+            ckpt.save_adapter_checkpoint_any(
                 text_ckpt, epoch + 1, text_state.params,
-                text_state.opt_state, int(text_state.step))
+                text_state.opt_state, int(text_state.step),
+                backend=args.ckpt_backend)
 
     # ---- anchors for stage 2 (reference train.py:338-344) ----------------
     text_adapter = text_state.params if args.text_epoch != 0 else None
@@ -264,13 +272,15 @@ def main(argv=None):
             timer.tick(images.shape[0])
         logger.info("loss: %s", float(np.mean(losses)))
         logger.info("throughput: %.2f img/s", timer.rate())
-        ckpt.save_adapter_checkpoint(
+        ckpt.save_adapter_checkpoint_any(
             image_ckpt, epoch + 1, image_state.params,
-            image_state.opt_state, int(image_state.step))
-        ckpt.save_adapter_checkpoint(
+            image_state.opt_state, int(image_state.step),
+            backend=args.ckpt_backend)
+        ckpt.save_adapter_checkpoint_any(
             os.path.join(args.save_path, f"image_adapter_{epoch + 1}.npz"),
             epoch + 1, image_state.params, image_state.opt_state,
-            int(image_state.step))
+            int(image_state.step), backend=args.ckpt_backend)
+    ckpt.wait_for_async_saves()
     logger.info("done")
 
 
