@@ -83,6 +83,7 @@ def initialize_multihost() -> None:
 
 
 def global_data_mesh() -> Mesh:
-    """1-D ('data',) mesh over ALL devices in the job (multi-host aware:
-    jax.devices() is global after jax.distributed.initialize)."""
-    return Mesh(np.asarray(jax.devices()), ("data",))
+    """Alias of ``make_data_mesh()`` kept for multi-host-intent call sites:
+    after jax.distributed.initialize, jax.devices() is the GLOBAL device
+    list, so the default data mesh already spans every host."""
+    return make_data_mesh()

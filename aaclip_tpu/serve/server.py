@@ -80,13 +80,16 @@ class InferenceEngine:
 
             from aaclip_tpu.train import checkpoint as ckpt
 
-            npz = os.path.join(save_path, "text_adapter.npz")
-            if os.path.isfile(npz):
-                _, text_adapter, _, _ = ckpt.load_adapter_checkpoint(
-                    npz, adapters["text"])
-            snaps = sorted(glob.glob(os.path.join(save_path, "image_adapter_*.npz")))
+            found = ckpt.find_adapter_checkpoint(
+                os.path.join(save_path, "text_adapter.npz"))
+            if found:
+                _, text_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
+                    found, adapters["text"])
+            snaps = sorted(
+                glob.glob(os.path.join(save_path, "image_adapter_*.npz"))
+                + glob.glob(os.path.join(save_path, "image_adapter_*.orbax")))
             if snaps:
-                _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint(
+                _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
                     snaps[-1], adapters["image"])
                 self.untrained = False
         if self.untrained:

@@ -177,11 +177,16 @@ def save_adapter_checkpoint_any(path: str, epoch: int, adapter: dict,
 
 def find_adapter_checkpoint(path: str):
     """Resolve an adapter snapshot saved by EITHER backend: returns the
-    concrete path (npz file or orbax dir) or None."""
-    if os.path.isfile(path):
-        return path
+    concrete path (npz file or orbax dir) or None.  When both exist (the
+    run switched --ckpt_backend), the NEWER one wins so resume never
+    restarts from a stale snapshot of the other format."""
     d = orbax_path(path)
-    if os.path.isdir(d):
+    has_npz, has_orbax = os.path.isfile(path), os.path.isdir(d)
+    if has_npz and has_orbax:
+        return path if os.path.getmtime(path) >= os.path.getmtime(d) else d
+    if has_npz:
+        return path
+    if has_orbax:
         return d
     return None
 

@@ -78,6 +78,9 @@ def main(argv=None):
     adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    if args.mode in ("train", "train_stage1") and args.data_parallel:
+        parser.error("--data_parallel currently applies to --mode infer only "
+                     "(train.py --data_parallel benchmarks DP training)")
     if args.mode == "train":
         return bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu)
     if args.mode == "train_stage1":
@@ -126,8 +129,10 @@ def main(argv=None):
 
     def _sync(p, s):
         # fetch a scalar: the relay's block_until_ready can return before
-        # execution completes (CLAUDE.md); a host fetch cannot
-        return float(jnp.sum(p[:1, :1])) + float(jnp.sum(s[:1]))
+        # execution completes (CLAUDE.md); a host fetch cannot. The reduce
+        # spans the FULL (possibly sharded) arrays so every device in a
+        # --data_parallel mesh must have finished, not just shard 0.
+        return float(jnp.sum(s)) + float(jnp.sum(p[:, 0, 0]))
 
     for _ in range(args.warmup):
         pix, score = predict(image_adapter, images, anchors, M)

@@ -147,4 +147,22 @@ def test_engine_loads_adapter_checkpoints(tmp_path):
     m1, s1 = base.submit(img, "MVTec", "bottle")
     m2, s2 = loaded.submit(img, "MVTec", "bottle")
     base.shutdown(); loaded.shutdown()
+
+    # orbax-format snapshots are discovered too
+    import shutil
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint_any, \
+        wait_for_async_saves
+    orbax_dir = tmp_path / "orbax_run"
+    orbax_dir.mkdir()
+    save_adapter_checkpoint_any(str(orbax_dir / "image_adapter_2.npz"), 2,
+                                other["image"], backend="orbax")
+    wait_for_async_saves()
+    ob = InferenceEngine(model_name="tiny-test", img_size=70,
+                         datasets=("MVTec",), precision="fp32",
+                         max_batch=2, save_path=str(orbax_dir),
+                         adapter_cfg=acfg)
+    assert not ob.untrained
+    m3, s3 = ob.submit(img, "MVTec", "bottle")
+    np.testing.assert_allclose(m3, m2, atol=1e-6)
+    ob.shutdown()
     assert not np.allclose(m1, m2)  # different adapters -> different maps

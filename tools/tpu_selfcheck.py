@@ -85,8 +85,12 @@ def main(argv=None):
                         (DtypePolicy.bf16(), 5e-2)]:
         fn = make_attn_fn(H, policy, differentiable=True)
         ref = lambda x, p: L.attention(x, p, H, policy=DtypePolicy.fp32())
-        g_k = jax.jit(jax.grad(lambda x: jnp.sum(jnp.tanh(fn(x, p)))))(x)
-        g_x = jax.jit(jax.grad(lambda x: jnp.sum(jnp.tanh(ref(x, p)))))(x)
+        # params passed as ARGUMENTS (CLAUDE.md: closed-over params become
+        # graph constants and stall remote compiles)
+        g_k = jax.jit(jax.grad(
+            lambda x, p: jnp.sum(jnp.tanh(fn(x, p)))))(x, p)
+        g_x = jax.jit(jax.grad(
+            lambda x, p: jnp.sum(jnp.tanh(ref(x, p)))))(x, p)
         d = np.abs(np.asarray(g_k, np.float64) - np.asarray(g_x)).max()
         s = np.abs(np.asarray(g_x)).max()
         print(f"vjp {policy.precision or 'bf16'}: max|dgrad|={d:.3e} (scale {s:.2e})")
