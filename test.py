@@ -12,10 +12,8 @@ from __future__ import annotations
 
 import argparse
 import glob
-import logging
 import os
 
-import numpy as np
 
 
 def parse_args(argv=None):

@@ -343,3 +343,41 @@ def test_orbax_backend_cli(env):
     tlog = open(os.path.join(save, "test.log")).read()
     assert tlog.count("load model from epoch") == 2
     assert "Average" in tlog
+
+
+def test_combined_features_cli(env):
+    """Feature interaction: --data_parallel + --device_augment +
+    --ckpt_backend orbax in ONE run (device augmentation must partition
+    over the sharded batch), then data-parallel eval of the orbax snapshot."""
+    import subprocess
+    import sys
+
+    save = os.path.join(env, "ckpt_combo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    train_args = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "1", "--image_epoch", "1",
+        "--text_batch_size", "8", "--image_batch_size", "8",
+        "--surgery_until_layer", "2", "--data_parallel",
+        "--device_augment", "--ckpt_backend", "orbax",
+    ]
+    test_args = COMMON + ["--save_path", save, "--batch_size", "8",
+                          "--data_parallel"]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 8, jax.devices()\n"
+        f"import sys; sys.argv = ['train.py'] + {train_args!r}\n"
+        "import train; train.main()\n"
+        f"sys.argv = ['test.py'] + {test_args!r}\n"
+        "import test; test.main()\n"
+    )
+    envv = dict(os.environ)
+    envv["JAX_PLATFORMS"] = "cpu"
+    envv["XLA_FLAGS"] = (envv.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=repo, env=envv, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.isdir(os.path.join(save, "image_adapter_1.orbax"))
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert "final results" in tlog and "Average" in tlog

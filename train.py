@@ -14,10 +14,7 @@ Extra flags beyond the reference: --precision {fp32,bf16}, --clip_checkpoint,
 from __future__ import annotations
 
 import argparse
-import glob
-import logging
 import os
-import time
 
 import numpy as np
 
