@@ -66,3 +66,34 @@ def test_profile_report_tool(tmp_path):
     assert "scan/while" in r.stdout and "Pallas" in r.stdout
     assert "while.3" in r.stdout
     assert "block_until_ready" not in r.stdout  # python spans excluded
+
+
+def test_predict_folder_tool(tmp_path):
+    """tools/predict_folder.py: folder of images -> scores.csv + heatmaps."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+                        ).save(d / f"im{i}.png")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/predict_folder.py", str(d),
+         "--class_name", "bottle", "--model_name", "tiny-test",
+         "--img_size", "70", "--levels", "1", "2", "--precision", "fp32",
+         "--batch_size", "2", "--heatmaps"],
+        capture_output=True, text=True, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "running zero-shot with random" in r.stderr  # loud warning
+    out = d / "aaclip_out"
+    lines = (out / "scores.csv").read_text().strip().split("\n")
+    assert lines[0] == "file,image_score" and len(lines) == 4
+    assert sorted(p.name for p in out.glob("*_heatmap.png")) == [
+        "im0_heatmap.png", "im1_heatmap.png", "im2_heatmap.png"]
