@@ -381,6 +381,34 @@ def _apd_bwd(num_heads, valid_len, q_blk, precision, interpret, qkv, d_out):
 attention_packed_diff.defvjp(_apd_fwd, _apd_bwd)
 
 
+def pallas_attention_supported(num_heads: int, head_dim: int) -> bool:
+    """Whether the packed kernels can tile this head geometry.
+
+    Mosaic requires each block's minor dimension to be a multiple of the
+    128-lane register width (or span the whole array, which the packed
+    feature-section views never do), so the per-program section width —
+    ``heads_per_blk * head_dim`` after the kernel's head-count adjustment —
+    must divide by 128.  ViT-L/-B geometries (head_dim 64, even head count)
+    pass; tiny test models (head_dim 16) fall back to XLA attention.
+    """
+    heads_per_blk = 2 if num_heads % 2 == 0 else 1
+    return (heads_per_blk * head_dim) % 128 == 0
+
+
+def maybe_make_attn_fn(cfg, policy: DtypePolicy = DtypePolicy(), *,
+                       vv: bool = False, differentiable: bool = False):
+    """``make_attn_fn`` when the backend is a TPU and the model's head
+    geometry tiles the Mosaic lane width; ``None`` (XLA attention)
+    otherwise.  The single gate used by every CLI/tool."""
+    if jax.devices()[0].platform != "tpu":
+        return None
+    head_dim = cfg.vision.width // cfg.vision.heads
+    if not pallas_attention_supported(cfg.vision.heads, head_dim):
+        return None
+    return make_attn_fn(cfg.vision.heads, policy, vv=vv,
+                        differentiable=differentiable)
+
+
 def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                  *, vv: bool = False, q_blk: int | None = None,
                  differentiable: bool = False, interpret: bool = False):

@@ -44,6 +44,8 @@ class InferenceEngine:
                  batch_window_ms: float = 5.0, seed: int = 111,
                  clip_checkpoint: Optional[str] = None,
                  adapter_cfg: Optional[dict] = None):
+        from aaclip_tpu.utils.platform import honor_env_platform
+        honor_env_platform()
         import jax
 
         from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
@@ -101,11 +103,9 @@ class InferenceEngine:
                 "detections; responses carry \"untrained\": true", save_path)
         self.image_adapter = jax.tree.map(jax.numpy.asarray, self.image_adapter)
 
-        attn_fn = None
-        if jax.devices()[0].platform == "tpu":
-            from aaclip_tpu.ops.flash_attention import make_attn_fn
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
-            attn_fn = make_attn_fn(cfg.vision.heads, policy)
+        attn_fn = maybe_make_attn_fn(cfg, policy)
         self._predict = make_predict_fn(
             clip, cfg, acfg, img_size=img_size, policy=policy,
             attn_fn=attn_fn, uint8_inputs=True)

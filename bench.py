@@ -57,6 +57,8 @@ def main(argv=None):
                              "throughput (batch_size is per-chip)")
     args = parser.parse_args(argv)
 
+    from aaclip_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,21 +78,19 @@ def main(argv=None):
 
     clip = create_clip_params(cfg, seed=0, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
-    on_tpu = jax.devices()[0].platform == "tpu"
 
     if args.mode in ("train", "train_stage1") and args.data_parallel:
         parser.error("--data_parallel currently applies to --mode infer only "
                      "(train.py --data_parallel benchmarks DP training)")
     if args.mode == "train":
-        return bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu)
+        return bench_train(args, cfg, acfg, policy, clip, adapters)
     if args.mode == "train_stage1":
-        return bench_train_stage1(args, cfg, acfg, policy, clip, adapters,
-                                  on_tpu)
+        return bench_train_stage1(args, cfg, acfg, policy, clip, adapters)
 
     attn_fn = None
-    if args.attn == "pallas" and on_tpu:
-        from aaclip_tpu.ops.flash_attention import make_attn_fn
-        attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    if args.attn == "pallas":
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+        attn_fn = maybe_make_attn_fn(cfg, policy)
     effective_attn = "pallas" if attn_fn is not None else "xla"
     uint8_inputs = args.precision == "bf16"
 
@@ -166,7 +166,7 @@ def main(argv=None):
 
 
 
-def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
+def bench_train(args, cfg, acfg, policy, clip, adapters):
     """Stage-2 update-step throughput (images/sec/chip)."""
     import jax
     import jax.numpy as jnp
@@ -176,9 +176,9 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
     from aaclip_tpu.train.steps import init_state, make_stage2_step
 
     attn_fn = None
-    if args.attn == "pallas" and on_tpu:
-        from aaclip_tpu.ops.flash_attention import make_attn_fn
-        attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
+    if args.attn == "pallas":
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+        attn_fn = maybe_make_attn_fn(cfg, policy, differentiable=True)
     effective_attn = "pallas" if attn_fn is not None else "xla"
 
     B = args.batch_size
@@ -217,7 +217,7 @@ def bench_train(args, cfg, acfg, policy, clip, adapters, on_tpu):
     }))
 
 
-def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
+def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
     """Stage-1 throughput: surgery feature extraction + text-adapter update
     (images/sec/chip, end-to-end per batch)."""
     import jax
@@ -230,10 +230,10 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters, on_tpu):
         init_state, make_stage1_step, stage1_features_fn)
 
     attn_fn = vv_attn_fn = None
-    if args.attn == "pallas" and on_tpu:
-        from aaclip_tpu.ops.flash_attention import make_attn_fn
-        attn_fn = make_attn_fn(cfg.vision.heads, policy)
-        vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
+    if args.attn == "pallas":
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+        attn_fn = maybe_make_attn_fn(cfg, policy)
+        vv_attn_fn = maybe_make_attn_fn(cfg, policy, vv=True)
     effective_attn = "pallas" if attn_fn is not None else "xla"
 
     B = args.batch_size

@@ -69,6 +69,8 @@ def main(argv=None):
     logger = setup_logger("aaclip.test", os.path.join(args.save_path, "test.log"))
     logger.info("args: %s", vars(args))
 
+    from aaclip_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax
     from pandas import DataFrame, Series
 
@@ -119,10 +121,8 @@ def main(argv=None):
     files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")))
     assert len(files) > 0, "image adapter checkpoint not found"
 
-    attn_fn = None
-    if jax.devices()[0].platform == "tpu":
-        from aaclip_tpu.ops.flash_attention import make_attn_fn
-        attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+    attn_fn = maybe_make_attn_fn(cfg, policy)
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"
     mesh = None
     if args.data_parallel:

@@ -127,3 +127,21 @@ def test_fp32_high_policy_table():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         DtypePolicy.from_name("fp64")
+
+
+def test_pallas_attention_supported_geometry_gate():
+    """maybe_make_attn_fn must refuse head geometries whose packed feature
+    sections cannot tile the 128-lane registers (e.g. tiny-test's
+    head_dim 16), and accept the production ViT-L/-B geometries."""
+    from aaclip_tpu.ops.flash_attention import (
+        maybe_make_attn_fn, pallas_attention_supported)
+
+    assert pallas_attention_supported(16, 64)      # ViT-L: 2 heads x 64
+    assert pallas_attention_supported(12, 64)      # ViT-B
+    assert pallas_attention_supported(1, 128)      # single wide head
+    assert not pallas_attention_supported(2, 16)   # tiny-test
+    assert not pallas_attention_supported(3, 64)   # odd heads, 64 lanes
+
+    from aaclip_tpu.core.config import get_config
+    # on the CPU test backend the gate must always return None
+    assert maybe_make_attn_fn(get_config("tiny-test")) is None

@@ -55,6 +55,8 @@ def main(argv=None):
     out_dir = args.out or os.path.join(args.images_dir, "aaclip_out")
     os.makedirs(out_dir, exist_ok=True)
 
+    from aaclip_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -106,11 +108,9 @@ def main(argv=None):
               "adapters (scores are not anomaly detections)",
               file=sys.stderr)
 
-    attn_fn = None
-    if jax.devices()[0].platform == "tpu":
-        from aaclip_tpu.ops.flash_attention import make_attn_fn
+    from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
-        attn_fn = make_attn_fn(cfg.vision.heads, policy)
+    attn_fn = maybe_make_attn_fn(cfg, policy)
     predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
                               policy=policy, attn_fn=attn_fn,
                               uint8_inputs=True)

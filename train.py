@@ -88,6 +88,8 @@ def main(argv=None):
     logger = setup_logger("aaclip.train", os.path.join(args.save_path, "train.log"))
     logger.info("args: %s", vars(args))
 
+    from aaclip_tpu.utils.platform import honor_env_platform
+    honor_env_platform()
     import jax
     import jax.numpy as jnp
 
@@ -202,11 +204,9 @@ def main(argv=None):
 
     # ---- stage 1 ----------------------------------------------------------
     if adapt_text and text_start_epoch < args.text_epoch:
-        attn_fn = vv_attn_fn = None
-        if jax.devices()[0].platform == "tpu":
-            from aaclip_tpu.ops.flash_attention import make_attn_fn
-            attn_fn = make_attn_fn(cfg.vision.heads, policy)
-            vv_attn_fn = make_attn_fn(cfg.vision.heads, policy, vv=True)
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+        attn_fn = maybe_make_attn_fn(cfg, policy)
+        vv_attn_fn = maybe_make_attn_fn(cfg, policy, vv=True)
         feats_fn = stage1_features_fn(
             clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
             policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
@@ -245,10 +245,8 @@ def main(argv=None):
     anchors_table = np.stack([np.asarray(anchor_dict[c]) for c in class_names])
 
     # ---- stage 2 ----------------------------------------------------------
-    s2_attn_fn = None
-    if jax.devices()[0].platform == "tpu":
-        from aaclip_tpu.ops.flash_attention import make_attn_fn
-        s2_attn_fn = make_attn_fn(cfg.vision.heads, policy, differentiable=True)
+    from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+    s2_attn_fn = maybe_make_attn_fn(cfg, policy, differentiable=True)
     step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
                                anchors_table, img_size=args.img_size,
                                policy=policy, attn_fn=s2_attn_fn)
