@@ -63,25 +63,52 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     last-level surgery patch embedding, L2-normalized, plus the frozen
     model's normalized CLS token (reference train.py:74-85).
 
+    The reference runs two complete ViT forwards per batch (a surgery copy
+    and the frozen original, train.py:75-76).  Surgery only rewires blocks
+    ``vv_start..layers-1`` (DAPM_replace, model/transformer.py:407-425), so
+    the two towers are IDENTICAL through block vv_start-1: this computes
+    that prefix once and branches into the V-V tail (patch features) and
+    the standard tail (CLS token) — bitwise-equal results with vv_start/
+    (2*layers) of the block work removed (~10% for the default
+    DPAM_layer=20 on a 24-layer tower).
+
     Being gradient-free, this path may use the (non-differentiable) Pallas
     attention kernels for both the standard and V-V variants.
     """
+    from aaclip_tpu.models.vit import embed, run_block_range, slice_blocks
+
     last_level = cfg.vision.layers
     visual = clip_params["visual"]
     act = Lyr.config_act(cfg, policy)
+    layers = cfg.vision.layers
+    heads = cfg.vision.heads
+    vv_start = max(0, layers - (surgery_until_layer - 1))
+    cd_prec = dict(preferred_element_type=jnp.float32,
+                   precision=policy.precision)
 
     @jax.jit
     def _features(visual, images: jax.Array) -> jax.Array:
-        feats = surgery_patch_features(
-            visual, cfg, images, out_layers=[last_level],
-            surgery_until_layer=surgery_until_layer, policy=policy,
-            act=act, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
-        )[0]
-        cls, _ = encode_image(visual, cfg, images, (), policy=policy,
-                              act=act, attn_fn=attn_fn)
+        cd = policy.compute_dtype
+        x = embed(visual, cfg, images, policy)
+        # shared prefix: blocks [0, vv_start) are the same in both towers
+        x = run_block_range(
+            x, slice_blocks(visual["blocks"], 0, vv_start), heads,
+            act=act, policy=policy, attn_fn=attn_fn)
+        # V-V surgery tail -> last-level patch features
+        xs = run_block_range(
+            x, slice_blocks(visual["blocks"], vv_start, layers), heads,
+            vv=True, act=act, policy=policy, attn_fn=attn_fn,
+            vv_attn_fn=vv_attn_fn)
+        feats = Lyr.layer_norm(xs[:, 1:, :], visual["ln_post"])
+        feats = jnp.dot(feats.astype(cd), visual["proj"].astype(cd), **cd_prec)
+        # standard tail -> frozen CLS embedding
+        xc = run_block_range(
+            x, slice_blocks(visual["blocks"], vv_start, layers), heads,
+            act=act, policy=policy, attn_fn=attn_fn)
+        cls = Lyr.layer_norm(xc[:, 0, :], visual["ln_post"])
+        cls = jnp.dot(cls.astype(cd), visual["proj"].astype(cd), **cd_prec)
         cls = Lyr.l2_normalize(cls)
-        f = Lyr.l2_normalize(feats) + cls[:, None, :]
-        return f
+        return Lyr.l2_normalize(feats) + cls[:, None, :]
 
     return lambda images: _features(visual, images)
 

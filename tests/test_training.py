@@ -195,3 +195,21 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     epoch2, adapter2, none_opt, _ = ckpt.load_adapter_checkpoint_any(
         found, adapters["image"])
     assert epoch2 == 3 and none_opt is None
+
+
+def test_stage1_features_match_two_pass_reference(setup):
+    """The fused shared-prefix stage-1 features must equal the naive
+    composition of the two full towers (surgery patch features + frozen
+    CLS), as the reference computes them (train.py:74-85)."""
+    from aaclip_tpu.models import layers as Lyr
+    from aaclip_tpu.models.vit import encode_image, surgery_patch_features
+
+    clip, _, images, *_ = setup
+    for sul in (1, 2, 3):  # vv_start = 2, 1, 0 on the 2-layer tiny tower
+        fused = stage1_features_fn(clip, CFG, surgery_until_layer=sul)(images)
+        feats = surgery_patch_features(
+            clip["visual"], CFG, images, out_layers=[CFG.vision.layers],
+            surgery_until_layer=sul)[0]
+        cls, _ = encode_image(clip["visual"], CFG, images, ())
+        want = Lyr.l2_normalize(feats) + Lyr.l2_normalize(cls)[:, None, :]
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(want))
