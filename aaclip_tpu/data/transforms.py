@@ -129,14 +129,43 @@ def to_uint8_chw(img: Image.Image) -> np.ndarray:
         np.asarray(img, np.uint8).transpose(2, 0, 1))
 
 
+def normalize_uint8_chw(chw: np.ndarray) -> np.ndarray:
+    """uint8 [3, H, W] -> float32 CLIP-normalized (same elementwise ops as
+    ``to_normalized_chw``, so results are bitwise identical)."""
+    x = chw.astype(np.float32) / 255.0
+    return (x - CLIP_MEAN[:, None, None]) / CLIP_STD[:, None, None]
+
+
+def load_rgb_chw(path: str, size: int, uint8: bool = False) -> np.ndarray:
+    """Decode + bicubic resize -> [3, size, size] (uint8, or normalized
+    float32), via the native kernel when available (bit-exact vs the PIL
+    path — aaclip_tpu/native/fast_image.cc), PIL otherwise."""
+    from aaclip_tpu.native.image import load_rgb_resize_chw
+
+    chw = load_rgb_resize_chw(path, size)
+    if chw is None:
+        chw = to_uint8_chw(resize_image(load_image_rgb(path), size))
+    return chw if uint8 else normalize_uint8_chw(chw)
+
+
+def load_mask_binarized(path: str, size: int) -> np.ndarray:
+    """Decode + nearest resize + binarize -> float32 [1, size, size], via
+    the native kernel when available (bit-exact), PIL otherwise."""
+    from aaclip_tpu.native.image import load_gray_resize_nearest
+
+    m = load_gray_resize_nearest(path, size)
+    if m is not None:
+        return (m != 0).astype(np.float32)[None]
+    return binarize_mask(resize_mask(load_mask(path), size))
+
+
 def preprocess_test(img_path: str, mask_path: Optional[str], img_size: int,
                     label: int, uint8: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic test-time transform (dataset/__init__.py:127-142).
     ``uint8=True`` skips host normalization (fused on device)."""
-    resized = resize_image(load_image_rgb(img_path), img_size)
-    img = to_uint8_chw(resized) if uint8 else to_normalized_chw(resized)
+    img = load_rgb_chw(img_path, img_size, uint8=uint8)
     if label and mask_path:
-        mask = binarize_mask(resize_mask(load_mask(mask_path), img_size))
+        mask = load_mask_binarized(mask_path, img_size)
     else:
         mask = np.zeros((1, img_size, img_size), np.float32)
     return img, mask
@@ -154,7 +183,7 @@ def preprocess_train(img_path: str, mask_path: Optional[str], img_size: int,
         pil = color_jitter(pil, rng)
     img = to_normalized_chw(resize_image(pil, img_size))
     if label and mask_path:
-        mask = binarize_mask(resize_mask(load_mask(mask_path), img_size))
+        mask = load_mask_binarized(mask_path, img_size)
     else:
         mask = np.zeros((1, img_size, img_size), np.float32)
     if not geometric:

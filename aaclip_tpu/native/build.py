@@ -16,19 +16,24 @@ from typing import Optional
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fast_metrics.cc")
 _OUT = os.path.join(_DIR, "_build", "libfast_metrics.so")
+_IMG_SRC = os.path.join(_DIR, "fast_image.cc")
+_IMG_OUT = os.path.join(_DIR, "_build", "libfast_image.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_img_lib = None
+_img_tried = False
 
 
-def build(force: bool = False) -> Optional[str]:
-    if os.path.isfile(_OUT) and not force \
-            and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
-        return _OUT
-    os.makedirs(os.path.dirname(_OUT), exist_ok=True)
+def _compile(src: str, out: str, libs=(), force: bool = False) -> Optional[str]:
+    if os.path.isfile(out) and not force \
+            and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    libflags = [f"-l{l}" for l in libs]
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-        "-D_GLIBCXX_PARALLEL", "-march=native", _SRC, "-o", _OUT,
+        "-D_GLIBCXX_PARALLEL", "-march=native", src, "-o", out, *libflags,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -36,12 +41,20 @@ def build(force: bool = False) -> Optional[str]:
         # retry without native arch / openmp for maximal portability
         try:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-                 "-o", _OUT],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
+                 "-o", out, *libflags],
                 check=True, capture_output=True, timeout=120)
         except (subprocess.SubprocessError, FileNotFoundError):
             return None
-    return _OUT
+    return out
+
+
+def build(force: bool = False) -> Optional[str]:
+    return _compile(_SRC, _OUT, force=force)
+
+
+def build_image(force: bool = False) -> Optional[str]:
+    return _compile(_IMG_SRC, _IMG_OUT, libs=("jpeg", "png"), force=force)
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -71,6 +84,32 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+def load_image_lib() -> Optional[ctypes.CDLL]:
+    """The decode+resize kernel (fast_image.cc), or None (PIL fallback)."""
+    global _img_lib, _img_tried
+    with _lock:
+        if _img_lib is not None or _img_tried:
+            return _img_lib
+        _img_tried = True
+        if os.environ.get("AACLIP_NO_NATIVE"):
+            return None
+        path = build_image()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        for fn in (lib.load_rgb_resize_chw, lib.load_gray_resize_nearest):
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                           ctypes.POINTER(ctypes.c_uint8)]
+        _img_lib = lib
+        return _img_lib
+
+
 if __name__ == "__main__":
     out = build(force=True)
     print(out or "build failed")
+    out = build_image(force=True)
+    print(out or "image build failed")

@@ -67,8 +67,8 @@ def main(argv=None):
     from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
     from aaclip_tpu.core.params import create_clip_params, init_adapter_params
     from aaclip_tpu.data.registry import CLASS_NAMES, DOMAINS
-    from aaclip_tpu.data.transforms import (load_image_rgb, resize_image,
-                                            to_uint8_chw)
+    from aaclip_tpu.data.transforms import (load_image_rgb, load_rgb_chw,
+                                            resize_image)
     from aaclip_tpu.eval.predict import make_anchor_encoder, make_predict_fn
     from aaclip_tpu.ops.similarity import fused_postproc_matrix
     from aaclip_tpu.text.anchors import encode_dataset_anchors
@@ -125,8 +125,7 @@ def main(argv=None):
     for start in range(0, len(files), B):
         chunk = files[start:start + B]
         imgs = np.stack([
-            to_uint8_chw(resize_image(load_image_rgb(f), args.img_size))
-            for f in chunk])
+            load_rgb_chw(f, args.img_size, uint8=True) for f in chunk])
         n = imgs.shape[0]
         if n < B:  # pad to the compiled batch shape
             imgs = np.concatenate(
