@@ -135,7 +135,10 @@ def attention(
 
 
 def mlp(x: jax.Array, p: dict, act, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    from jax.ad_checkpoint import checkpoint_name
+
     h = linear(x, {"w": p["w_fc"], "b": p["b_fc"]}, policy)
+    h = checkpoint_name(h, "mlp_fc")  # pre-activation (act recompute is cheap)
     h = act(h)
     return linear(h, {"w": p["w_proj"], "b": p["b_proj"]}, policy).astype(x.dtype)
 
@@ -158,12 +161,18 @@ def residual_block(
     attention implementation (e.g. the Pallas kernel); each receives
     ``(x_normed, params)`` and must return the projected attention output.
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     h = layer_norm(x, p["ln_1"])
     override = vv_attn_fn if vv else attn_fn
     if override is not None:
         a = override(h, p["attn"])
     else:
         a = attention(h, p["attn"], num_heads, mask=mask, vv=vv, policy=policy)
+    # names are inert without a checkpoint policy; the selective-remat mode
+    # (vit.run_block_range remat="selective") saves these tensors so the
+    # backward skips re-running the attention kernel and the MLP up-matmul
+    a = checkpoint_name(a, "attn_out")
     x = x + a
     x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"], act, policy)
     return x

@@ -43,7 +43,7 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
                     adapt_weight: float = 0.1,
                     act=L.gelu, policy: DtypePolicy = DtypePolicy(),
                     attn_fn=None, vv_attn_fn=None,
-                    remat: bool = False) -> jax.Array:
+                    remat: bool | str = False) -> jax.Array:
     """lax.scan over a homogeneous run of residual blocks; optionally each
     block is followed by a norm-matched adapter blend (stacked adapter
     weights zipped into the scan).
@@ -53,6 +53,14 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
     layer's [B, H, S, S] attention probabilities (tens of GB at ViT-L
     1370-token shapes), blowing HBM.  Rematerialization trades ~33%% extra
     forward FLOPs for O(residual-stream) memory.
+
+    ``remat="selective"`` additionally SAVES the named per-block tensors
+    (attn_out, attn_qkv, mlp_fc — see layers.residual_block) so the
+    backward recomputes only LayerNorms/activations/residual adds, not the
+    attention kernel or the matmul outputs.  ~4.4 GB extra HBM at the
+    stage-2 production shape (batch 8); requires the Pallas custom-VJP
+    attention (the XLA attention backward would still materialize
+    [B, H, S, S] probabilities).
     """
     n = jax.tree.leaves(stacked)[0].shape[0]
     if n == 0:
@@ -71,7 +79,11 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
         return L.norm_matched_blend(h, a, adapt_weight)
 
     fn = block if adapters is None else block_adapted
-    if remat:
+    if remat == "selective":
+        fn = jax.checkpoint(fn, policy=jax.checkpoint_policies.
+                            save_only_these_names("attn_out", "attn_qkv",
+                                                  "mlp_fc"))
+    elif remat:
         fn = jax.checkpoint(fn)
     xs = stacked if adapters is None else (stacked, adapters)
 
@@ -137,7 +149,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      vv_start: Optional[int],
                      adapters: Optional[dict], adapt_weight: float,
                      act, policy: DtypePolicy, attn_fn,
-                     vv_attn_fn=None, remat: bool = False,
+                     vv_attn_fn=None, remat: bool | str = False,
                      patch_embed_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers)."""
     if act is None:
@@ -249,7 +261,7 @@ def adapted_forward(
     policy: DtypePolicy = DtypePolicy(),
     act=None,
     attn_fn=None,
-    remat: bool = False,
+    remat: bool | str = False,
     patch_embed_fn=None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """AdaptedCLIP image forward (reference model/adapter.py:67-112).

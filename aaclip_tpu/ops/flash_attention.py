@@ -437,10 +437,15 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                                    precision=policy.precision,
                                    interpret=interpret)
         else:
+            from jax.ad_checkpoint import checkpoint_name
+
             qkv = jnp.dot(xc, p["w_qkv"].astype(cd),
                           preferred_element_type=jnp.float32,
                           precision=policy.precision)
             qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(cd)
+            # saved under selective remat: the custom-VJP backward kernel
+            # consumes qkv directly, so saving it skips the re-projection
+            qkv = checkpoint_name(qkv, "attn_qkv")
             if differentiable:
                 out = attention_packed_diff(qkv, num_heads, L, q_blk,
                                             policy.precision, interpret)

@@ -165,12 +165,19 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
 def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                      tx: optax.GradientTransformation, anchors_table,
                      *, img_size: int | None = None,
-                     policy: DtypePolicy = DtypePolicy(), attn_fn=None):
+                     policy: DtypePolicy = DtypePolicy(), attn_fn=None,
+                     remat: bool | str = True):
     """Build the jitted stage-2 update.
 
     ``anchors_table``: [n_classes, D, 2] frozen text anchors.  The step takes
     (state, images [B,3,H,W], mask [B,H,W], label [B], class_idx [B],
     valid [B]).
+
+    ``remat`` (default True) wraps each block in jax.checkpoint.  With the
+    XLA attention path it is REQUIRED at real sizes (the backward otherwise
+    stores [B,H,S,S] probabilities per layer).  With the Pallas custom-VJP
+    attention the probabilities never reach HBM, so ``remat=False`` fits
+    and skips the recompute (measured numbers in docs/PERFORMANCE.md).
     """
     img = img_size or cfg.vision.image_size
     anchors_table = jnp.asarray(anchors_table)
@@ -181,7 +188,7 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
-            policy=policy, attn_fn=attn_fn, remat=True,
+            policy=policy, attn_fn=attn_fn, remat=remat,
         )
         banchors = anchors_table[class_idx]  # [B, D, 2]
         logits = jnp.einsum("bd,bdk->bk", det, banchors,

@@ -51,6 +51,13 @@ def main(argv=None):
                         help="infer = anomaly-map throughput (north star); "
                              "train = stage-2 update-step throughput; "
                              "train_stage1 = text-anchor stage throughput")
+    parser.add_argument("--remat", default="full",
+                        choices=["full", "selective", "off"],
+                        help="train mode: per-block rematerialization. "
+                             "'selective' saves attn/qkv/mlp matmul outputs "
+                             "(backward recomputes only LN/activations; "
+                             "needs the Pallas custom-VJP attention); 'off' "
+                             "OOMs at production shapes")
     parser.add_argument("--data_parallel", action="store_true",
                         help="infer mode: shard the batch over all local "
                              "devices and report aggregate + per-chip "
@@ -195,7 +202,9 @@ def bench_train(args, cfg, acfg, policy, clip, adapters):
     tx = make_image_optimizer()
     step = make_stage2_step(clip, cfg, acfg, tx, table,
                             img_size=args.img_size, policy=policy,
-                            attn_fn=attn_fn)
+                            attn_fn=attn_fn,
+                            remat={"full": True, "selective": "selective",
+                                   "off": False}[args.remat])
     state = init_state(adapters["image"], tx)
     for _ in range(args.warmup):
         state, loss = step(state, images, mask, label, cidx, valid)

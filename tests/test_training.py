@@ -213,3 +213,28 @@ def test_stage1_features_match_two_pass_reference(setup):
         cls, _ = encode_image(clip["visual"], CFG, images, ())
         want = Lyr.l2_normalize(feats) + Lyr.l2_normalize(cls)[:, None, :]
         np.testing.assert_array_equal(np.asarray(fused), np.asarray(want))
+
+
+def test_stage2_grads_identical_across_remat_modes(setup):
+    """Rematerialization must not change the math: stage-2 loss and updated
+    parameters are identical (recomputed values are deterministic) for
+    remat = full / selective / off."""
+    clip, adapters, images, masks, labels, class_idx, valid, _ = setup
+    rng = np.random.default_rng(5)
+    table = rng.standard_normal((2, CFG.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+
+    results = {}
+    for mode in (True, "selective", False):
+        tx = make_image_optimizer(lr=1e-3)
+        step = make_stage2_step(clip, CFG, ACFG, tx, table, remat=mode)
+        state = init_state(adapters["image"], tx)
+        state, loss = step(state, images, masks, labels, class_idx, valid)
+        results[mode] = (float(loss),
+                         jax.tree.map(np.asarray, state.params))
+    base_loss, base_params = results[True]
+    for mode in ("selective", False):
+        loss, params = results[mode]
+        assert loss == base_loss, (mode, loss, base_loss)
+        for a, b in zip(jax.tree.leaves(base_params), jax.tree.leaves(params)):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
