@@ -117,7 +117,8 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                      tx: optax.GradientTransformation, prompt_tokens,
                      *, text_norm_weight: float = 0.1,
                      img_size: int | None = None,
-                     policy: DtypePolicy = DtypePolicy()):
+                     policy: DtypePolicy = DtypePolicy(),
+                     remat: bool | str = True):
     """Build the jitted stage-1 update.
 
     ``prompt_tokens``: [n_classes, 16, 77] int32 (all classes of the
@@ -134,7 +135,7 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         embeds = adapted_encode_text(
             text_params, text_adapter, cfg, flat_tokens,
             text_adapt_weight=acfg.text_adapt_weight, policy=policy,
-            remat=True,
+            remat=remat,
         )
         anchors = reduce_to_anchors(embeds.reshape(C, S, -1))  # [C, D, 2]
         banchors = anchors[class_idx]                          # [B, D, 2]

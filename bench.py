@@ -53,7 +53,7 @@ def main(argv=None):
                              "train_stage1 = text-anchor stage throughput")
     parser.add_argument("--remat", default="full",
                         choices=["full", "selective", "off"],
-                        help="train mode: per-block rematerialization. "
+                        help="train modes: per-block rematerialization. "
                              "'selective' saves attn/qkv/mlp matmul outputs "
                              "(backward recomputes only LN/activations; "
                              "needs the Pallas custom-VJP attention); 'off' "
@@ -260,7 +260,9 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
                                   vv_attn_fn=vv_attn_fn)
     tx = make_text_optimizer()
     step = make_stage1_step(clip, cfg, acfg, tx, tokens,
-                            img_size=args.img_size, policy=policy)
+                            img_size=args.img_size, policy=policy,
+                            remat={"full": True, "selective": "selective",
+                                   "off": False}[args.remat])
     state = init_state(adapters["text"], tx)
     for _ in range(args.warmup):
         feats = feats_fn(images)

@@ -238,3 +238,22 @@ def test_stage2_grads_identical_across_remat_modes(setup):
         assert loss == base_loss, (mode, loss, base_loss)
         for a, b in zip(jax.tree.leaves(base_params), jax.tree.leaves(params)):
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
+
+
+def test_stage1_grads_identical_across_remat_modes(setup):
+    """Text-tower remat modes must also leave loss/params unchanged."""
+    clip, adapters, images, masks, _, class_idx, valid, tokens = setup
+    feats = stage1_features_fn(clip, CFG, surgery_until_layer=2)(images)
+    results = {}
+    for mode in (True, "selective", False):
+        tx = make_text_optimizer(lr=1e-3)
+        step = make_stage1_step(clip, CFG, ACFG, tx, tokens, remat=mode)
+        state = init_state(adapters["text"], tx)
+        state, loss = step(state, feats, masks, class_idx, valid)
+        results[mode] = (float(loss), jax.tree.map(np.asarray, state.params))
+    base_loss, base_params = results[True]
+    for mode in ("selective", False):
+        loss, params = results[mode]
+        assert loss == base_loss, (mode, loss, base_loss)
+        for a, b in zip(jax.tree.leaves(base_params), jax.tree.leaves(params)):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)

@@ -219,10 +219,16 @@ def main(argv=None):
         feats_fn = stage1_features_fn(
             clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
             policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
+        # text-tower remat: 'selective' is always safe (the saved tensors
+        # are context-length-sized) and measured fastest; 'off' can OOM at
+        # large prompt batches with XLA-attention probabilities
+        s1_remat = ("selective" if args.remat == "auto" else
+                    {"full": True, "selective": "selective",
+                     "off": False}[args.remat])
         step_fn = make_stage1_step(
             clip_params, cfg, acfg, text_tx, prompt_tokens,
             text_norm_weight=args.text_norm_weight,
-            img_size=args.img_size, policy=policy)
+            img_size=args.img_size, policy=policy, remat=s1_remat)
         loader = BatchLoader(text_ds, args.text_batch_size, shuffle=True,
                              seed=args.seed, num_workers=args.num_workers,
                              host_id=host_id, num_hosts=num_hosts)
