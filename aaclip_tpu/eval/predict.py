@@ -25,7 +25,8 @@ from aaclip_tpu.ops.similarity import fused_postproc_matrix, level_scores
 def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                     *, img_size: int | None = None,
                     policy: DtypePolicy = DtypePolicy(), attn_fn=None,
-                    uint8_inputs: bool = False, mesh=None) -> Callable:
+                    block_fn=None, uint8_inputs: bool = False,
+                    mesh=None) -> Callable:
     """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
     (pixel_map [B, img, img], image_score [B]).
 
@@ -70,7 +71,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
-            policy=policy, act=_act, attn_fn=attn_fn,
+            policy=policy, act=_act, attn_fn=attn_fn, block_fn=block_fn,
             patch_embed_fn=_patch_embed,
         )
         stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]

@@ -154,15 +154,23 @@ def residual_block(
     policy: DtypePolicy = DtypePolicy(),
     attn_fn=None,
     vv_attn_fn=None,
+    block_fn=None,
+    vv_block_fn=None,
 ) -> jax.Array:
     """Pre-LN residual attention block (reference model/transformer.py:239-258).
 
     ``attn_fn`` / ``vv_attn_fn`` optionally override the standard / V-V
     attention implementation (e.g. the Pallas kernel); each receives
     ``(x_normed, params)`` and must return the projected attention output.
+    ``block_fn`` / ``vv_block_fn`` override the ENTIRE block (the fused
+    Pallas path, ops/fused_block.make_block_fn): they receive the raw
+    residual stream + params and return the block output.
     """
     from jax.ad_checkpoint import checkpoint_name
 
+    whole = vv_block_fn if vv else block_fn
+    if whole is not None:
+        return whole(x, p)
     h = layer_norm(x, p["ln_1"])
     override = vv_attn_fn if vv else attn_fn
     if override is not None:

@@ -43,6 +43,7 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
                     adapt_weight: float = 0.1,
                     act=L.gelu, policy: DtypePolicy = DtypePolicy(),
                     attn_fn=None, vv_attn_fn=None,
+                    block_fn=None, vv_block_fn=None,
                     remat: bool | str = False) -> jax.Array:
     """lax.scan over a homogeneous run of residual blocks; optionally each
     block is followed by a norm-matched adapter blend (stacked adapter
@@ -69,7 +70,8 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
     def block(h, blk):
         h = L.residual_block(h, blk, num_heads, mask=mask, vv=vv, act=act,
                              policy=policy, attn_fn=attn_fn,
-                             vv_attn_fn=vv_attn_fn)
+                             vv_attn_fn=vv_attn_fn, block_fn=block_fn,
+                             vv_block_fn=vv_block_fn)
         return h
 
     def block_adapted(h, blk_and_ad):
@@ -149,7 +151,8 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      vv_start: Optional[int],
                      adapters: Optional[dict], adapt_weight: float,
                      act, policy: DtypePolicy, attn_fn,
-                     vv_attn_fn=None, remat: bool | str = False,
+                     vv_attn_fn=None, block_fn=None, vv_block_fn=None,
+                     remat: bool | str = False,
                      patch_embed_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers)."""
     if act is None:
@@ -177,6 +180,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
         x = run_block_range(x, seg, v.heads, vv=vv, adapters=seg_adapters,
                             adapt_weight=adapt_weight, act=act, policy=policy,
                             attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+                            block_fn=block_fn, vv_block_fn=vv_block_fn,
                             remat=remat)
         if stop in out_layers:
             taps[stop] = x
@@ -194,6 +198,8 @@ def encode_image(
     act=None,
     attn_fn=None,
     vv_attn_fn=None,
+    block_fn=None,
+    vv_block_fn=None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """Frozen CLIP image forward.
 
@@ -206,7 +212,8 @@ def encode_image(
     x, taps = _trunk_with_taps(params, cfg, images, out_layers,
                                vv_start=vv_start, adapters=None,
                                adapt_weight=0.0, act=act, policy=policy,
-                               attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
+                               attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+                               block_fn=block_fn, vv_block_fn=vv_block_fn)
     pooled = L.layer_norm(x[:, 0, :], params["ln_post"])
     cd = policy.compute_dtype
     pooled = jnp.dot(pooled.astype(cd), params["proj"].astype(cd),
@@ -226,6 +233,8 @@ def surgery_patch_features(
     act=None,
     attn_fn=None,
     vv_attn_fn=None,
+    block_fn=None,
+    vv_block_fn=None,
 ) -> List[jax.Array]:
     """Stage-1 feature extraction from the surgery model: tapped patch tokens
     (CLS dropped) -> ln_post -> @proj (reference train.py:75-81).
@@ -237,6 +246,7 @@ def surgery_patch_features(
     _, taps = encode_image(
         params, cfg, images, out_layers, vv_start=vv_start, policy=policy,
         act=act, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+        block_fn=block_fn, vv_block_fn=vv_block_fn,
     )
     cd = policy.compute_dtype
     feats = []
@@ -261,6 +271,7 @@ def adapted_forward(
     policy: DtypePolicy = DtypePolicy(),
     act=None,
     attn_fn=None,
+    block_fn=None,
     remat: bool | str = False,
     patch_embed_fn=None,
 ) -> Tuple[List[jax.Array], jax.Array]:
@@ -274,7 +285,8 @@ def adapted_forward(
         params, cfg, images, levels, vv_start=None,
         adapters=image_adapter["layer_adapters"],
         adapt_weight=image_adapt_weight, act=act, policy=policy,
-        attn_fn=attn_fn, remat=remat, patch_embed_fn=patch_embed_fn,
+        attn_fn=attn_fn, block_fn=block_fn, remat=remat,
+        patch_embed_fn=patch_embed_fn,
     )
     taps = [t[:, 1:, :] for t in taps]  # drop CLS
     tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]
