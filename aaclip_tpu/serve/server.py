@@ -43,7 +43,8 @@ class InferenceEngine:
                  precision: str = "bf16", max_batch: int = 8,
                  batch_window_ms: float = 5.0, seed: int = 111,
                  clip_checkpoint: Optional[str] = None,
-                 adapter_cfg: Optional[dict] = None):
+                 adapter_cfg: Optional[dict] = None,
+                 data_parallel: bool = False):
         from aaclip_tpu.utils.platform import honor_env_platform
         honor_env_platform()
         import jax
@@ -105,10 +106,20 @@ class InferenceEngine:
 
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
+        mesh = None
+        if data_parallel:
+            from aaclip_tpu.parallel import sharding as sh
+
+            sh.initialize_multihost()
+            mesh = sh.make_data_mesh()
+            if self.max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {max_batch} must be divisible by the "
+                    f"{mesh.devices.size}-device mesh for --data_parallel")
         attn_fn = maybe_make_attn_fn(cfg, policy)
         self._predict = make_predict_fn(
             clip, cfg, acfg, img_size=img_size, policy=policy,
-            attn_fn=attn_fn, uint8_inputs=True)
+            attn_fn=attn_fn, uint8_inputs=True, mesh=mesh)
 
         # anchors + postproc matrices per dataset/class
         enc = make_anchor_encoder(clip, cfg, acfg, text_adapter, policy=policy)
@@ -305,6 +316,9 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8400)
     parser.add_argument("--clip_checkpoint", default=None)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each micro-batch over all local devices "
+                             "(max_batch must divide by the device count)")
     parser.add_argument("--levels", type=int, nargs="+",
                         default=[6, 12, 18, 24])
     parser.add_argument("--image_adapt_until", type=int, default=6)
@@ -317,6 +331,7 @@ def main(argv=None):
         datasets=tuple(args.datasets), save_path=args.save_path,
         precision=args.precision, max_batch=args.max_batch,
         clip_checkpoint=args.clip_checkpoint,
+        data_parallel=args.data_parallel,
         adapter_cfg=dict(levels=tuple(args.levels),
                          image_adapt_until=args.image_adapt_until,
                          text_adapt_until=args.text_adapt_until,

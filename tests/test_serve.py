@@ -119,6 +119,38 @@ def test_http_error_paths(server):
     assert e.value.code == 404
 
 
+def test_engine_data_parallel_matches_single_device(engine):
+    """--data_parallel serving: same image -> same map/score as the
+    single-device engine (8 virtual CPU devices, batch sharded)."""
+    import jax
+
+    n = len(jax.devices())
+    assert n == 8  # conftest's virtual mesh
+    dp = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="fp32", max_batch=8, data_parallel=True,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    try:
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+        m_dp, s_dp = dp.submit(img, "MVTec", "bottle")
+        m_sd, s_sd = engine.submit(img, "MVTec", "bottle")
+        np.testing.assert_allclose(m_dp, m_sd, atol=1e-5)
+        np.testing.assert_allclose(s_dp, s_sd, atol=1e-6)
+    finally:
+        dp.shutdown()
+
+
+def test_engine_data_parallel_rejects_indivisible_batch():
+    with pytest.raises(ValueError, match="divisible"):
+        InferenceEngine(
+            model_name="tiny-test", img_size=70, datasets=("MVTec",),
+            precision="fp32", max_batch=3, data_parallel=True,
+            adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                             text_adapt_until=1))
+
+
 def test_engine_loads_adapter_checkpoints(tmp_path):
     """save_path adapters change the engine's predictions."""
     import jax

@@ -9,6 +9,8 @@ the SAME checks on the actual chip:
   3. fp32 / fp32_high / bf16 predict deviations vs the fp32 parity path.
   4. Stage-2 training-step loss parity: Pallas diff-attention vs XLA.
   5. Throughput smoke for all three precisions (reported, not asserted).
+  6. Experimental fused-block kernels (ops/fused_block.py) vs the jnp
+     block — Mosaic-compiled on the chip, not interpret mode.
 
 Usage: python tools/tpu_selfcheck.py [--model tiny-test|ViT-L-14-336]
 Exit code 0 = every assertion held on this hardware.
@@ -157,6 +159,37 @@ def main(argv=None):
     print(f"stage-2 fp32 loss: xla={losses['xla']:.6f} "
           f"pallas={losses['pallas']:.6f} |d|={d:.2e}")
     assert d <= 1e-3 * max(abs(losses["xla"]), 1.0)
+
+    # ---- 6. fused-block kernels (experimental opt-in) ---------------------
+    from aaclip_tpu.ops import fused_block as FB
+
+    blk = {
+        "ln_1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+        "ln_2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+        "attn": p,
+        "mlp": {
+            "w_fc": jnp.asarray(
+                rng.standard_normal((D, 4 * D)) * D ** -0.5, jnp.float32),
+            "b_fc": jnp.asarray(rng.standard_normal(4 * D) * 0.02, jnp.float32),
+            "w_proj": jnp.asarray(
+                rng.standard_normal((4 * D, D)) * (4 * D) ** -0.5, jnp.float32),
+            "b_proj": jnp.asarray(rng.standard_normal(D) * 0.02, jnp.float32),
+        },
+    }
+    for prec_name, policy, tol in [("fp32", DtypePolicy.fp32(), 5e-5),
+                                   ("bf16", DtypePolicy.bf16(), 3e-2)]:
+        act = L.policy_act(policy)
+        xc = x.astype(policy.compute_dtype)  # bf16 residual stream, as in
+        # the production fast path (embed() carries compute dtype)
+        want = np.asarray(jax.jit(
+            lambda x, b: L.residual_block(x, b, H, act=act, policy=policy)
+        )(xc, blk), np.float64)
+        fn = FB.make_block_fn(H, policy, act=act)
+        got = np.asarray(jax.jit(fn)(xc, blk), np.float64)
+        d = np.abs(got - want).max()
+        s = np.abs(want).max()
+        print(f"fused block {prec_name}: max|d|={d:.3e} (scale {s:.2f})")
+        assert d <= tol * max(s, 1.0), (prec_name, d)
 
     print("TPU selfcheck: ALL OK")
 
