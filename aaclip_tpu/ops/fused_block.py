@@ -42,6 +42,33 @@ _LN_EPS = 1e-5
 
 _DOT2D = (((1,), (0,)), ((), ()))
 
+_SQRT1_2 = 0.7071067811865476
+
+
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|abs err| <= 1.5e-7).
+
+    Mosaic has no erf/erfc lowering (found by tools/tpu_selfcheck.py: the
+    exact jax.nn.gelu lowers via erfc and fails pallas_call compilation on
+    real TPUs), so exact-GELU activations inside kernels use this form.
+    """
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.where(x < 0, -y, y)
+
+
+def kernel_act(act):
+    """Kernel-lowerable substitute for an activation: exact (erf) GELU is
+    rewritten onto ``_erf_approx``; tanh/sigmoid forms lower natively."""
+    from aaclip_tpu.models import layers as L
+
+    if act is L.gelu:
+        return lambda x: 0.5 * x * (1.0 + _erf_approx(x * _SQRT1_2))
+    return act
+
 
 def _pick_f_blk(F: int, cap: int = 1024) -> int:
     """Largest 128-multiple divisor of F not above ``cap``."""
@@ -63,6 +90,17 @@ def _ln_rows(x_ref, scale_ref, bias_ref, cd):
     y = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
     y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
     return y.astype(cd)
+
+
+def _shrink_for_fp32(cd, r_blk: int, f_blk: int | None):
+    """4-byte kernel inputs double every VMEM panel (and 'highest'
+    precision runs 6-pass operand splits on top) — halve the tiles or
+    Mosaic rejects the kernel with an HTTP 500 remote-compile error
+    (measured: ln_linear/mlp_fused at r_blk 512 / f_blk 1024 fp32)."""
+    if jnp.dtype(cd).itemsize >= 4:
+        r_blk = min(r_blk, 256)
+        f_blk = min(f_blk, 512) if f_blk else 512
+    return r_blk, f_blk
 
 
 def _flatten_rows(x, r_blk):
@@ -96,8 +134,9 @@ def ln_linear(x: jax.Array, ln: dict, w: jax.Array, b: jax.Array, *,
     F = w.shape[1]
     cd = policy.compute_dtype
     kprec = _kernel_precision(cd, policy.precision)
-    if f_blk is None:
-        f_blk = _pick_f_blk(F)
+    r_blk, f_blk = _shrink_for_fp32(cd, r_blk, f_blk)
+    if f_blk is None or F % f_blk:
+        f_blk = _pick_f_blk(F, f_blk or 1024)
     xf, R, R_pad = _flatten_rows(x, r_blk)
     grid = (R_pad // r_blk, F // f_blk)
     kernel = functools.partial(_ln_linear_kernel, cd=cd, precision=kprec)
@@ -147,8 +186,9 @@ def linear_residual(res: jax.Array, y: jax.Array, w: jax.Array,
     F = w.shape[1]
     cd = policy.compute_dtype
     kprec = _kernel_precision(cd, policy.precision)
-    if f_blk is None:
-        f_blk = _pick_f_blk(F)
+    r_blk, f_blk = _shrink_for_fp32(cd, r_blk, f_blk)
+    if f_blk is None or F % f_blk:
+        f_blk = _pick_f_blk(F, f_blk or 1024)
     yf, R, R_pad = _flatten_rows(y, r_blk)
     rf, _, _ = _flatten_rows(res, r_blk)
     grid = (R_pad // r_blk, F // f_blk)
@@ -218,11 +258,13 @@ def mlp_fused(x: jax.Array, ln: dict, mlp: dict, *, act, policy,
     F = mlp["w_fc"].shape[1]
     cd = policy.compute_dtype
     kprec = _kernel_precision(cd, policy.precision)
+    r_blk, f_blk = _shrink_for_fp32(cd, r_blk, f_blk)
     if F % f_blk:
         f_blk = _pick_f_blk(F, f_blk)
     xf, R, R_pad = _flatten_rows(x, r_blk)
     grid = (R_pad // r_blk, F // f_blk)
-    kernel = functools.partial(_mlp_kernel, cd=cd, act=act, precision=kprec)
+    kernel = functools.partial(_mlp_kernel, cd=cd, act=kernel_act(act),
+                               precision=kprec)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((R_pad, D), x.dtype),
