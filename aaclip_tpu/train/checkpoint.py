@@ -78,7 +78,17 @@ def save_adapter_checkpoint(path: str, epoch: int, adapter: dict,
     flat["__epoch__"] = np.asarray(epoch, np.int64)
     flat["__step__"] = np.asarray(step, np.int64)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **flat)
+    # atomic write: a crash mid-savez must not corrupt an existing
+    # checkpoint (resume reads these; the reference's torch.save has the
+    # same exposure).  The tmp name keeps the .npz suffix so numpy does
+    # not append one.
+    tmp = f"{path}.tmp-{os.getpid()}.npz"
+    try:
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_adapter_checkpoint(path: str, adapter_template,

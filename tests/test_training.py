@@ -125,6 +125,27 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert opt_state is not None
 
 
+def test_checkpoint_save_is_atomic(tmp_path, setup):
+    """Overwrite goes through tmp+rename: no tmp remnants, and a failed
+    write never clobbers the existing checkpoint."""
+    import os
+    from unittest import mock
+
+    clip, adapters, *_ = setup
+    path = str(tmp_path / "image_adapter.npz")
+    ckpt.save_adapter_checkpoint(path, epoch=1, adapter=adapters["image"])
+    before = open(path, "rb").read()
+    with mock.patch("numpy.savez", side_effect=OSError("disk full")):
+        with pytest.raises(OSError):
+            ckpt.save_adapter_checkpoint(path, epoch=2,
+                                         adapter=adapters["image"])
+    assert open(path, "rb").read() == before  # old checkpoint intact
+    ckpt.save_adapter_checkpoint(path, epoch=2, adapter=adapters["image"])
+    epoch, *_ = ckpt.load_adapter_checkpoint(path, adapters["image"])
+    assert epoch == 2
+    assert not [f for f in os.listdir(tmp_path) if ".tmp-" in f]
+
+
 def test_torch_pth_interop(tmp_path, setup):
     import torch
 
