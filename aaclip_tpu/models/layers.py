@@ -170,6 +170,11 @@ def residual_block(
 
     whole = vv_block_fn if vv else block_fn
     if whole is not None:
+        if mask is not None:
+            raise ValueError(
+                "block_fn overrides do not support attention masks (the "
+                "fused kernels are unmasked); use attn_fn or the default "
+                "path for masked towers")
         return whole(x, p)
     h = layer_norm(x, p["ln_1"])
     override = vv_attn_fn if vv else attn_fn

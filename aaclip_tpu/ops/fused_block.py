@@ -311,7 +311,8 @@ def fused_block_supported(cfg) -> bool:
     v = cfg.vision
     head_dim = v.width // v.heads
     return (pallas_attention_supported(v.heads, head_dim)
-            and v.width % 128 == 0 and (4 * v.width) % 128 == 0)
+            and v.width % 128 == 0
+            and int(v.width * v.mlp_ratio) % 128 == 0)
 
 
 def make_block_fn(num_heads: int, policy, *, act, vv: bool = False,

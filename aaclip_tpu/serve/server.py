@@ -60,6 +60,19 @@ class InferenceEngine:
         self.img_size = img_size
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
+        mesh = None
+        if data_parallel:
+            # validate BEFORE the expensive param/checkpoint setup: a bad
+            # flag combination should fail in milliseconds, not after the
+            # ~1.7GB on-device param generation
+            from aaclip_tpu.parallel import sharding as sh
+
+            sh.initialize_multihost()
+            mesh = sh.make_data_mesh()
+            if self.max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {max_batch} must be divisible by the "
+                    f"{mesh.devices.size}-device mesh for --data_parallel")
         policy = DtypePolicy.from_name(precision)
         self.policy = policy
         cfg = get_config(model_name, img_size)
@@ -106,16 +119,6 @@ class InferenceEngine:
 
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
-        mesh = None
-        if data_parallel:
-            from aaclip_tpu.parallel import sharding as sh
-
-            sh.initialize_multihost()
-            mesh = sh.make_data_mesh()
-            if self.max_batch % mesh.devices.size:
-                raise ValueError(
-                    f"max_batch {max_batch} must be divisible by the "
-                    f"{mesh.devices.size}-device mesh for --data_parallel")
         attn_fn = maybe_make_attn_fn(cfg, policy)
         self._predict = make_predict_fn(
             clip, cfg, acfg, img_size=img_size, policy=policy,

@@ -78,14 +78,24 @@ def save_adapter_checkpoint(path: str, epoch: int, adapter: dict,
     flat["__epoch__"] = np.asarray(epoch, np.int64)
     flat["__step__"] = np.asarray(step, np.int64)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    # atomic write: a crash mid-savez must not corrupt an existing
-    # checkpoint (resume reads these; the reference's torch.save has the
-    # same exposure).  The tmp name keeps the .npz suffix so numpy does
-    # not append one.
+    # atomic + durable write: a crash mid-savez must not corrupt an
+    # existing checkpoint (resume reads these; the reference's torch.save
+    # has the same exposure).  fsync the tmp data before the rename and
+    # the directory after it, or a power loss can commit the rename ahead
+    # of the data blocks.  The tmp name keeps the .npz suffix so numpy
+    # does not append one.
     tmp = f"{path}.tmp-{os.getpid()}.npz"
     try:
-        np.savez(tmp, **flat)
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        dir_fd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)

@@ -14,6 +14,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from aaclip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 import jax
 import jax.numpy as jnp
 
@@ -81,6 +85,12 @@ def main():
     policy = DtypePolicy.from_name(args.precision)
     act = L.policy_act(policy)
     x, p = make_inputs(policy)
+    if jax.devices()[0].platform != "tpu":
+        sys.exit("microbench_block measures Mosaic-vs-XLA on real TPUs; "
+                 "interpret-mode CPU runs of these shapes take hours "
+                 "(correctness on CPU is covered by tests/test_fused_block"
+                 ".py).")
+    interp = False
 
     if args.mode == "ops":
         def scan24(op):
@@ -100,18 +110,18 @@ def main():
                 {"w": pp["attn"]["w_qkv"], "b": pp["attn"]["b_qkv"]}, policy),
             "ln_qkv  pls": lambda h, pp: FB.ln_linear(
                 h, pp["ln_1"], pp["attn"]["w_qkv"], pp["attn"]["b_qkv"],
-                policy=policy, r_blk=args.r_blk),
+                policy=policy, r_blk=args.r_blk, interpret=interp),
             "outres  xla": lambda h, pp: h + L.linear(
                 h, {"w": pp["attn"]["w_out"], "b": pp["attn"]["b_out"]},
                 policy).astype(h.dtype),
             "outres  pls": lambda h, pp: FB.linear_residual(
                 h, h, pp["attn"]["w_out"], pp["attn"]["b_out"], policy=policy,
-                r_blk=args.r_blk),
+                r_blk=args.r_blk, interpret=interp),
             "mlp     xla": lambda h, pp: h + L.mlp(
                 L.layer_norm(h, pp["ln_2"]), pp["mlp"], act, policy),
             "mlp     pls": lambda h, pp: FB.mlp_fused(
                 h, pp["ln_2"], pp["mlp"], act=act, policy=policy,
-                r_blk=args.r_blk, f_blk=args.mlp_f_blk),
+                r_blk=args.r_blk, f_blk=args.mlp_f_blk, interpret=interp),
         }
         for name, op in pairs.items():
             dt, _ = timeit(scan24(op), x, p, args.steps)
@@ -120,7 +130,7 @@ def main():
 
     results = {}
     if args.mode in ("both", "ref"):
-        attn_fn = make_attn_fn(HEADS, policy)
+        attn_fn = make_attn_fn(HEADS, policy, interpret=interp)
         ref = trunk(lambda h, pp: L.residual_block(
             h, pp, HEADS, act=act, policy=policy, attn_fn=attn_fn))
         dt, out_ref = timeit(ref, x, p, args.steps)
@@ -128,7 +138,7 @@ def main():
         print(f"ref   trunk: {dt * 1e3:8.2f} ms")
     if args.mode in ("both", "fused"):
         blk = FB.make_block_fn(HEADS, policy, act=act, r_blk=args.r_blk,
-                               mlp_f_blk=args.mlp_f_blk)
+                               mlp_f_blk=args.mlp_f_blk, interpret=interp)
         fused = trunk(blk)
         dt, out_fused = timeit(fused, x, p, args.steps)
         results["fused"] = (dt, out_fused)
