@@ -19,7 +19,8 @@ import numpy as np
 
 from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
 from aaclip_tpu.models.vit import adapted_forward
-from aaclip_tpu.ops.similarity import fused_postproc_matrix, level_scores
+from aaclip_tpu.ops.similarity import (fused_postproc_matrix, image_score,
+                                       level_scores)
 
 
 def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
@@ -27,8 +28,12 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                     policy: DtypePolicy = DtypePolicy(), attn_fn=None,
                     block_fn=None, uint8_inputs: bool = False,
                     mesh=None) -> Callable:
-    """jitted (image_adapter, images, anchors [D,2], M [img, grid]) ->
+    """jitted (image_adapter, images, anchors, M [img, grid]) ->
     (pixel_map [B, img, img], image_score [B]).
+
+    ``anchors`` is [D, 2] (one class for the whole batch — the reference
+    eval protocol) or per-sample [B, D, 2] (mixed-class batches, e.g. the
+    serving engine batching requests across classes).
 
     ``uint8_inputs=True`` accepts raw uint8 pixel batches: the CLIP
     normalization is folded into the patch-embedding matmul on device
@@ -84,8 +89,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                          preferred_element_type=jnp.float32, precision=_pp_prec)
         pix = jnp.einsum("Jh,bIh->bIJ", M, pix,
                          preferred_element_type=jnp.float32, precision=_pp_prec)
-        img_score = (det @ anchors[:, 1] + 1.0) / 2.0
-        return pix, img_score
+        return pix, image_score(det, anchors)
 
     if mesh is None:
         _predict = jax.jit(_predict_impl)

@@ -182,20 +182,26 @@ class InferenceEngine:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            # group by (dataset, class): anchors differ per group
-            groups: Dict[tuple, list] = {}
+            # group by dataset only: classes share a forward via per-sample
+            # anchors [B, D, 2] (the postproc matrix is domain- i.e.
+            # dataset-dependent, so datasets cannot mix)
+            groups: Dict[str, list] = {}
             for item in batch:
-                groups.setdefault((item[1], item[2]), []).append(item)
-            for (ds, cls), items in groups.items():
+                groups.setdefault(item[1], []).append(item)
+            for ds, items in groups.items():
                 try:
                     imgs = np.stack([it[0] for it in items])
+                    anch = np.stack([self.anchors[ds][it[2]] for it in items])
                     n = imgs.shape[0]
                     if n < self.max_batch:  # pad to the compiled shape
-                        pad = np.repeat(imgs[-1:], self.max_batch - n, axis=0)
-                        imgs = np.concatenate([imgs, pad])
+                        pad = self.max_batch - n
+                        imgs = np.concatenate(
+                            [imgs, np.repeat(imgs[-1:], pad, axis=0)])
+                        anch = np.concatenate(
+                            [anch, np.repeat(anch[-1:], pad, axis=0)])
                     pix, score = self._predict(
                         self.image_adapter, jnp.asarray(imgs),
-                        jnp.asarray(self.anchors[ds][cls]),
+                        jnp.asarray(anch),
                         jnp.asarray(self.postproc[ds]))
                     pix = np.asarray(pix)
                     score = np.asarray(score)

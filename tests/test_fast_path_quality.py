@@ -50,3 +50,31 @@ def test_bf16_fast_path_tracks_fp32_rankings():
     assert abs(a_fp32 - a_fast) < 0.002, (a_fp32, a_fast)
     np.testing.assert_allclose(np.asarray(score_b), np.asarray(score_a),
                                atol=5e-3)
+
+
+def test_predict_per_sample_anchors_match_shared():
+    """[B, D, 2] anchors (mixed-class serving batches): rows equal to the
+    shared [D, 2] anchors must reproduce the shared-anchor outputs, and
+    per-row anchors must select that row's class."""
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(3)
+    B, S = 4, 70
+    imgs = jnp.asarray(rng.standard_normal((B, 3, S, S)), jnp.float32)
+    a1 = rng.standard_normal((CFG.embed_dim, 2)).astype(np.float32)
+    a1 /= np.linalg.norm(a1, axis=0, keepdims=True)
+    a2 = rng.standard_normal((CFG.embed_dim, 2)).astype(np.float32)
+    a2 /= np.linalg.norm(a2, axis=0, keepdims=True)
+    M = jnp.asarray(fused_postproc_matrix(CFG.vision.grid, S, "Industrial"))
+    predict = make_predict_fn(clip, CFG, ACFG, policy=DtypePolicy.fp32())
+
+    pix1, sc1 = predict(adapters["image"], imgs, jnp.asarray(a1), M)
+    pix2, sc2 = predict(adapters["image"], imgs, jnp.asarray(a2), M)
+    mixed = jnp.asarray(np.stack([a1, a2, a1, a2]))       # [B, D, 2]
+    pixm, scm = predict(adapters["image"], imgs, mixed, M)
+    for i, (p_ref, s_ref) in enumerate([(pix1, sc1), (pix2, sc2),
+                                        (pix1, sc1), (pix2, sc2)]):
+        np.testing.assert_allclose(np.asarray(pixm[i]),
+                                   np.asarray(p_ref[i]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scm[i]),
+                                   np.asarray(s_ref[i]), atol=1e-6)

@@ -66,6 +66,31 @@ def test_engine_concurrent_batching(engine):
     assert all(r is not None for r in results)
 
 
+def test_engine_mixed_class_batching(engine):
+    """Requests for different classes share one forward (per-sample
+    anchors): results must equal sequential per-class submissions."""
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+            for _ in range(4)]
+    classes = ["bottle", "cable", "bottle", "cable"]
+    ref = [engine.submit(im, "MVTec", c) for im, c in zip(imgs, classes)]
+
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = engine.submit(imgs[i], "MVTec", classes[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for (m_ref, s_ref), got in zip(ref, results):
+        assert got is not None
+        np.testing.assert_allclose(got[0], m_ref, atol=1e-5)
+        np.testing.assert_allclose(got[1], s_ref, atol=1e-6)
+
+
 def test_engine_unknown_class(engine):
     with pytest.raises(KeyError):
         engine.submit(np.zeros((3, 70, 70), np.uint8), "MVTec", "spaceship")
