@@ -14,6 +14,8 @@ POST /predict?dataset=MVTec&class_name=bottle
      downsampled by "map_stride" query arg if given)}
 GET /healthz          -> {"status": "ok", "model": ..., "classes": [...]}
 GET /classes?dataset= -> per-dataset class list
+GET /statz            -> serving counters: requests, batches, mean batch
+                         occupancy, and request-latency p50/p95/max (ms)
 
 Start with ``python serve.py`` (repo root) or
 ``python -m aaclip_tpu.serve.server``.
@@ -140,6 +142,11 @@ class InferenceEngine:
 
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_batched_requests = 0
+        self._latencies_ms: list = []  # ring buffer, last 1024 requests
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
 
@@ -157,12 +164,38 @@ class InferenceEngine:
                 f"{sorted(self.anchors[dataset])}")
         done = threading.Event()
         slot: dict = {}
+        t0 = time.perf_counter()
         self._queue.put((image_u8, dataset, class_name, slot, done))
         if not done.wait(timeout):
             raise TimeoutError("inference timed out")
         if "error" in slot:
             raise RuntimeError(slot["error"])
+        with self._stats_lock:
+            self._n_requests += 1
+            self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
+            del self._latencies_ms[:-1024]
         return slot["map"], slot["score"]
+
+    def stats(self) -> dict:
+        """Serving counters for /statz (mean batch occupancy measures how
+        well micro-batching amortizes forwards under the current load)."""
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            nb, nr = self._n_batches, self._n_batched_requests
+            total = self._n_requests
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) \
+                if lat else None
+
+        return {
+            "requests": total,
+            "batches": nb,
+            "mean_batch_occupancy": round(nr / nb, 3) if nb else None,
+            "max_batch": self.max_batch,
+            "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
+                           "max": round(lat[-1], 2) if lat else None},
+        }
 
     def _serve_loop(self):
         import jax.numpy as jnp
@@ -189,6 +222,9 @@ class InferenceEngine:
             for item in batch:
                 groups.setdefault(item[1], []).append(item)
             for ds, items in groups.items():
+                with self._stats_lock:
+                    self._n_batches += 1
+                    self._n_batched_requests += len(items)
                 try:
                     imgs = np.stack([it[0] for it in items])
                     anch = np.stack([self.anchors[ds][it[2]] for it in items])
@@ -250,6 +286,8 @@ def make_handler(engine: InferenceEngine):
                     "datasets": sorted(engine.anchors),
                     "untrained": engine.untrained,
                 })
+            elif url.path == "/statz":
+                self._json(200, engine.stats())
             elif url.path == "/classes":
                 q = parse_qs(url.query)
                 ds = q.get("dataset", [next(iter(engine.anchors))])[0]

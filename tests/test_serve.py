@@ -121,6 +121,16 @@ def test_http_health_and_classes(server):
     assert "bottle" in c["classes"] and len(c["classes"]) == 15
 
 
+def test_http_statz(server, engine):
+    # engine has served requests from earlier tests in this module
+    with urllib.request.urlopen(server + "/statz", timeout=10) as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 1 and s["batches"] >= 1
+    assert 1.0 <= s["mean_batch_occupancy"] <= engine.max_batch
+    assert s["latency_ms"]["p50"] > 0
+    assert s["latency_ms"]["p95"] >= s["latency_ms"]["p50"]
+
+
 def test_http_error_paths(server):
     # missing class_name
     req = urllib.request.Request(server + "/predict?dataset=MVTec",
