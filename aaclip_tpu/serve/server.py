@@ -3,8 +3,11 @@
 A production-shaped serving path the reference lacks entirely: one process
 holds the compiled model; HTTP requests carry encoded images and receive
 pixel anomaly maps + image scores.  Requests are micro-batched — a
-collector thread drains the queue up to ``max_batch`` (padding to the
-compiled batch shape), so concurrent clients share forward passes.
+collector thread drains the queue up to ``max_batch`` and pads to the
+next power-of-2 BUCKET, so concurrent clients share forward passes
+without paying max_batch transfer + compute at low occupancy (jit
+specializes once per bucket; ``precompile=True`` warms every bucket at
+startup so no client ever waits on a compile).
 
 Endpoints
 ---------
@@ -46,7 +49,8 @@ class InferenceEngine:
                  batch_window_ms: float = 5.0, seed: int = 111,
                  clip_checkpoint: Optional[str] = None,
                  adapter_cfg: Optional[dict] = None,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False,
+                 precompile: bool = False):
         from aaclip_tpu.utils.platform import honor_env_platform
         honor_env_platform()
         import jax
@@ -75,6 +79,7 @@ class InferenceEngine:
                 raise ValueError(
                     f"max_batch {max_batch} must be divisible by the "
                     f"{mesh.devices.size}-device mesh for --data_parallel")
+        self._dp_devices = mesh.devices.size if mesh is not None else 1
         policy = DtypePolicy.from_name(precision)
         self.policy = policy
         cfg = get_config(model_name, img_size)
@@ -140,6 +145,18 @@ class InferenceEngine:
             self.postproc[ds] = np.asarray(
                 fused_postproc_matrix(cfg.vision.grid, img_size, DOMAINS[ds]))
 
+        if precompile:
+            import jax.numpy as jnp
+
+            ds0 = next(iter(self.anchors))
+            a0 = np.asarray(next(iter(self.anchors[ds0].values())))
+            M0 = jnp.asarray(self.postproc[ds0])
+            for b in sorted({self._bucket(n)
+                             for n in range(1, self.max_batch + 1)}):
+                imgs = jnp.zeros((b, 3, img_size, img_size), jnp.uint8)
+                anch = jnp.asarray(np.tile(a0[None], (b, 1, 1)))
+                self._predict(self.image_adapter, imgs, anch, M0)
+
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
@@ -149,6 +166,19 @@ class InferenceEngine:
         self._latencies_ms: list = []  # ring buffer, last 1024 requests
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
+
+    def _bucket(self, n: int) -> int:
+        """Smallest power-of-2 >= n (clamped to max_batch; rounded up to a
+        mesh-size multiple under data parallelism).  Bounds the compiled
+        shapes to log2(max_batch) variants while keeping transfer + compute
+        proportional to actual occupancy instead of always max_batch."""
+        b = 1
+        while b < n:
+            b *= 2
+        m = self._dp_devices
+        if m > 1:
+            b = ((max(b, m) + m - 1) // m) * m
+        return min(b, self.max_batch)
 
     # -- request plumbing ---------------------------------------------------
 
@@ -229,8 +259,9 @@ class InferenceEngine:
                     imgs = np.stack([it[0] for it in items])
                     anch = np.stack([self.anchors[ds][it[2]] for it in items])
                     n = imgs.shape[0]
-                    if n < self.max_batch:  # pad to the compiled shape
-                        pad = self.max_batch - n
+                    bucket = self._bucket(n)
+                    if n < bucket:  # pad to the bucket's compiled shape
+                        pad = bucket - n
                         imgs = np.concatenate(
                             [imgs, np.repeat(imgs[-1:], pad, axis=0)])
                         anch = np.concatenate(
@@ -366,6 +397,9 @@ def main(argv=None):
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard each micro-batch over all local devices "
                              "(max_batch must divide by the device count)")
+    parser.add_argument("--precompile", action="store_true",
+                        help="compile every batch bucket at startup so no "
+                             "request ever waits on a jit compile")
     parser.add_argument("--levels", type=int, nargs="+",
                         default=[6, 12, 18, 24])
     parser.add_argument("--image_adapt_until", type=int, default=6)
@@ -379,6 +413,7 @@ def main(argv=None):
         precision=args.precision, max_batch=args.max_batch,
         clip_checkpoint=args.clip_checkpoint,
         data_parallel=args.data_parallel,
+        precompile=args.precompile,
         adapter_cfg=dict(levels=tuple(args.levels),
                          image_adapt_until=args.image_adapt_until,
                          text_adapt_until=args.text_adapt_until,

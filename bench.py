@@ -47,10 +47,14 @@ def main(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of the timed loop")
     parser.add_argument("--mode", default="infer",
-                        choices=["infer", "train", "train_stage1"],
+                        choices=["infer", "train", "train_stage1", "serve"],
                         help="infer = anomaly-map throughput (north star); "
                              "train = stage-2 update-step throughput; "
-                             "train_stage1 = text-anchor stage throughput")
+                             "train_stage1 = text-anchor stage throughput; "
+                             "serve = micro-batching engine under "
+                             "concurrent-client load")
+    parser.add_argument("--clients", type=int, default=8,
+                        help="serve mode: concurrent client threads")
     parser.add_argument("--remat", default="full",
                         choices=["full", "selective", "off"],
                         help="train modes: per-block rematerialization. "
@@ -77,6 +81,9 @@ def main(argv=None):
     from aaclip_tpu.core.params import create_clip_params, init_adapter_params
     from aaclip_tpu.eval.predict import make_predict_fn
     from aaclip_tpu.ops.similarity import fused_postproc_matrix
+
+    if args.mode == "serve":
+        return bench_serve(args)  # the engine builds its own params
 
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig() if args.model_name != "tiny-test" else AdapterConfig(
@@ -171,6 +178,72 @@ def main(argv=None):
     }))
 
 
+
+
+def bench_serve(args):
+    """Micro-batching serving-engine throughput under concurrent clients.
+
+    Measures the full serving core (queue -> micro-batch collection ->
+    per-sample-anchor forward -> result fan-out) with ``--clients``
+    threads submitting pre-decoded images as fast as results return;
+    reports steady-state maps/s/chip plus the engine's own /statz
+    occupancy + latency percentiles.
+    """
+    import threading
+
+    import numpy as np
+
+    from aaclip_tpu.serve.server import InferenceEngine
+
+    tiny = args.model_name == "tiny-test"
+    engine = InferenceEngine(
+        model_name=args.model_name, img_size=args.img_size,
+        datasets=("MVTec",), precision=args.precision,
+        max_batch=args.batch_size, precompile=True,
+        adapter_cfg=(dict(levels=(1, 2), image_adapt_until=1,
+                          text_adapt_until=1) if tiny else None))
+    rng = np.random.default_rng(0)
+    classes = ["bottle", "cable"]
+    imgs = [rng.integers(0, 256, (3, args.img_size, args.img_size),
+                         dtype=np.uint8) for _ in range(args.clients)]
+
+    per_client = max(1, args.steps)
+    # warmup: one request per client image compiles + fills caches
+    for im in imgs[:1]:
+        engine.submit(im, "MVTec", classes[0], timeout=600)
+
+    done = [0] * args.clients
+
+    def client(i):
+        for k in range(per_client):
+            engine.submit(imgs[i], "MVTec", classes[k % len(classes)],
+                          timeout=600)
+            done[i] += 1
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t0
+    engine.shutdown()
+    n = sum(done)
+    stats = engine.stats()
+    rate = n / elapsed
+    if args.verbose:
+        print(f"# served {n} requests in {elapsed:.2f}s; stats={stats}")
+    print(json.dumps({
+        "metric": "serve_maps_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": f"maps/s/chip (serving engine, {args.model_name} @ "
+                f"{args.img_size}px, {args.precision}, max_batch "
+                f"{args.batch_size}, {args.clients} clients, occupancy "
+                f"{stats['mean_batch_occupancy']}, p95 "
+                f"{stats['latency_ms']['p95']}ms)",
+        "vs_baseline": round(rate / REFERENCE_BASELINE_MAPS_PER_SEC, 3),
+    }))
 
 
 def bench_train(args, cfg, acfg, policy, clip, adapters):

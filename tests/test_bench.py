@@ -1,5 +1,5 @@
 """bench.py smoke: the driver's benchmark entry runs and emits the JSON
-contract on CPU with the tiny model, in all three modes."""
+contract on CPU with the tiny model, in all four modes."""
 
 import json
 import os
@@ -31,6 +31,7 @@ def _run(args):
     ("infer", "anomaly_maps_per_sec_per_chip"),
     ("train", "stage2_train_images_per_sec_per_chip"),
     ("train_stage1", "stage1_train_images_per_sec_per_chip"),
+    ("serve", "serve_maps_per_sec_per_chip"),
 ])
 def test_bench_modes_emit_contract(mode, metric):
     payload = _run(COMMON + ["--mode", mode])

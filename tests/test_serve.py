@@ -91,6 +91,32 @@ def test_engine_mixed_class_batching(engine):
         np.testing.assert_allclose(got[1], s_ref, atol=1e-6)
 
 
+def test_bucket_sizing():
+    eng = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="fp32", max_batch=8,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    try:
+        assert [eng._bucket(n) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
+    finally:
+        eng.shutdown()
+    dp = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="fp32", max_batch=8, data_parallel=True, precompile=True,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    try:
+        # 8-device mesh: buckets round up to mesh-size multiples
+        assert [dp._bucket(n) for n in (1, 3, 8)] == [8, 8, 8]
+        img = np.random.default_rng(0).integers(0, 256, (3, 70, 70),
+                                                dtype=np.uint8)
+        amap, score = dp.submit(img, "MVTec", "bottle")
+        assert amap.shape == (70, 70)
+    finally:
+        dp.shutdown()
+
+
 def test_engine_unknown_class(engine):
     with pytest.raises(KeyError):
         engine.submit(np.zeros((3, 70, 70), np.uint8), "MVTec", "spaceship")
