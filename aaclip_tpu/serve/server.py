@@ -158,6 +158,7 @@ class InferenceEngine:
                 self._predict(self.image_adapter, imgs, anch, M0)
 
         self._queue: "queue.Queue" = queue.Queue()
+        self._completion_q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._n_requests = 0
@@ -166,6 +167,12 @@ class InferenceEngine:
         self._latencies_ms: list = []  # ring buffer, last 1024 requests
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
+        # completion stage: jax dispatch is async, so materializing batch
+        # k's device->host results here overlaps with batch k+1's
+        # transfer + forward in the dispatch thread (a 2-stage pipeline)
+        self._completer = threading.Thread(target=self._completion_loop,
+                                           daemon=True)
+        self._completer.start()
 
     def _bucket(self, n: int) -> int:
         """Smallest power-of-2 >= n (clamped to max_batch; rounded up to a
@@ -270,20 +277,36 @@ class InferenceEngine:
                         self.image_adapter, jnp.asarray(imgs),
                         jnp.asarray(anch),
                         jnp.asarray(self.postproc[ds]))
-                    pix = np.asarray(pix)
-                    score = np.asarray(score)
-                    for i, (_, _, _, slot, done) in enumerate(items):
-                        slot["map"] = pix[i]
-                        slot["score"] = float(score[i])
-                        done.set()
+                    # hand the (async) device arrays to the completion
+                    # stage; this thread immediately collects the next batch
+                    self._completion_q.put((items, pix, score))
                 except Exception as e:  # propagate to all waiters
                     for _, _, _, slot, done in items:
                         slot["error"] = f"{type(e).__name__}: {e}"
                         done.set()
 
+    def _completion_loop(self):
+        while not self._stop.is_set():
+            try:
+                items, pix, score = self._completion_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                pix = np.asarray(pix)
+                score = np.asarray(score)
+                for i, (_, _, _, slot, done) in enumerate(items):
+                    slot["map"] = pix[i]
+                    slot["score"] = float(score[i])
+                    done.set()
+            except Exception as e:
+                for _, _, _, slot, done in items:
+                    slot["error"] = f"{type(e).__name__}: {e}"
+                    done.set()
+
     def shutdown(self):
         self._stop.set()
         self._worker.join(timeout=2)
+        self._completer.join(timeout=2)
 
 
 def _decode_image(body: bytes, img_size: int) -> np.ndarray:
