@@ -93,6 +93,7 @@ class TrainDataset:
             os.path.join(self.spec.data_path, r.mask_path) if r.mask_path else None,
             self.img_size, r.label, rng, self.text_stage,
             geometric=not self.device_augment,
+            uint8=self.device_augment,
         )
         return {"image": img, "mask": mask, "label": r.label,
                 "class_name": r.class_name, "file_name": r.image_path}

@@ -174,13 +174,25 @@ def preprocess_test(img_path: str, mask_path: Optional[str], img_size: int,
 def preprocess_train(img_path: str, mask_path: Optional[str], img_size: int,
                      label: int, rng: np.random.Generator,
                      text_stage: bool,
-                     geometric: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                     geometric: bool = True,
+                     uint8: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Training transform; ``text_stage=True`` skips color jitter
     (dataset/__init__.py:41-52).  ``geometric=False`` defers the joint
-    geometric augmentation to the device (ops/augment.py)."""
+    geometric augmentation to the device (ops/augment.py); with
+    ``uint8=True`` (device-augment transfer mode) the image ships as raw
+    post-jitter pixels and the mask as uint8 {0,1} — normalization happens
+    on device (same math to float roundoff, 4x less transfer)."""
     pil = load_image_rgb(img_path)
     if not text_stage:
         pil = color_jitter(pil, rng)
+    if uint8:
+        assert not geometric, "uint8 mode defers augmentation to the device"
+        img = to_uint8_chw(resize_image(pil, img_size))
+        if label and mask_path:
+            mask = load_mask_binarized(mask_path, img_size).astype(np.uint8)
+        else:
+            mask = np.zeros((1, img_size, img_size), np.uint8)
+        return img, mask
     img = to_normalized_chw(resize_image(pil, img_size))
     if label and mask_path:
         mask = load_mask_binarized(mask_path, img_size)

@@ -81,6 +81,29 @@ def joint_geometric_augment_device(key: jax.Array, images: jax.Array,
     return jax.vmap(_augment_one)(keys, images, masks)
 
 
-def make_device_augment():
-    """jitted (key, images, masks) -> (images, masks)."""
-    return jax.jit(joint_geometric_augment_device)
+def make_device_augment(uint8_inputs: bool = False):
+    """jitted (key, images, masks) -> (float images, float masks).
+
+    ``uint8_inputs=True``: images arrive as raw uint8 pixels and masks as
+    uint8 {0,1}; CLIP normalization runs on device BEFORE the geometric
+    augmentation — the same op order as the host pipeline (normalize, then
+    augment with zero fill in normalized space, reference
+    dataset/__init__.py:52-62), identical to float roundoff (<=2 ulp; XLA
+    FMA-contracts the normalize) while host->device transfer drops 4x —
+    the training-side twin of the eval path's fused uint8 patch embed
+    (ops/preprocess.py).
+    """
+    if not uint8_inputs:
+        return jax.jit(joint_geometric_augment_device)
+
+    from aaclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
+    std = jnp.asarray(CLIP_STD)[None, :, None, None]
+
+    def run(key, images_u8, masks_u8):
+        images = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        return joint_geometric_augment_device(
+            key, images, masks_u8.astype(jnp.float32))
+
+    return jax.jit(run)

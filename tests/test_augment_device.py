@@ -68,6 +68,51 @@ def test_batch_augment_semantics():
     assert any(np.abs(out_same[b] - out_same[0]).max() > 0 for b in range(1, B))
 
 
+def test_uint8_device_path_bitwise_matches_float_path():
+    """uint8 transfer mode: on-device normalize-then-augment equals
+    augmenting host-normalized floats to float roundoff (XLA may contract
+    the normalize's mul+sub into FMAs: <=2 ulp); masks exact."""
+    from aaclip_tpu.data.transforms import normalize_uint8_chw
+    from aaclip_tpu.ops.augment import make_device_augment
+
+    rng = np.random.default_rng(3)
+    B, H = 3, 28
+    u8 = rng.integers(0, 256, (B, 3, H, H), dtype=np.uint8)
+    m8 = (rng.random((B, H, H)) > 0.8).astype(np.uint8)
+    host_norm = np.stack([normalize_uint8_chw(x) for x in u8])
+    key = jax.random.PRNGKey(9)
+    f_imgs, f_masks = make_device_augment()(key, jnp.asarray(host_norm),
+                                            jnp.asarray(m8, jnp.float32))
+    u_imgs, u_masks = make_device_augment(uint8_inputs=True)(
+        key, jnp.asarray(u8), jnp.asarray(m8))
+    np.testing.assert_allclose(np.asarray(u_imgs), np.asarray(f_imgs),
+                               atol=5e-7, rtol=0)
+    np.testing.assert_array_equal(np.asarray(u_masks), np.asarray(f_masks))
+
+
+def test_preprocess_train_uint8_mode(tmp_path):
+    """Dataset uint8 mode ships post-jitter pixels whose device
+    normalization equals the host-normalized float path exactly."""
+    from PIL import Image
+
+    from aaclip_tpu.data.transforms import (normalize_uint8_chw,
+                                            preprocess_train)
+
+    rng_img = np.random.default_rng(4)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(rng_img.integers(0, 256, (40, 40, 3),
+                                     dtype=np.uint8)).save(p)
+    # same per-sample rng seed sequence in both modes -> same color jitter
+    img_f, mask_f = preprocess_train(
+        p, None, 32, 0, np.random.default_rng(7), text_stage=False,
+        geometric=False)
+    img_u, mask_u = preprocess_train(
+        p, None, 32, 0, np.random.default_rng(7), text_stage=False,
+        geometric=False, uint8=True)
+    assert img_u.dtype == np.uint8 and mask_u.dtype == np.uint8
+    np.testing.assert_array_equal(normalize_uint8_chw(img_u), img_f)
+
+
 def test_train_cli_device_augment(tmp_path):
     """train.py --device_augment trains end-to-end on synthetic data."""
     import os

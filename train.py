@@ -155,7 +155,9 @@ def main(argv=None):
     aug_fn = None
     if args.device_augment:
         from aaclip_tpu.ops.augment import make_device_augment
-        aug_fn = make_device_augment()
+        # datasets emit uint8 in this mode; normalization fuses into the
+        # device augmentation step (4x less relay/PCIe traffic)
+        aug_fn = make_device_augment(uint8_inputs=True)
         aug_base = jax.random.PRNGKey(args.seed ^ 0x5EED)
 
     def maybe_augment(images, mask, stage, epoch, it):
