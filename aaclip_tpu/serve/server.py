@@ -50,7 +50,7 @@ class InferenceEngine:
                  clip_checkpoint: Optional[str] = None,
                  adapter_cfg: Optional[dict] = None,
                  data_parallel: bool = False,
-                 precompile: bool = False):
+                 precompile: bool = True):
         from aaclip_tpu.utils.platform import honor_env_platform
         honor_env_platform()
         import jax
@@ -145,23 +145,35 @@ class InferenceEngine:
             self.postproc[ds] = np.asarray(
                 fused_postproc_matrix(cfg.vision.grid, img_size, DOMAINS[ds]))
 
-        if precompile:
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
+        # postproc matrices live on device once (re-uploading ~77KB per
+        # micro-batch through a slow host link is pure per-forward overhead)
+        self._postproc_dev = {ds: jnp.asarray(m)
+                              for ds, m in self.postproc.items()}
+        if precompile:
+            # compile every bucket up front: a jit compile inside the
+            # request path would blow past submit()'s timeout on the first
+            # request hitting each new bucket size
             ds0 = next(iter(self.anchors))
             a0 = np.asarray(next(iter(self.anchors[ds0].values())))
-            M0 = jnp.asarray(self.postproc[ds0])
             for b in sorted({self._bucket(n)
                              for n in range(1, self.max_batch + 1)}):
                 imgs = jnp.zeros((b, 3, img_size, img_size), jnp.uint8)
                 anch = jnp.asarray(np.tile(a0[None], (b, 1, 1)))
-                self._predict(self.image_adapter, imgs, anch, M0)
+                self._predict(self.image_adapter, imgs, anch,
+                              self._postproc_dev[ds0])
 
         self._queue: "queue.Queue" = queue.Queue()
-        self._completion_q: "queue.Queue" = queue.Queue()
+        # bounded: put() blocks the dispatcher when the completion stage
+        # falls behind, so at most 2 batches of device results are ever in
+        # flight (without this, async dispatch would let the serve loop run
+        # unboundedly ahead of materialization under open-loop load)
+        self._completion_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._n_requests = 0
+        self._n_errors = 0
         self._n_batches = 0
         self._n_batched_requests = 0
         self._latencies_ms: list = []  # ring buffer, last 1024 requests
@@ -204,13 +216,19 @@ class InferenceEngine:
         t0 = time.perf_counter()
         self._queue.put((image_u8, dataset, class_name, slot, done))
         if not done.wait(timeout):
+            with self._stats_lock:
+                self._n_requests += 1
+                self._n_errors += 1
             raise TimeoutError("inference timed out")
-        if "error" in slot:
-            raise RuntimeError(slot["error"])
         with self._stats_lock:
             self._n_requests += 1
-            self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
-            del self._latencies_ms[:-1024]
+            if "error" in slot:
+                self._n_errors += 1
+            else:
+                self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
+                del self._latencies_ms[:-1024]
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
         return slot["map"], slot["score"]
 
     def stats(self) -> dict:
@@ -219,7 +237,7 @@ class InferenceEngine:
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
             nb, nr = self._n_batches, self._n_batched_requests
-            total = self._n_requests
+            total, errors = self._n_requests, self._n_errors
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) \
@@ -227,6 +245,7 @@ class InferenceEngine:
 
         return {
             "requests": total,
+            "errors": errors,
             "batches": nb,
             "mean_batch_occupancy": round(nr / nb, 3) if nb else None,
             "max_batch": self.max_batch,
@@ -275,8 +294,7 @@ class InferenceEngine:
                             [anch, np.repeat(anch[-1:], pad, axis=0)])
                     pix, score = self._predict(
                         self.image_adapter, jnp.asarray(imgs),
-                        jnp.asarray(anch),
-                        jnp.asarray(self.postproc[ds]))
+                        jnp.asarray(anch), self._postproc_dev[ds])
                     # hand the (async) device arrays to the completion
                     # stage; this thread immediately collects the next batch
                     self._completion_q.put((items, pix, score))
@@ -307,6 +325,18 @@ class InferenceEngine:
         self._stop.set()
         self._worker.join(timeout=2)
         self._completer.join(timeout=2)
+        # fast-fail anything still queued so waiters don't sit out their
+        # full submit timeout
+        for q in (self._queue, self._completion_q):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                items = item[0] if q is self._completion_q else [item]
+                for _, _, _, slot, done in items:
+                    slot["error"] = "engine shutting down"
+                    done.set()
 
 
 def _decode_image(body: bytes, img_size: int) -> np.ndarray:
@@ -420,9 +450,10 @@ def main(argv=None):
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard each micro-batch over all local devices "
                              "(max_batch must divide by the device count)")
-    parser.add_argument("--precompile", action="store_true",
-                        help="compile every batch bucket at startup so no "
-                             "request ever waits on a jit compile")
+    parser.add_argument("--no_precompile", action="store_true",
+                        help="skip compiling every batch bucket at startup "
+                             "(faster boot, but the first request hitting "
+                             "each bucket size then waits on a jit compile)")
     parser.add_argument("--levels", type=int, nargs="+",
                         default=[6, 12, 18, 24])
     parser.add_argument("--image_adapt_until", type=int, default=6)
@@ -436,7 +467,7 @@ def main(argv=None):
         precision=args.precision, max_batch=args.max_batch,
         clip_checkpoint=args.clip_checkpoint,
         data_parallel=args.data_parallel,
-        precompile=args.precompile,
+        precompile=not args.no_precompile,
         adapter_cfg=dict(levels=tuple(args.levels),
                          image_adapt_until=args.image_adapt_until,
                          text_adapt_until=args.text_adapt_until,

@@ -83,6 +83,10 @@ def main(argv=None):
     from aaclip_tpu.ops.similarity import fused_postproc_matrix
 
     if args.mode == "serve":
+        if args.data_parallel:
+            parser.error("--data_parallel is not plumbed into --mode serve "
+                         "yet; run serve.py --data_parallel for sharded "
+                         "serving")
         return bench_serve(args)  # the engine builds its own params
 
     cfg = get_config(args.model_name, args.img_size)

@@ -148,10 +148,15 @@ def test_http_health_and_classes(server):
 
 
 def test_http_statz(server, engine):
-    # engine has served requests from earlier tests in this module
+    # self-sufficient: serve at least one request first (module test order
+    # must not matter)
+    img = np.random.default_rng(11).integers(0, 256, (3, 70, 70),
+                                             dtype=np.uint8)
+    engine.submit(img, "MVTec", "bottle")
     with urllib.request.urlopen(server + "/statz", timeout=10) as r:
         s = json.loads(r.read())
     assert s["requests"] >= 1 and s["batches"] >= 1
+    assert s["errors"] == 0
     assert 1.0 <= s["mean_batch_occupancy"] <= engine.max_batch
     assert s["latency_ms"]["p50"] > 0
     assert s["latency_ms"]["p95"] >= s["latency_ms"]["p50"]
