@@ -23,7 +23,15 @@ def main():
     p.add_argument("--img_size", type=int, default=518)
     p.add_argument("--save_path", default=None,
                    help="trained adapter dir (optional; zero-shot without)")
+    p.add_argument("--levels", type=int, nargs="+", default=None,
+                   help="tap depths (default: the ViT-L 6/12/18/24; "
+                        "smaller models need shallower taps, e.g. "
+                        "--levels 1 2 for tiny-test)")
     args = p.parse_args()
+
+    from aaclip_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +46,14 @@ def main():
     from aaclip_tpu.text.anchors import encode_dataset_anchors
 
     cfg = get_config(args.model_name, args.img_size)
-    acfg = AdapterConfig()
+    if args.levels is None:
+        acfg = AdapterConfig()
+    else:
+        until = min(max(args.levels), AdapterConfig().image_adapt_until)
+        acfg = AdapterConfig(levels=tuple(args.levels),
+                             image_adapt_until=until,
+                             text_adapt_until=min(
+                                 until, AdapterConfig().text_adapt_until))
     policy = DtypePolicy.bf16()
     clip = create_clip_params(cfg, seed=0, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(0), cfg, acfg, policy)
