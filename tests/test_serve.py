@@ -217,6 +217,35 @@ def test_engine_data_parallel_rejects_indivisible_batch():
                              text_adapt_until=1))
 
 
+def test_engine_open_loop_overload(engine):
+    """Open-loop burst far above capacity: the bounded completion queue
+    must keep every request accounted for (result or error, no hangs) and
+    /statz must stay consistent."""
+    rng = np.random.default_rng(13)
+    n = 40
+    outcomes = [None] * n
+
+    def fire(i):
+        img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+        try:
+            outcomes[i] = ("ok", engine.submit(img, "MVTec", "bottle",
+                                               timeout=60))
+        except Exception as e:
+            outcomes[i] = ("err", str(e))
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=90)
+    assert all(o is not None for o in outcomes)        # nothing hung
+    oks = [o for o in outcomes if o[0] == "ok"]
+    assert len(oks) == n                               # capacity suffices here
+    s = engine.stats()
+    assert s["requests"] >= n
+    assert s["latency_ms"]["p95"] is not None
+
+
 def test_engine_loads_adapter_checkpoints(tmp_path):
     """save_path adapters change the engine's predictions."""
     import jax
