@@ -189,7 +189,18 @@ def metrics_eval(
         image_preds = pmax
 
     pl = np.asarray(pixel_label).reshape(-1) != 0
-    pixel_auc, pixel_ap = auroc_ap(pl, pixel_preds)
+    if pl.any() and not pl.all():
+        pixel_auc, pixel_ap = auroc_ap(pl, pixel_preds)
+    else:
+        # single-class pixel labels (e.g. a class with zero anomalous
+        # pixels): AUROC is undefined — sklearn (and hence the reference)
+        # would raise here (forward_utils.py:260-262 has no pixel guard);
+        # we mirror the reference's IMAGE-level convention of reporting 0
+        # for degenerate label sets (forward_utils.py:264-271) instead of
+        # crashing or propagating NaN into the table mean. docs/PARITY.md
+        # "Metric edge cases".
+        pixel_auc = 0.0
+        pixel_ap = 0.0
 
     il = np.asarray(image_label)
     if il.max() != il.min():

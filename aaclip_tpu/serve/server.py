@@ -15,6 +15,8 @@ POST /predict?dataset=MVTec&class_name=bottle
     body: PNG/JPEG bytes.  Response JSON:
     {"image_score": float, "anomaly_map": [[...]] (img_size^2, row-major,
      downsampled by "map_stride" query arg if given)}
+    429 (Retry-After: 1) when the request queue is at max_queue —
+    admission control sheds load instead of queuing past capacity.
 GET /healthz          -> {"status": "ok", "model": ..., "classes": [...]}
 GET /classes?dataset= -> per-dataset class list
 GET /statz            -> serving counters: requests, batches, mean batch
@@ -39,6 +41,13 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+class EngineOverloadedError(RuntimeError):
+    """Raised by ``submit`` when the request queue is at ``max_queue``:
+    admission control under sustained open-loop overload. Callers should
+    shed load (the HTTP layer maps this to 429) instead of queuing requests
+    that would only burn their full timeout."""
+
+
 class InferenceEngine:
     """Owns the compiled predict function and per-class anchors; serves
     micro-batched requests from a queue."""
@@ -50,7 +59,8 @@ class InferenceEngine:
                  clip_checkpoint: Optional[str] = None,
                  adapter_cfg: Optional[dict] = None,
                  data_parallel: bool = False,
-                 precompile: bool = True):
+                 precompile: bool = True,
+                 max_queue: Optional[int] = None):
         from aaclip_tpu.utils.platform import honor_env_platform
         honor_env_platform()
         import jax
@@ -164,7 +174,13 @@ class InferenceEngine:
                 self._predict(self.image_adapter, imgs, anch,
                               self._postproc_dev[ds0])
 
-        self._queue: "queue.Queue" = queue.Queue()
+        # admission control: reject (fast-fail) once the backlog exceeds
+        # max_queue instead of letting requests pile up to burn their full
+        # submit timeout under sustained open-loop overload
+        self.max_queue = max_queue if max_queue is not None else 4 * max_batch
+        if self.max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {self.max_queue}")
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         # bounded: put() blocks the dispatcher when the completion stage
         # falls behind, so at most 2 batches of device results are ever in
         # flight (without this, async dispatch would let the serve loop run
@@ -174,6 +190,7 @@ class InferenceEngine:
         self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_errors = 0
+        self._n_rejected = 0
         self._n_batches = 0
         self._n_batched_requests = 0
         self._latencies_ms: list = []  # ring buffer, last 1024 requests
@@ -214,7 +231,15 @@ class InferenceEngine:
         done = threading.Event()
         slot: dict = {}
         t0 = time.perf_counter()
-        self._queue.put((image_u8, dataset, class_name, slot, done))
+        try:
+            self._queue.put_nowait((image_u8, dataset, class_name, slot, done))
+        except queue.Full:
+            with self._stats_lock:
+                self._n_requests += 1
+                self._n_rejected += 1
+            raise EngineOverloadedError(
+                f"request queue full ({self.max_queue} pending); retry "
+                f"later") from None
         if not done.wait(timeout):
             with self._stats_lock:
                 self._n_requests += 1
@@ -238,6 +263,7 @@ class InferenceEngine:
             lat = sorted(self._latencies_ms)
             nb, nr = self._n_batches, self._n_batched_requests
             total, errors = self._n_requests, self._n_errors
+            rejected = self._n_rejected
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) \
@@ -246,9 +272,11 @@ class InferenceEngine:
         return {
             "requests": total,
             "errors": errors,
+            "rejected": rejected,
             "batches": nb,
             "mean_batch_occupancy": round(nr / nb, 3) if nb else None,
             "max_batch": self.max_batch,
+            "max_queue": self.max_queue,
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
                            "max": round(lat[-1], 2) if lat else None},
         }
@@ -409,6 +437,15 @@ def make_handler(engine: InferenceEngine):
             except KeyError as e:
                 self._json(404, {"error": str(e)})
                 return
+            except EngineOverloadedError as e:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -444,6 +481,9 @@ def main(argv=None):
     parser.add_argument("--precision", default="bf16",
                         choices=["fp32", "fp32_high", "bf16"])
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_queue", type=int, default=None,
+                        help="pending-request cap (default 4 x max_batch); "
+                             "submits beyond it fast-fail with HTTP 429")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8400)
     parser.add_argument("--clip_checkpoint", default=None)
@@ -465,6 +505,7 @@ def main(argv=None):
         model_name=args.model_name, img_size=args.img_size,
         datasets=tuple(args.datasets), save_path=args.save_path,
         precision=args.precision, max_batch=args.max_batch,
+        max_queue=args.max_queue,
         clip_checkpoint=args.clip_checkpoint,
         data_parallel=args.data_parallel,
         precompile=not args.no_precompile,

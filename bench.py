@@ -55,6 +55,13 @@ def main(argv=None):
                              "concurrent-client load")
     parser.add_argument("--clients", type=int, default=8,
                         help="serve mode: concurrent client threads")
+    parser.add_argument("--open_loop", type=float, default=None, metavar="RPS",
+                        help="serve mode: submit at a fixed aggregate rate "
+                             "(requests/sec) for --steps SECONDS instead of "
+                             "closed-loop clients — measures the bounded "
+                             "2-stage pipeline + admission control under "
+                             "sustained load (rejects fast-fail, counted "
+                             "separately)")
     parser.add_argument("--remat", default="full",
                         choices=["full", "selective", "off"],
                         help="train modes: per-block rematerialization. "
@@ -83,11 +90,9 @@ def main(argv=None):
     from aaclip_tpu.ops.similarity import fused_postproc_matrix
 
     if args.mode == "serve":
-        if args.data_parallel:
-            parser.error("--data_parallel is not plumbed into --mode serve "
-                         "yet; run serve.py --data_parallel for sharded "
-                         "serving")
         return bench_serve(args)  # the engine builds its own params
+    if args.open_loop is not None:
+        parser.error("--open_loop applies to --mode serve only")
 
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig() if args.model_name != "tiny-test" else AdapterConfig(
@@ -185,37 +190,77 @@ def main(argv=None):
 
 
 def bench_serve(args):
-    """Micro-batching serving-engine throughput under concurrent clients.
+    """Micro-batching serving-engine throughput.
 
-    Measures the full serving core (queue -> micro-batch collection ->
-    per-sample-anchor forward -> result fan-out) with ``--clients``
-    threads submitting pre-decoded images as fast as results return;
-    reports steady-state maps/s/chip plus the engine's own /statz
-    occupancy + latency percentiles.
+    Closed-loop (default): ``--clients`` threads submit pre-decoded images
+    as fast as results return — steady-state capacity under matched load.
+
+    Open-loop (``--open_loop RPS``): requests arrive at a fixed aggregate
+    rate for ``--steps`` seconds regardless of completions — the regime the
+    bounded 2-stage pipeline + admission control were built for; rejects
+    (queue at max_queue) fast-fail and are reported separately from
+    completions.
+
+    ``--data_parallel`` shards each micro-batch over all local devices
+    (max_batch must divide by the device count).
     """
     import threading
 
     import numpy as np
 
-    from aaclip_tpu.serve.server import InferenceEngine
+    from aaclip_tpu.serve.server import EngineOverloadedError, InferenceEngine
 
     tiny = args.model_name == "tiny-test"
     engine = InferenceEngine(
         model_name=args.model_name, img_size=args.img_size,
         datasets=("MVTec",), precision=args.precision,
         max_batch=args.batch_size, precompile=True,
+        data_parallel=args.data_parallel,
         adapter_cfg=(dict(levels=(1, 2), image_adapt_until=1,
                           text_adapt_until=1) if tiny else None))
     rng = np.random.default_rng(0)
     classes = ["bottle", "cable"]
+    n_imgs = max(args.clients, 1)
     imgs = [rng.integers(0, 256, (3, args.img_size, args.img_size),
-                         dtype=np.uint8) for _ in range(args.clients)]
+                         dtype=np.uint8) for _ in range(n_imgs)]
+
+    # warmup: one request compiles + fills caches
+    engine.submit(imgs[0], "MVTec", classes[0], timeout=600)
+
+    if args.open_loop is not None:
+        n_ok, elapsed, extra = _serve_open_loop(
+            args, engine, imgs, classes, EngineOverloadedError)
+    else:
+        n_ok, elapsed, extra = _serve_closed_loop(args, engine, imgs, classes)
+    engine.shutdown()
+    stats = engine.stats()
+    rate = n_ok / elapsed
+    if args.verbose:
+        print(f"# served {n_ok} requests in {elapsed:.2f}s; stats={stats}")
+    n_chips = engine._dp_devices
+    dp = f", dp={n_chips} chips" if args.data_parallel else ""
+    print(json.dumps({
+        "metric": "serve_maps_per_sec_per_chip",
+        "value": round(rate / n_chips, 2),
+        "unit": f"maps/s/chip (serving engine, {args.model_name} @ "
+                f"{args.img_size}px, {args.precision}, max_batch "
+                f"{args.batch_size}, {extra}, occupancy "
+                f"{stats['mean_batch_occupancy']}, p95 "
+                f"{stats['latency_ms']['p95']}ms{dp})",
+        # divides by the INFERENCE baseline constant: the reference has no
+        # serving path at all, so the only comparable number is raw
+        # maps/s — on this relay rig serve mode is transfer-bound, not
+        # engine-bound (docs/PERFORMANCE.md, serving section)
+        "vs_baseline": round(rate / n_chips / REFERENCE_BASELINE_MAPS_PER_SEC,
+                             3),
+    }))
+
+
+def _serve_closed_loop(args, engine, imgs, classes):
+    """--clients threads, each resubmitting after its result returns."""
+    import threading
 
     per_client = max(1, args.steps)
-    # warmup: one request per client image compiles + fills caches
-    for im in imgs[:1]:
-        engine.submit(im, "MVTec", classes[0], timeout=600)
-
     done = [0] * args.clients
 
     def client(i):
@@ -232,22 +277,49 @@ def bench_serve(args):
     for t in threads:
         t.join()
     elapsed = time.perf_counter() - t0
-    engine.shutdown()
-    n = sum(done)
-    stats = engine.stats()
-    rate = n / elapsed
-    if args.verbose:
-        print(f"# served {n} requests in {elapsed:.2f}s; stats={stats}")
-    print(json.dumps({
-        "metric": "serve_maps_per_sec_per_chip",
-        "value": round(rate, 2),
-        "unit": f"maps/s/chip (serving engine, {args.model_name} @ "
-                f"{args.img_size}px, {args.precision}, max_batch "
-                f"{args.batch_size}, {args.clients} clients, occupancy "
-                f"{stats['mean_batch_occupancy']}, p95 "
-                f"{stats['latency_ms']['p95']}ms)",
-        "vs_baseline": round(rate / REFERENCE_BASELINE_MAPS_PER_SEC, 3),
-    }))
+    return sum(done), elapsed, f"{args.clients} closed-loop clients"
+
+
+def _serve_open_loop(args, engine, imgs, classes, EngineOverloadedError):
+    """Fixed-rate arrivals for --steps seconds; rejects counted, not
+    retried (each arrival is its own thread, as each HTTP request would
+    be)."""
+    import threading
+
+    rps = args.open_loop
+    duration = max(1.0, float(args.steps))
+    n_total = max(1, int(rps * duration))
+    counts = {"ok": 0, "rejected": 0, "err": 0}
+    lock = threading.Lock()
+    threads = []
+
+    def fire(k):
+        try:
+            engine.submit(imgs[k % len(imgs)], "MVTec",
+                          classes[k % len(classes)], timeout=600)
+            outcome = "ok"
+        except EngineOverloadedError:
+            outcome = "rejected"
+        except Exception:
+            outcome = "err"
+        with lock:
+            counts[outcome] += 1
+
+    t0 = time.perf_counter()
+    for k in range(n_total):
+        due = t0 + k / rps
+        delay = due - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
+        t = threading.Thread(target=fire, args=(k,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    elapsed = time.perf_counter() - t0
+    extra = (f"open-loop {rps:g} rps x {duration:g}s: {counts['ok']} ok, "
+             f"{counts['rejected']} rejected, {counts['err']} errors")
+    return counts["ok"], elapsed, extra
 
 
 def bench_train(args, cfg, acfg, policy, clip, adapters):

@@ -40,6 +40,52 @@ def test_bench_modes_emit_contract(mode, metric):
     assert "vs_baseline" in payload and "unit" in payload
 
 
+def test_bench_serve_open_loop():
+    """--open_loop RPS: fixed-rate arrivals for --steps seconds; the JSON
+    contract holds and the unit string carries the ok/rejected accounting."""
+    payload = _run(COMMON + ["--mode", "serve", "--open_loop", "10",
+                             "--steps", "2", "--clients", "4"])
+    assert payload["metric"] == "serve_maps_per_sec_per_chip"
+    assert payload["value"] > 0
+    assert "open-loop 10 rps" in payload["unit"]
+    assert "rejected" in payload["unit"]
+
+
+def test_bench_serve_data_parallel():
+    """--data_parallel serve: micro-batches shard over the 8-device CPU
+    mesh (max_batch divisible by the mesh) and report per-chip rate."""
+    args = [a for a in COMMON]  # batch_size must divide by 8 devices
+    args[args.index("--batch_size") + 1] = "8"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.argv = ['bench.py'] + "
+        f"{args + ['--mode', 'serve', '--data_parallel', '--steps', '2']!r}\n"
+        "import bench; bench.main()\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO, env=env, timeout=420)
+    assert r.returncode == 0, r.stderr[-1500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["metric"] == "serve_maps_per_sec_per_chip"
+    assert payload["value"] > 0
+    assert "dp=8 chips" in payload["unit"]
+
+
+def test_bench_open_loop_rejected_outside_serve():
+    code = (
+        "import sys; sys.argv = ['bench.py', '--mode', 'infer', "
+        "'--open_loop', '5']\n"
+        "import bench; bench.main()\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO,
+                       env=dict(os.environ, JAX_PLATFORMS="cpu"), timeout=120)
+    assert r.returncode != 0
+    assert "--open_loop applies to --mode serve only" in r.stderr
+
+
 def test_profile_report_tool(tmp_path):
     """tools/profile_report.py parses a trace archive and buckets ops."""
     import gzip

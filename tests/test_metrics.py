@@ -67,6 +67,29 @@ def test_metrics_eval_reference_semantics():
     assert row2["image AUC"] == 0 and row2["image AP"] == 0
 
 
+def test_metrics_eval_single_class_pixels_are_zero_not_nan():
+    """A class with zero anomalous pixels (or all-anomalous pixels) has
+    undefined pixel AUROC; sklearn (the reference) would raise. We report
+    0.0, mirroring the reference's image-level degenerate-label convention
+    (forward_utils.py:264-271) so NaN never reaches the table mean."""
+    rng = np.random.default_rng(7)
+    n, h = 4, 8
+    all_normal = np.zeros((n, 1, h, h), np.float32)
+    preds = rng.random((n, h, h))
+    img_preds = rng.random(n)
+    labels = np.array([0, 0, 1, 1])
+    row = metrics_eval(all_normal, labels, preds, img_preds, "x",
+                       "Industrial", compute_aupro=True)
+    for k in ("pixel AUC", "pixel AP", "pixel AUPRO"):
+        assert row[k] == 0.0 and np.isfinite(row[k])
+    # image metrics unaffected by the pixel guard
+    assert np.isfinite(row["image AUC"])
+
+    all_anom = np.ones((n, 1, h, h), np.float32)
+    row = metrics_eval(all_anom, labels, preds, img_preds, "x", "Medical")
+    assert row["pixel AUC"] == 0.0 and row["pixel AP"] == 0.0
+
+
 def test_metrics_eval_medical_uses_pixel_max_only():
     rng = np.random.default_rng(6)
     n, h = 6, 8

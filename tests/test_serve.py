@@ -4,6 +4,8 @@
 import io
 import json
 import threading
+import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -217,33 +219,89 @@ def test_engine_data_parallel_rejects_indivisible_batch():
                              text_adapt_until=1))
 
 
-def test_engine_open_loop_overload(engine):
-    """Open-loop burst far above capacity: the bounded completion queue
-    must keep every request accounted for (result or error, no hangs) and
-    /statz must stay consistent."""
-    rng = np.random.default_rng(13)
-    n = 40
-    outcomes = [None] * n
+def test_engine_open_loop_overload():
+    """Open-loop burst far above capacity: admission control must bound the
+    backlog at max_queue and FAST-FAIL the excess with
+    EngineOverloadedError (no request ever burns its full timeout), while
+    accepted requests all complete and /statz stays consistent."""
+    from aaclip_tpu.serve.server import EngineOverloadedError
 
-    def fire(i):
-        img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
-        try:
-            outcomes[i] = ("ok", engine.submit(img, "MVTec", "bottle",
-                                               timeout=60))
-        except Exception as e:
-            outcomes[i] = ("err", str(e))
+    engine = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="fp32", max_batch=2, max_queue=4,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    try:
+        # slow the dispatch stage so the burst genuinely outruns service
+        orig_predict = engine._predict
 
-    threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join(timeout=90)
-    assert all(o is not None for o in outcomes)        # nothing hung
-    oks = [o for o in outcomes if o[0] == "ok"]
-    assert len(oks) == n                               # capacity suffices here
-    s = engine.stats()
-    assert s["requests"] >= n
-    assert s["latency_ms"]["p95"] is not None
+        def slow_predict(*a):
+            time.sleep(0.25)
+            return orig_predict(*a)
+
+        engine._predict = slow_predict
+
+        rng = np.random.default_rng(13)
+        n = 30
+        outcomes = [None] * n
+
+        def fire(i):
+            img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+            t0 = time.perf_counter()
+            try:
+                outcomes[i] = ("ok", time.perf_counter() - t0,
+                               engine.submit(img, "MVTec", "bottle",
+                                             timeout=60))
+            except EngineOverloadedError:
+                outcomes[i] = ("rejected", time.perf_counter() - t0, None)
+            except Exception as e:
+                outcomes[i] = ("err", time.perf_counter() - t0, str(e))
+
+        threads = [threading.Thread(target=fire, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=90)
+        assert all(o is not None for o in outcomes)        # nothing hung
+        kinds = [o[0] for o in outcomes]
+        assert "err" not in kinds                          # no timeouts/500s
+        rejects = [o for o in outcomes if o[0] == "rejected"]
+        assert rejects, "burst above max_queue must shed load, not queue it"
+        # fast-fail: a reject returns immediately, nowhere near the 60s
+        # submit timeout (bounded-memory backlog => bounded reject latency)
+        assert max(o[1] for o in rejects) < 2.0
+        oks = [o for o in outcomes if o[0] == "ok"]
+        assert oks, "admitted requests must still complete"
+        s = engine.stats()
+        assert s["requests"] == n
+        assert s["rejected"] == len(rejects)
+        assert s["max_queue"] == 4
+        assert s["latency_ms"]["p95"] is not None
+    finally:
+        engine.shutdown()
+
+
+def test_http_429_when_overloaded(server, engine):
+    """The HTTP layer maps EngineOverloadedError to 429 + Retry-After."""
+    from aaclip_tpu.serve.server import EngineOverloadedError
+
+    orig = engine.submit
+
+    def overloaded(*a, **k):
+        raise EngineOverloadedError("request queue full (test)")
+
+    engine.submit = overloaded
+    try:
+        req = urllib.request.Request(
+            f"{server}/predict?dataset=MVTec&class_name=bottle",
+            data=_png_bytes(9), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 429
+        assert ei.value.headers.get("Retry-After") == "1"
+        assert "queue full" in json.loads(ei.value.read())["error"]
+    finally:
+        engine.submit = orig
 
 
 def test_engine_loads_adapter_checkpoints(tmp_path):
