@@ -111,6 +111,28 @@ class DtypePolicy:
     compute_dtype: jnp.dtype = jnp.float32
     precision: str | None = "highest"
     fast_act: bool = False  # tanh-approx GELU (saves ~20%% of trunk VPU time)
+    # Staged-precision vision trunk (INFERENCE path only — training steps
+    # neutralize it to keep the uniform training numerics): the first
+    # ``bf16_until`` vision blocks run single-pass bf16 matmuls while the
+    # residual stream, LayerNorm statistics, and every later block keep the
+    # policy's fp32 semantics.  Adopted for fp32_high after the round-3
+    # on-chip task-level equality run (docs/PERFORMANCE.md).
+    bf16_until: int = 0
+
+    def prefix_policy(self) -> "DtypePolicy":
+        """Policy for the bf16-staged leading trunk blocks: single-pass
+        bf16 matmul inputs, same activation function, staging cleared."""
+        import dataclasses as _dc
+        return _dc.replace(self, compute_dtype=jnp.bfloat16, precision=None,
+                           bf16_until=0)
+
+    def unstaged(self) -> "DtypePolicy":
+        """This policy with trunk staging disabled (training steps and
+        parity checks use this)."""
+        if not self.bf16_until:
+            return self
+        import dataclasses as _dc
+        return _dc.replace(self, bf16_until=0)
 
     @classmethod
     def fp32(cls) -> "DtypePolicy":
@@ -120,13 +142,21 @@ class DtypePolicy:
 
     @classmethod
     def fp32_high(cls) -> "DtypePolicy":
-        """Fast-parity path: fp32 storage/residual stream and erf GELU, but
-        3-pass (F32_AS_3BF16) matmuls — ~1.6x the fp32 throughput at a
-        measured ~3e-5 relative deviation from the 6-pass parity path
-        (docs/PERFORMANCE.md, round-2 fp32 section).  The Pallas attention
-        kernel runs at full precision in this mode (Mosaic lowers only
-        DEFAULT/HIGHEST)."""
-        return cls(jnp.float32, jnp.float32, "high", False)
+        """Fast-parity path: fp32 storage/residual stream and erf GELU, with
+        3-pass (F32_AS_3BF16) matmuls and — since round 3 — the first 6
+        vision blocks (exactly the adapter-blend range) staged at
+        single-pass bf16 matmuls on the INFERENCE path (training steps
+        neutralize staging via ``unstaged()``).
+
+        Measured on the v5e chip (docs/PERFORMANCE.md, round-3 staged
+        section): 42.3 maps/s (vs 36.4 unstaged, 20.2 fp32), pixel-map
+        deviation ~1.9e-3 of the map's span vs the 6-pass parity path, and
+        the on-chip task-level run reproduces the fp32 metric table exactly
+        to every digit (pixel/image AUROC+AP and AUPRO per class).
+        ``bf16_until=12`` measures 49.6 maps/s at ~2.2e-3 span deviation
+        with the same exact metric table — set it via ``--bf16_until``;
+        ``--bf16_until 0`` restores the pure 3-pass round-2 behavior."""
+        return cls(jnp.float32, jnp.float32, "high", False, bf16_until=6)
 
     @classmethod
     def bf16(cls) -> "DtypePolicy":

@@ -71,13 +71,22 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     # map, ~5% of the e2e step)
     _pp_prec = "highest" if policy.precision == "highest" else "high"
 
+    # staged-precision trunk (policy.bf16_until > 0, e.g. fp32_high): the
+    # leading blocks need an attention kernel built against the bf16 prefix
+    # policy; later blocks keep the given attn_fn
+    prefix_attn_fn = None
+    if policy.bf16_until and attn_fn is not None:
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+
+        prefix_attn_fn = maybe_make_attn_fn(cfg, policy.prefix_policy())
+
     def _predict_impl(visual, image_adapter, images, anchors, M):
         seg_tokens, det = adapted_forward(
             visual, image_adapter, cfg, images,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
             policy=policy, act=_act, attn_fn=attn_fn, block_fn=block_fn,
-            patch_embed_fn=_patch_embed,
+            patch_embed_fn=_patch_embed, prefix_attn_fn=prefix_attn_fn,
         )
         stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]
         scores = level_scores(stacked, anchors)             # [n, B, L, 2]

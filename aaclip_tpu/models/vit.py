@@ -153,8 +153,20 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      act, policy: DtypePolicy, attn_fn,
                      vv_attn_fn=None, block_fn=None, vv_block_fn=None,
                      remat: bool | str = False,
-                     patch_embed_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
-    """Shared segmented trunk; returns (final x, taps at out_layers)."""
+                     patch_embed_fn=None,
+                     prefix_attn_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
+    """Shared segmented trunk; returns (final x, taps at out_layers).
+
+    ``policy.bf16_until`` stages the first K blocks at single-pass bf16
+    matmuls (residual stream stays in the policy's fp32 compute dtype —
+    block outputs are cast back to ``x.dtype``; LayerNorm statistics are
+    always fp32).  ``prefix_attn_fn`` is the attention override for those
+    staged blocks (built against ``policy.prefix_policy()``); without it
+    the staged segments use XLA attention at bf16.  V-V segments are never
+    staged down (the 3-pass kernel is used as given — more precise, so no
+    correctness concern; in practice staging is an inference-path feature
+    and the V-V tower belongs to stage-1 training).
+    """
     if act is None:
         act = L.config_act(cfg, policy)
     v = cfg.vision
@@ -166,7 +178,11 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
         raise ValueError(
             f"tap depths {bad} out of range for a {v.layers}-layer tower; "
             f"set levels/adapt flags to match the model config")
-    bounds = [0, v.layers, n_adapt] + [l for l in out_layers]
+    stage_k = 0
+    if policy.bf16_until and jnp.dtype(policy.compute_dtype).itemsize >= 4:
+        stage_k = min(policy.bf16_until, v.layers)
+    prefix_pol = policy.prefix_policy() if stage_k else policy
+    bounds = [0, v.layers, n_adapt, stage_k] + [l for l in out_layers]
     if vv_start is not None:
         bounds.append(vv_start)
     x = embed(params, cfg, images, policy, patch_embed_fn=patch_embed_fn)
@@ -177,9 +193,12 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
         if adapters is not None and stop <= n_adapt:
             seg_adapters = jax.tree.map(lambda a: a[start:stop], adapters)
         vv = vv_start is not None and start >= vv_start
+        staged = stop <= stage_k and not vv
         x = run_block_range(x, seg, v.heads, vv=vv, adapters=seg_adapters,
-                            adapt_weight=adapt_weight, act=act, policy=policy,
-                            attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+                            adapt_weight=adapt_weight, act=act,
+                            policy=prefix_pol if staged else policy,
+                            attn_fn=prefix_attn_fn if staged else attn_fn,
+                            vv_attn_fn=vv_attn_fn,
                             block_fn=block_fn, vv_block_fn=vv_block_fn,
                             remat=remat)
         if stop in out_layers:
@@ -200,6 +219,7 @@ def encode_image(
     vv_attn_fn=None,
     block_fn=None,
     vv_block_fn=None,
+    prefix_attn_fn=None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """Frozen CLIP image forward.
 
@@ -213,7 +233,8 @@ def encode_image(
                                vv_start=vv_start, adapters=None,
                                adapt_weight=0.0, act=act, policy=policy,
                                attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
-                               block_fn=block_fn, vv_block_fn=vv_block_fn)
+                               block_fn=block_fn, vv_block_fn=vv_block_fn,
+                               prefix_attn_fn=prefix_attn_fn)
     pooled = L.layer_norm(x[:, 0, :], params["ln_post"])
     cd = policy.compute_dtype
     pooled = jnp.dot(pooled.astype(cd), params["proj"].astype(cd),
@@ -274,6 +295,7 @@ def adapted_forward(
     block_fn=None,
     remat: bool | str = False,
     patch_embed_fn=None,
+    prefix_attn_fn=None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """AdaptedCLIP image forward (reference model/adapter.py:67-112).
 
@@ -286,7 +308,7 @@ def adapted_forward(
         adapters=image_adapter["layer_adapters"],
         adapt_weight=image_adapt_weight, act=act, policy=policy,
         attn_fn=attn_fn, block_fn=block_fn, remat=remat,
-        patch_embed_fn=patch_embed_fn,
+        patch_embed_fn=patch_embed_fn, prefix_attn_fn=prefix_attn_fn,
     )
     taps = [t[:, 1:, :] for t in taps]  # drop CLS
     tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]

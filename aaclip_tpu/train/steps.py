@@ -77,6 +77,10 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     """
     from aaclip_tpu.models.vit import embed, run_block_range, slice_blocks
 
+    # training keeps the policy's uniform matmul precision: the staged
+    # bf16-prefix trunk (bf16_until) is an inference-path feature; honoring
+    # it here would silently change training numerics across resumes
+    policy = policy.unstaged()
     last_level = cfg.vision.layers
     visual = clip_params["visual"]
     act = Lyr.config_act(cfg, policy)
@@ -126,6 +130,7 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     mask [B, H, W], class_idx [B], valid [B]).
     """
     img = img_size or cfg.vision.image_size
+    policy = policy.unstaged()  # staging is inference-only (see features_fn)
     tokens = jnp.asarray(prompt_tokens)
     C, S, _ = tokens.shape
     flat_tokens = tokens.reshape(C * S, -1)
@@ -181,6 +186,7 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     and skips the recompute (measured numbers in docs/PERFORMANCE.md).
     """
     img = img_size or cfg.vision.image_size
+    policy = policy.unstaged()  # staging is inference-only (see features_fn)
     anchors_table = jnp.asarray(anchors_table)
     visual = clip_params["visual"]
 

@@ -41,6 +41,10 @@ def main(argv=None):
     parser.add_argument("--precision", default="bf16",
                         choices=["fp32", "fp32_high", "bf16"])
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--bf16_until", type=int, default=None,
+                        help="override the policy's staged-precision trunk "
+                             "depth (leading vision blocks at single-pass "
+                             "bf16 matmuls; inference path only)")
     parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--verbose", action="store_true")
@@ -98,6 +102,9 @@ def main(argv=None):
     acfg = AdapterConfig() if args.model_name != "tiny-test" else AdapterConfig(
         levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
     policy = DtypePolicy.from_name(args.precision)
+    if args.bf16_until is not None:
+        import dataclasses
+        policy = dataclasses.replace(policy, bf16_until=args.bf16_until)
 
     clip = create_clip_params(cfg, seed=0, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
@@ -178,11 +185,12 @@ def main(argv=None):
               f"batch={batch} steps={args.steps} chips={n_chips} "
               f"aggregate={maps_per_sec:.2f} maps/s")
     dp = f", dp={n_chips} chips" if mesh is not None else ""
+    stage = f"+bf16x{policy.bf16_until}" if policy.bf16_until else ""
     print(json.dumps({
         "metric": "anomaly_maps_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": f"maps/s/chip ({args.model_name} @ {args.img_size}px, adapted fwd "
-                f"+ fused map, {args.precision}, attn={effective_attn}{dp})",
+                f"+ fused map, {args.precision}{stage}, attn={effective_attn}{dp})",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_MAPS_PER_SEC, 3),
     }))
 

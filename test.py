@@ -43,6 +43,11 @@ def parse_args(argv=None):
                              "fp32_high = 3-pass fast-parity (~3e-5 rel); "
                              "bf16 = fast path")
     parser.add_argument("--clip_checkpoint", type=str, default=None)
+    parser.add_argument("--bf16_until", type=int, default=None,
+                        help="override the staged-precision trunk depth "
+                             "(leading vision blocks at single-pass bf16 "
+                             "matmuls; fp32 residual stream; inference "
+                             "only). Default: the precision's own setting")
     parser.add_argument("--aupro", action="store_true",
                         help="also compute pixel AUPRO")
     parser.add_argument("--csv", action="store_true",
@@ -90,6 +95,9 @@ def main(argv=None):
     from aaclip_tpu.utils.profiling import StepTimer
 
     policy = DtypePolicy.from_name(args.precision)
+    if args.bf16_until is not None:
+        import dataclasses
+        policy = dataclasses.replace(policy, bf16_until=args.bf16_until)
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig(
         text_adapt_weight=args.text_adapt_weight,

@@ -122,7 +122,11 @@ def test_fp32_high_policy_table():
     p = DtypePolicy.from_name("fp32_high")
     assert p.precision == "high" and p.compute_dtype == jnp.float32
     assert not p.fast_act  # erf GELU: fp32_high stays a parity-family path
+    assert p.bf16_until == 6  # round-3 staged trunk (inference path)
+    assert p.unstaged().bf16_until == 0 and p.unstaged().precision == "high"
     assert DtypePolicy.from_name("fp32").precision == "highest"
+    assert DtypePolicy.from_name("fp32").bf16_until == 0  # parity untouched
+    assert DtypePolicy.from_name("bf16").bf16_until == 0
     assert DtypePolicy.from_name("bf16").compute_dtype == jnp.bfloat16
     import pytest as _pytest
     with _pytest.raises(ValueError):

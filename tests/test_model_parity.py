@@ -193,6 +193,47 @@ def test_adapted_forwards_run_and_differ(setup):
     assert np.abs(np.asarray(e_frozen) - np.asarray(e_adapted)).max() > 1e-3
 
 
+def test_staged_precision_trunk(setup):
+    """policy.bf16_until stages the leading blocks at bf16 matmuls while
+    keeping the fp32 residual stream: bf16_until=0 is bitwise the base
+    path, a staged prefix stays close to fp32 (bf16 rounding only), and
+    the depth clamps at the tower size."""
+    import dataclasses
+
+    from aaclip_tpu.core.config import DtypePolicy
+
+    sd, params, images = setup
+    acfg = AdapterConfig(levels=(1, 3), image_adapt_until=2, text_adapt_until=1)
+    ad = init_adapter_params(jax.random.PRNGKey(0), CFG, acfg)
+    imgs = jnp.asarray(images.numpy())
+    base = DtypePolicy.fp32()
+
+    def run(policy):
+        seg, det = adapted_forward(params["visual"], ad["image"], CFG, imgs,
+                                   levels=acfg.levels, policy=policy)
+        return np.asarray(jnp.stack(seg)), np.asarray(det)
+
+    seg0, det0 = run(dataclasses.replace(base, bf16_until=0))
+    seg_ref, det_ref = run(base)
+    np.testing.assert_array_equal(seg0, seg_ref)  # 0 = identical graph
+
+    seg1, det1 = run(dataclasses.replace(base, bf16_until=1))
+    assert np.isfinite(seg1).all() and np.isfinite(det1).all()
+    # staged prefix deviates by bf16 rounding only — small but nonzero
+    np.testing.assert_allclose(seg1, seg_ref, atol=0.05)
+    np.testing.assert_allclose(det1, det_ref, atol=0.05)
+    assert np.abs(seg1 - seg_ref).max() > 0  # it really staged
+
+    # depth beyond the tower clamps (no crash), staged everywhere
+    seg9, det9 = run(dataclasses.replace(base, bf16_until=99))
+    assert np.isfinite(seg9).all()
+    # training steps neutralize staging
+    staged = dataclasses.replace(base, bf16_until=2)
+    assert staged.unstaged().bf16_until == 0
+    assert staged.prefix_policy().compute_dtype == jnp.bfloat16
+    assert staged.prefix_policy().bf16_until == 0
+
+
 def test_resize_pos_embed_matches_torch_bicubic():
     rng = np.random.default_rng(0)
     pos = rng.standard_normal((1 + 6 * 6, 8)).astype(np.float32)

@@ -109,9 +109,14 @@ def main(argv=None):
     M = jnp.asarray(fused_postproc_matrix(cfg.vision.grid, args.img_size,
                                           "Industrial"))
     ref_pix = None
-    for name, policy, tol in [("fp32", DtypePolicy.fp32(), 0.0),
-                              ("fp32_high", DtypePolicy.fp32_high(), 2e-3),
-                              ("bf16", DtypePolicy.bf16(), 1.5e-1)]:
+    for name, policy, tol in [
+            ("fp32", DtypePolicy.fp32(), 0.0),
+            # pure 3-pass matmuls (round-2 fp32_high): ~3e-5 span deviation
+            ("fp32_high unstaged", DtypePolicy.fp32_high().unstaged(), 2e-3),
+            # production fp32_high: bf16-staged first 6 blocks (round 3);
+            # measured ~1.9e-2 abs on these synthetic maps
+            ("fp32_high", DtypePolicy.fp32_high(), 5e-2),
+            ("bf16", DtypePolicy.bf16(), 1.5e-1)]:
         attn = make_attn_fn(cfg.vision.heads, policy)
         pred = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
                                policy=policy, attn_fn=attn)
