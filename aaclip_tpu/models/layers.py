@@ -134,6 +134,50 @@ def attention(
     return out.astype(x.dtype)
 
 
+def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
+                       policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+    """Reference-exact CLIP-Surgery V-V attention: attends across the BATCH
+    at each spatial position.
+
+    The reference's surgery ``Attention`` module assumes batch-first input
+    (``B, N, C = q_x.shape``, reference model/transformer.py:126) but the
+    tower feeds it seq-first LND tensors (model/transformer.py:528), so in
+    the reference the "V-V attention" softmax actually runs over the batch
+    samples at each position — stage-1 supervision features mix across the
+    batch and depend on its composition (measured: ~10%% relative feature
+    shift from swapping one batchmate; see docs/PARITY.md "V-V attention
+    layout quirk").  This function reproduces that behavior exactly; the
+    (arguably intended) spatial form is ``attention(vv=True)``.
+
+    FLOP note: per position the score matrix is [batch, batch] — ~L/B times
+    cheaper than spatial V-V at ViT-L shapes, so no Pallas kernel is needed.
+    """
+    B, L, D = x.shape
+    hd = D // num_heads
+    scale = hd ** -0.5
+    cd = policy.compute_dtype
+    xc = x.astype(cd)
+    w_v = p["w_qkv"][:, 2 * D:]
+    v = jnp.dot(xc, w_v.astype(cd), preferred_element_type=jnp.float32,
+                precision=policy.precision)
+    v = v + p["b_qkv"][2 * D:].astype(jnp.float32)
+    v = v.reshape(B, L, num_heads, hd)
+    scores = jnp.einsum(
+        "alhd,blhd->lhab", v.astype(cd), v.astype(cd),
+        preferred_element_type=jnp.float32, precision=policy.precision,
+    ) * scale
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "lhab,blhd->alhd", probs.astype(cd), v.astype(cd),
+        preferred_element_type=jnp.float32, precision=policy.precision,
+    ).reshape(B, L, D)
+    out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
+                  preferred_element_type=jnp.float32,
+                  precision=policy.precision)
+    out = out + p["b_out"].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def mlp(x: jax.Array, p: dict, act, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
     from jax.ad_checkpoint import checkpoint_name
 

@@ -256,13 +256,26 @@ def surgery_patch_features(
     vv_attn_fn=None,
     block_fn=None,
     vv_block_fn=None,
+    vv_mode: str = "batch",
 ) -> List[jax.Array]:
     """Stage-1 feature extraction from the surgery model: tapped patch tokens
     (CLS dropped) -> ln_post -> @proj (reference train.py:75-81).
 
     ``surgery_until_layer`` matches the --surgery_until_layer flag: the last
     (surgery_until_layer - 1) blocks use V-V attention.
+
+    ``vv_mode="batch"`` (default) is reference-exact: the surgery blocks
+    attend across the batch at each position (the reference's layout quirk,
+    layers.attention_vv_batch / docs/PARITY.md).  ``vv_mode="spatial"`` is
+    the arguably-intended per-sample spatial V-V attention (may use the
+    packed Pallas kernel via ``vv_attn_fn``).
     """
+    if vv_mode == "batch":
+        heads, _pol = cfg.vision.heads, policy
+        vv_attn_fn = lambda h, p: L.attention_vv_batch(h, p, heads, policy=_pol)
+        vv_block_fn = None
+    elif vv_mode != "spatial":
+        raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
     vv_start = cfg.vision.layers - (surgery_until_layer - 1)
     _, taps = encode_image(
         params, cfg, images, out_layers, vv_start=vv_start, policy=policy,

@@ -58,7 +58,8 @@ def init_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
 def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
                        surgery_until_layer: int = 20,
                        policy: DtypePolicy = DtypePolicy(),
-                       attn_fn=None, vv_attn_fn=None):
+                       attn_fn=None, vv_attn_fn=None,
+                       vv_mode: str = "batch"):
     """Returns a jitted fn images -> grad-free stage-1 supervision features:
     last-level surgery patch embedding, L2-normalized, plus the frozen
     model's normalized CLS token (reference train.py:74-85).
@@ -74,6 +75,15 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
 
     Being gradient-free, this path may use the (non-differentiable) Pallas
     attention kernels for both the standard and V-V variants.
+
+    ``vv_mode="batch"`` (default) reproduces the reference's V-V layout
+    quirk exactly: the surgery blocks attend across the BATCH at each
+    position, so supervision features depend on batch composition (reference
+    model/transformer.py:125-152 treats the seq-first LND stream as
+    batch-first; docs/PARITY.md "V-V attention layout quirk").
+    ``vv_mode="spatial"`` selects per-sample spatial V-V attention (the
+    intended CLIP-Surgery semantics; batch-composition independent, and the
+    packed Pallas V-V kernel applies via ``vv_attn_fn``).
     """
     from aaclip_tpu.models.vit import embed, run_block_range, slice_blocks
 
@@ -86,6 +96,11 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     act = Lyr.config_act(cfg, policy)
     layers = cfg.vision.layers
     heads = cfg.vision.heads
+    if vv_mode == "batch":
+        vv_attn_fn = lambda h, p: Lyr.attention_vv_batch(h, p, heads,
+                                                         policy=policy)
+    elif vv_mode != "spatial":
+        raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
     vv_start = max(0, layers - (surgery_until_layer - 1))
     cd_prec = dict(preferred_element_type=jnp.float32,
                    precision=policy.precision)

@@ -29,6 +29,14 @@ class StepTimer:
             self._items += n_items
         self._last_tick = now
 
+    def stop(self) -> None:
+        """Close the measurement window now (e.g. after draining async
+        work): with one-step-late loss fetches, ticks happen at dispatch
+        time, so the window must extend to the final synchronization for
+        the rate to reflect wall time."""
+        if self._count:
+            self._last_tick = time.perf_counter()
+
     def rate(self) -> float:
         if self._count < 2 or self._start is None:
             return 0.0

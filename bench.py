@@ -66,6 +66,12 @@ def main(argv=None):
                              "2-stage pipeline + admission control under "
                              "sustained load (rejects fast-fail, counted "
                              "separately)")
+    parser.add_argument("--vv_mode", default="batch",
+                        choices=["batch", "spatial"],
+                        help="train_stage1 surgery V-V semantics: 'batch' "
+                             "= reference-exact cross-batch attention "
+                             "(docs/PARITY.md quirk), 'spatial' = per-"
+                             "sample Pallas-accelerated form")
     parser.add_argument("--remat", default="full",
                         choices=["full", "selective", "off"],
                         help="train modes: per-block rematerialization. "
@@ -399,7 +405,8 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
     if args.attn == "pallas":
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
         attn_fn = maybe_make_attn_fn(cfg, policy)
-        vv_attn_fn = maybe_make_attn_fn(cfg, policy, vv=True)
+        if args.vv_mode == "spatial":
+            vv_attn_fn = maybe_make_attn_fn(cfg, policy, vv=True)
     effective_attn = "pallas" if attn_fn is not None else "xla"
 
     B = args.batch_size
@@ -414,7 +421,8 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
     tokens = dataset_prompt_tokens(
         "VisA" if args.model_name != "tiny-test" else "MVTec")[:n_cls]
     feats_fn = stage1_features_fn(clip, cfg, policy=policy, attn_fn=attn_fn,
-                                  vv_attn_fn=vv_attn_fn)
+                                  vv_attn_fn=vv_attn_fn,
+                                  vv_mode=args.vv_mode)
     tx = make_text_optimizer()
     step = make_stage1_step(clip, cfg, acfg, tx, tokens,
                             img_size=args.img_size, policy=policy,
@@ -439,7 +447,7 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
         "value": round(per_chip, 2),
         "unit": f"img/s/chip ({args.model_name} @ {args.img_size}px stage-1: "
                 f"surgery feats + text update, {args.precision}, "
-                f"attn={effective_attn})",
+                f"attn={effective_attn}, vv={args.vv_mode})",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_STAGE1_IMG_PER_SEC, 3),
     }))
 

@@ -71,13 +71,30 @@ def _make_state_dict(cfg: CLIPConfig, seed=0) -> dict:
 
 
 def _torch_block(sd, prefix, x, width, heads, attn_mask=None, vv=False):
-    """One pre-LN residual block from raw state-dict tensors, batch-first."""
+    """One pre-LN residual block from raw state-dict tensors, batch-first.
+
+    ``vv="batch"`` transcribes the reference's surgery quirk literally: the
+    surgery ``Attention`` assumes batch-first input (reference
+    model/transformer.py:126 ``B, N, C = q_x.shape``) but the tower feeds
+    it seq-first LND (model/transformer.py:528), so V-V attention runs
+    across the batch at each position.  ``vv="spatial"`` is the intended
+    per-sample spatial V-V form.
+    """
     ln = lambda y, p: F.layer_norm(y, (width,), sd[f"{p}.weight"], sd[f"{p}.bias"])
     h = ln(x, f"{prefix}.ln_1")
-    if vv:
+    hd = width // heads
+    if vv == "batch":
+        z = h.permute(1, 0, 2)  # batch-first -> the LND the tower feeds
+        qkv = z @ sd[f"{prefix}.attn.in_proj_weight"].T + sd[f"{prefix}.attn.in_proj_bias"]
+        L, N, _ = z.shape     # reference reads these as (B, N, C)
+        v = qkv[..., 2 * width:].reshape(L, N, heads, hd).permute(0, 2, 1, 3)
+        attn = ((v @ v.transpose(-2, -1)) * hd ** -0.5).softmax(-1)
+        a = (attn @ v).permute(0, 2, 1, 3).reshape(L, N, width)
+        a = a @ sd[f"{prefix}.attn.out_proj.weight"].T + sd[f"{prefix}.attn.out_proj.bias"]
+        a = a.permute(1, 0, 2)  # back to batch-first
+    elif vv == "spatial":
         qkv = h @ sd[f"{prefix}.attn.in_proj_weight"].T + sd[f"{prefix}.attn.in_proj_bias"]
         B, N, _ = h.shape
-        hd = width // heads
         v = qkv[..., 2 * width:].reshape(B, N, heads, hd).permute(0, 2, 1, 3)
         attn = ((v @ v.transpose(-2, -1)) * hd ** -0.5).softmax(-1)
         a = (attn @ v).permute(0, 2, 1, 3).reshape(B, N, width)
@@ -97,7 +114,7 @@ def _torch_block(sd, prefix, x, width, heads, attn_mask=None, vv=False):
     return x + mlp
 
 
-def _torch_vision_trunk(sd, cfg, images, vv_start=None):
+def _torch_vision_trunk(sd, cfg, images, vv_start=None, vv_mode="batch"):
     """Patchify -> blocks; returns per-layer token list (batch-first)."""
     v = cfg.vision
     x = F.conv2d(images, sd["visual.conv1.weight"], stride=v.patch_size)
@@ -107,7 +124,7 @@ def _torch_vision_trunk(sd, cfg, images, vv_start=None):
     x = F.layer_norm(x, (v.width,), sd["visual.ln_pre.weight"], sd["visual.ln_pre.bias"])
     outs = []
     for i in range(v.layers):
-        vv = vv_start is not None and i >= vv_start
+        vv = vv_mode if (vv_start is not None and i >= vv_start) else False
         x = _torch_block(sd, f"visual.transformer.resblocks.{i}", x,
                          v.width, v.heads, vv=vv)
         outs.append(x)
@@ -139,21 +156,27 @@ def test_encode_image_parity(setup):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-4)
 
 
-def test_surgery_parity(setup):
+@pytest.mark.parametrize("vv_mode", ["batch", "spatial"])
+def test_surgery_parity(setup, vv_mode):
     """V-V surgery features: blocks >= vv_start use V-V attention, then
-    ln_post over patch tokens and @proj (reference train.py:78-81)."""
+    ln_post over patch tokens and @proj (reference train.py:78-81).
+
+    ``batch`` is the reference-exact quirk semantics (attention across the
+    batch at each position — default), ``spatial`` the opt-in per-sample
+    form; both are checked against independent torch transcriptions."""
     sd, params, images = setup
     v = CFG.vision
     surgery_until = 3  # replaces last 2 of 3 blocks -> vv_start = 1
     with torch.no_grad():
-        outs = _torch_vision_trunk(sd, CFG, images, vv_start=1)
+        outs = _torch_vision_trunk(sd, CFG, images, vv_start=1, vv_mode=vv_mode)
         feats = []
         for t in (outs[1], outs[2]):
             f = F.layer_norm(t[:, 1:], (v.width,),
                              sd["visual.ln_post.weight"], sd["visual.ln_post.bias"])
             feats.append((f @ sd["visual.proj"]).numpy())
     got = surgery_patch_features(params["visual"], CFG, jnp.asarray(images.numpy()),
-                                 out_layers=[2, 3], surgery_until_layer=surgery_until)
+                                 out_layers=[2, 3], surgery_until_layer=surgery_until,
+                                 vv_mode=vv_mode)
     for g, w in zip(got, feats):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-4)
 

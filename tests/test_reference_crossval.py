@@ -1,0 +1,294 @@
+"""End-to-end cross-validation against the reference implementation itself.
+
+Every other parity test validates a layer or an op; this one closes the loop
+on *wiring*: it builds the reference's torch ``AdaptedCLIP`` (random init,
+the real ViT-L architecture at a small image size), carries the SAME weights
+into this framework through the public checkpoint interop (CLIP state_dict
+-> ``load_openai_checkpoint``; adapter state_dicts -> the ``.pth`` interop
+loader) and asserts the adapted visual forward, adapted text encoder, plain
+text encoder, and fused stage-1 surgery features agree numerically with the
+reference modules run on the same inputs.
+
+This is the strongest verification available without the real
+``ViT-L-14-336px.pt`` (absent from this image, docs/PARITY.md): it shows the
+*implementations* agree end-to-end at the production architecture, confining
+the remaining real-weights risk to the (format-tested) checkpoint loader.
+
+Reference code exercised: model/adapter.py:67-145 (AdaptedCLIP forward +
+encode_text), model/model.py:185-201 (encode_image/encode_text),
+model/transformer.py:407-425 (DAPM_replace surgery), train.py:75-85
+(stage-1 feature math). Skipped when /root/reference is not present.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "model")),
+    reason="reference repo not present")
+
+IMG = 42          # 3x3 grid at patch 14 — smallest ViT-L-14 image size
+BATCH = 2
+SURGERY_UNTIL = 20
+PROMPTS = ["a photo of a normal bottle", "a photo of an anomalous cable"]
+
+
+def _import_reference():
+    """Import the reference's model package (namespace package, no
+    __init__.py). ipdb is imported-but-unused there and isn't installed
+    here — satisfy the import with an empty stub."""
+    sys.modules.setdefault("ipdb", types.ModuleType("ipdb"))
+    sys.path.insert(0, REF)
+    try:
+        from model.adapter import AdaptedCLIP
+        from model.clip import create_model
+    finally:
+        sys.path.remove(REF)
+    return create_model, AdaptedCLIP
+
+
+@pytest.fixture(scope="module")
+def crossval(tmp_path_factory):
+    """Run the reference torch models once, export their weights, load them
+    through our converters, and hand both sides' outputs to the tests."""
+    import torch
+
+    create_model, AdaptedCLIP = _import_reference()
+    workdir = tmp_path_factory.mktemp("crossval")
+
+    torch.manual_seed(0)
+    clip_t = create_model("ViT-L-14-336", IMG, force_image_size=IMG).eval()
+    adapted_t = AdaptedCLIP(clip_t, relu=False).eval()
+
+    # the reference builds a SECOND model from the same checkpoint and
+    # rewires its tail with V-V attention (train.py:234-243)
+    surgery_t = create_model("ViT-L-14-336", IMG, force_image_size=IMG).eval()
+    surgery_t.load_state_dict(clip_t.state_dict())
+    surgery_t.visual.DAPM_replace(DPAM_layer=SURGERY_UNTIL)
+
+    from aaclip_tpu.text.bpe import tokenize
+    tokens_np = np.asarray(tokenize(PROMPTS))
+
+    gen = torch.Generator().manual_seed(7)
+    images_t = torch.randn(BATCH, 3, IMG, IMG, generator=gen)
+    tokens_t = torch.from_numpy(tokens_np).long()
+
+    ref = {}
+    with torch.no_grad():
+        seg_t, det_t = adapted_t(images_t)
+        ref["seg"] = [t.numpy() for t in seg_t]
+        ref["det"] = det_t.numpy()
+        ref["text_adapted"] = adapted_t.encode_text(tokens_t).numpy()
+        ref["text_plain"] = clip_t.encode_text(tokens_t).numpy()
+
+        # stage-1 supervision features, reference train.py:75-85: last
+        # tapped level of the surgery tower + the frozen model's CLS
+        _, patch_feats = surgery_t.encode_image(images_t, [24])
+        cls_tok, _ = clip_t.encode_image(images_t, [])
+        cls_tok = cls_tok / cls_tok.norm(dim=-1, keepdim=True)
+        f = surgery_t.visual.ln_post(patch_feats[-1][:, 1:, :])
+        f = f @ surgery_t.visual.proj
+        f = f / f.norm(dim=-1, keepdim=True)
+        ref["stage1"] = (f + cls_tok.unsqueeze(1)).numpy()
+
+    # ---- carry the weights across through the public interop -------------
+    ckpt_path = os.path.join(workdir, "clip_random.pt")
+    torch.save(clip_t.state_dict(), ckpt_path)
+    text_pth = os.path.join(workdir, "text_adapter.pth")
+    image_pth = os.path.join(workdir, "image_adapter.pth")
+    torch.save({"epoch": 1, "text_adapter": adapted_t.text_adapter.state_dict()},
+               text_pth)
+    torch.save({"epoch": 1,
+                "image_adapter": adapted_t.image_adapter.state_dict()},
+               image_pth)
+    del clip_t, adapted_t, surgery_t
+
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import create_clip_params
+    from aaclip_tpu.train.checkpoint import load_reference_checkpoint
+
+    cfg = get_config("ViT-L-14-336", IMG)
+    acfg = AdapterConfig()  # reference CLI defaults (proj_relu=False)
+    policy = DtypePolicy.from_name("fp32")
+    clip_params = create_clip_params(cfg, checkpoint=ckpt_path, policy=policy)
+    _, text_adapter = load_reference_checkpoint(
+        text_pth, "text", n_adapt=acfg.text_adapt_until)
+    _, image_adapter = load_reference_checkpoint(
+        image_pth, "image", n_adapt=acfg.image_adapt_until,
+        n_levels=len(acfg.levels))
+
+    return types.SimpleNamespace(
+        ref=ref, cfg=cfg, acfg=acfg, policy=policy,
+        clip_params=clip_params, text_adapter=text_adapter,
+        image_adapter=image_adapter, images=np.asarray(images_t.numpy()),
+        tokens=tokens_np,
+    )
+
+
+def _maxdiff(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def test_adapted_visual_forward_matches_reference(crossval):
+    """reference model/adapter.py:67-112 vs models/vit.py::adapted_forward."""
+    from aaclip_tpu.models.vit import adapted_forward
+
+    cv = crossval
+    seg, det = adapted_forward(
+        cv.clip_params["visual"], cv.image_adapter, cv.cfg,
+        cv.images, image_adapt_weight=cv.acfg.image_adapt_weight,
+        levels=cv.acfg.levels, proj_relu=cv.acfg.proj_relu, policy=cv.policy)
+    assert len(seg) == len(cv.ref["seg"])
+    for ours, theirs in zip(seg, cv.ref["seg"]):
+        assert _maxdiff(ours, theirs) < 2e-4  # L2-normalized, |.| <= 1
+    assert _maxdiff(det, cv.ref["det"]) < 2e-4
+
+
+def test_adapted_text_encoder_matches_reference(crossval):
+    """reference model/adapter.py:114-145 vs adapted_encode_text."""
+    from aaclip_tpu.models.text_model import adapted_encode_text
+
+    cv = crossval
+    ours = adapted_encode_text(
+        cv.clip_params["text"], cv.text_adapter, cv.cfg, cv.tokens,
+        text_adapt_weight=cv.acfg.text_adapt_weight, policy=cv.policy)
+    scale = float(np.max(np.abs(cv.ref["text_adapted"])))
+    assert _maxdiff(ours, cv.ref["text_adapted"]) < 5e-4 * max(scale, 1.0)
+
+
+def test_plain_text_encoder_matches_reference(crossval):
+    """reference model/model.py:190-201 (text_projection path) vs
+    encode_text — the anchor path when no text adapter is trained."""
+    from aaclip_tpu.models.text_model import encode_text
+
+    cv = crossval
+    ours = encode_text(cv.clip_params["text"], cv.cfg, cv.tokens,
+                       policy=cv.policy)
+    scale = float(np.max(np.abs(cv.ref["text_plain"])))
+    assert _maxdiff(ours, cv.ref["text_plain"]) < 5e-4 * max(scale, 1.0)
+
+
+def _import_reference_forward_utils():
+    """Import reference forward_utils.py. Its module-level imports pull in
+    kornia / torchvision / ftfy / ipdb, none installed here; the code paths
+    this test exercises never call them, so satisfy the imports with inert
+    stubs (the blur stub raises if the untested path is ever reached)."""
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    def _no_blur(*a, **k):
+        raise AssertionError("gaussian_blur2d must not run in train mode")
+
+    stub("ipdb")
+    k = stub("kornia")
+    k.filters = stub("kornia.filters", gaussian_blur2d=_no_blur)
+    tv = stub("torchvision")
+    tv.transforms = stub("torchvision.transforms", Compose=object,
+                         Resize=object, CenterCrop=object, ToTensor=object,
+                         Normalize=object)
+    stub("ftfy", fix_text=lambda s: s)
+    sys.path.insert(0, REF)
+    try:
+        import forward_utils as fu
+    finally:
+        sys.path.remove(REF)
+    return fu
+
+
+def test_stage1_loss_chain_matches_reference():
+    """The fused-logit stage-1 loss (ops/similarity.train_similarity_logit +
+    ops/losses.seg_loss_from_logit_masked + orthogonality) equals the
+    reference's actual calculate_similarity_map -> calculate_seg_loss ->
+    orthogonality chain (reference forward_utils.py:196-231 +
+    train.py:87-96, last-level effective loss) on the same inputs."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from aaclip_tpu.ops import losses as LL
+    from aaclip_tpu.ops.similarity import train_similarity_logit
+
+    fu = _import_reference_forward_utils()
+    rng = np.random.default_rng(3)
+    B, grid, D, img = 3, 6, 16, 48
+    feats = rng.standard_normal((B, grid * grid, D)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    anch = rng.standard_normal((B, D, 2)).astype(np.float32)
+    anch /= np.linalg.norm(anch, axis=1, keepdims=True)
+    mask = (rng.random((B, img, img)) > 0.7).astype(np.float32)
+    w = 0.1  # --text_norm_weight default
+
+    f_t, a_t, m_t = map(torch.from_numpy, (feats, anch, mask))
+    with torch.no_grad():
+        pp = fu.calculate_similarity_map(f_t, a_t, img)
+        want = fu.calculate_seg_loss(pp, m_t)
+        want = want + w * ((a_t[:, :, 0] * a_t[:, :, 1]).sum(1).mean()) ** 2
+    want = float(want)
+
+    scores = 100.0 * jnp.einsum("bld,bdk->blk", jnp.asarray(feats),
+                                jnp.asarray(anch),
+                                preferred_element_type=jnp.float32,
+                                precision="highest")
+    d = train_similarity_logit(scores, img)
+    valid = jnp.ones((B,), jnp.float32)
+    got = (LL.seg_loss_from_logit_masked(d, jnp.asarray(mask), valid)
+           + w * LL.orthogonality_loss_masked(jnp.asarray(anch), valid))
+    assert abs(float(got) - want) < 1e-4 * max(1.0, abs(want)), (float(got), want)
+
+
+def test_stage2_detection_loss_matches_reference():
+    """Stage-2 detection CE: raw (unscaled) det-anchor logits through
+    F.cross_entropy (reference train.py:147-150) == the masked CE here."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax.numpy as jnp
+
+    from aaclip_tpu.ops import losses as LL
+
+    rng = np.random.default_rng(4)
+    B, D = 5, 16
+    det = rng.standard_normal((B, D)).astype(np.float32)
+    det /= np.linalg.norm(det, axis=-1, keepdims=True)
+    anch = rng.standard_normal((B, D, 2)).astype(np.float32)
+    anch /= np.linalg.norm(anch, axis=1, keepdims=True)
+    label = rng.integers(0, 2, B)
+
+    with torch.no_grad():
+        cls_preds = torch.matmul(torch.from_numpy(det).unsqueeze(1),
+                                 torch.from_numpy(anch))[:, 0]
+        want = float(F.cross_entropy(cls_preds, torch.from_numpy(label)))
+
+    logits = jnp.einsum("bd,bdk->bk", jnp.asarray(det), jnp.asarray(anch),
+                        preferred_element_type=jnp.float32,
+                        precision="highest")
+    got = float(LL.cross_entropy_logits_masked(
+        logits, jnp.asarray(label, jnp.int32), jnp.ones((B,), jnp.float32)))
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (got, want)
+
+
+def test_stage1_features_match_reference(crossval):
+    """reference train.py:75-85 (two full towers) vs the fused
+    shared-prefix stage1_features_fn."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    cv = crossval
+    feats_fn = stage1_features_fn(
+        cv.clip_params, cv.cfg, surgery_until_layer=SURGERY_UNTIL,
+        policy=cv.policy)
+    ours = feats_fn(cv.images)
+    assert _maxdiff(ours, cv.ref["stage1"]) < 4e-4  # sum of two unit vectors

@@ -236,6 +236,28 @@ def test_stage1_features_match_two_pass_reference(setup):
         np.testing.assert_array_equal(np.asarray(fused), np.asarray(want))
 
 
+def test_stage1_vv_batch_mode_couples_the_batch(setup):
+    """Reference quirk preserved: with vv_mode='batch' (the default) a
+    sample's stage-1 supervision features depend on its batchmates — the
+    reference's surgery Attention treats the seq-first stream as
+    batch-first (reference model/transformer.py:125-152 + :528), attending
+    across the batch at each position.  'spatial' mode (the intended
+    CLIP-Surgery form) is batch-composition independent."""
+    clip, _, images, *_ = setup
+    x1, x2 = images[:1], images[1:2]
+    x3 = x2[:, :, ::-1, :]  # a different batchmate
+    for mode, coupled in (("batch", True), ("spatial", False)):
+        fn = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                                vv_mode=mode)
+        fa = np.asarray(fn(jnp.concatenate([x1, x2]))[0])
+        fb = np.asarray(fn(jnp.concatenate([x1, x3]))[0])
+        delta = np.abs(fa - fb).max()
+        if coupled:
+            assert delta > 1e-4, f"batch mode should couple samples: {delta}"
+        else:
+            assert delta < 1e-5, f"spatial mode must not couple: {delta}"
+
+
 def test_stage2_grads_identical_across_remat_modes(setup):
     """Rematerialization must not change the math: stage-2 loss and updated
     parameters are identical (recomputed values are deterministic) for
@@ -262,7 +284,12 @@ def test_stage2_grads_identical_across_remat_modes(setup):
 
 
 def test_stage1_grads_identical_across_remat_modes(setup):
-    """Text-tower remat modes must also leave loss/params unchanged."""
+    """Text-tower remat modes must also leave loss/params unchanged.
+
+    The loss is checked to 1-ulp: jax.checkpoint moves XLA fusion
+    boundaries, which can legally shift the final reduction by one
+    float32 rounding step even though every recomputed value is
+    deterministic."""
     clip, adapters, images, masks, _, class_idx, valid, tokens = setup
     feats = stage1_features_fn(clip, CFG, surgery_until_layer=2)(images)
     results = {}
@@ -273,8 +300,9 @@ def test_stage1_grads_identical_across_remat_modes(setup):
         state, loss = step(state, feats, masks, class_idx, valid)
         results[mode] = (float(loss), jax.tree.map(np.asarray, state.params))
     base_loss, base_params = results[True]
+    ulp = float(np.spacing(np.float32(base_loss)))
     for mode in ("selective", False):
         loss, params = results[mode]
-        assert loss == base_loss, (mode, loss, base_loss)
+        assert abs(loss - base_loss) <= ulp, (mode, loss, base_loss)
         for a, b in zip(jax.tree.leaves(base_params), jax.tree.leaves(params)):
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)

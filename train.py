@@ -72,6 +72,17 @@ def parse_args(argv=None):
                              "device (jax.random, whole batch at once) "
                              "instead of per-sample on the host; same "
                              "transform distribution, different RNG stream")
+    parser.add_argument("--vv_mode", type=str, default="batch",
+                        choices=["batch", "spatial"],
+                        help="stage-1 surgery V-V attention semantics. "
+                             "'batch' is reference-exact: the reference's "
+                             "surgery Attention treats the seq-first stream "
+                             "as batch-first, so V-V attention runs ACROSS "
+                             "the batch at each position and supervision "
+                             "features depend on batch composition "
+                             "(docs/PARITY.md). 'spatial' is the intended "
+                             "per-sample CLIP-Surgery form (batch-"
+                             "independent, Pallas-accelerated).")
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
@@ -217,10 +228,14 @@ def main(argv=None):
     if adapt_text and text_start_epoch < args.text_epoch:
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
         attn_fn = maybe_make_attn_fn(cfg, policy)
-        vv_attn_fn = maybe_make_attn_fn(cfg, policy, vv=True)
+        # the packed Pallas V-V kernel implements the spatial semantics;
+        # the reference-exact batch mode builds its own (cheap) attention
+        vv_attn_fn = (maybe_make_attn_fn(cfg, policy, vv=True)
+                      if args.vv_mode == "spatial" else None)
         feats_fn = stage1_features_fn(
             clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
-            policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn)
+            policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+            vv_mode=args.vv_mode)
         # text-tower remat: 'selective' is always safe (the saved tensors
         # are context-length-sized) and measured fastest; 'off' can OOM at
         # large prompt batches with XLA-attention probabilities
@@ -235,18 +250,26 @@ def main(argv=None):
                              seed=args.seed, num_workers=args.num_workers,
                              host_id=host_id, num_hosts=num_hosts)
         loader.epoch = text_start_epoch
-        timer = StepTimer()
         for epoch in range(text_start_epoch, args.text_epoch):
             logger.info("training text epoch %d:", epoch)
+            timer = StepTimer()  # per-epoch: checkpoint saves excluded
             losses = []
+            pending = None  # materialize losses one step late: fetching a
+            # scalar blocks on the device, so deferring it lets the next
+            # batch's host->device transfer overlap this step's compute
             for it, batch in enumerate(loader):
                 images, mask, label, class_idx, valid = device_batch(batch)
                 images, mask = maybe_augment(images, mask, 1, epoch, it)
                 feats = feats_fn(images)
                 text_state, loss = step_fn(text_state, feats, mask,
                                            class_idx, valid)
-                losses.append(float(loss))
+                if pending is not None:
+                    losses.append(float(pending))
+                pending = loss
                 timer.tick(images.shape[0])
+            if pending is not None:
+                losses.append(float(pending))
+            timer.stop()  # losses drained -> device idle; close the window
             logger.info("loss: %s", float(np.mean(losses)))
             logger.info("throughput: %.2f img/s", timer.rate())
             ckpt.save_adapter_checkpoint_any(
@@ -277,17 +300,23 @@ def main(argv=None):
                          seed=args.seed + 1, num_workers=args.num_workers,
                          host_id=host_id, num_hosts=num_hosts)
     loader.epoch = image_start_epoch
-    timer = StepTimer()
     for epoch in range(image_start_epoch, args.image_epoch):
         logger.info("training image epoch %d:", epoch)
+        timer = StepTimer()  # per-epoch: checkpoint saves excluded
         losses = []
+        pending = None  # one-step-late loss fetch (see stage-1 loop)
         for it, batch in enumerate(loader):
             images, mask, label, class_idx, valid = device_batch(batch)
             images, mask = maybe_augment(images, mask, 2, epoch, it)
             image_state, loss = step_fn(image_state, images, mask, label,
                                         class_idx, valid)
-            losses.append(float(loss))
+            if pending is not None:
+                losses.append(float(pending))
+            pending = loss
             timer.tick(images.shape[0])
+        if pending is not None:
+            losses.append(float(pending))
+        timer.stop()  # losses drained -> device idle; close the window
         logger.info("loss: %s", float(np.mean(losses)))
         logger.info("throughput: %.2f img/s", timer.rate())
         ckpt.save_adapter_checkpoint_any(
