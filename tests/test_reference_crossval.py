@@ -250,6 +250,39 @@ def test_stage1_loss_chain_matches_reference():
     assert abs(float(got) - want) < 1e-4 * max(1.0, abs(want)), (float(got), want)
 
 
+def test_anchor_build_matches_reference():
+    """Prompt set + tokenizer ids + anchor reduction, end-to-end vs the
+    reference's actual get_adapted_single_class_text_embedding
+    (forward_utils.py:138-163). Both sides share one deterministic fake
+    text encoder (a fixed projection of the token ids), so any divergence
+    in prompt strings, tokenization, or the normalize-mean-normalize-stack
+    reduction shows up as an anchor mismatch."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from aaclip_tpu.text.anchors import encode_dataset_anchors
+
+    fu = _import_reference_forward_utils()
+    rng = np.random.default_rng(11)
+    W = (rng.standard_normal((77, 24)) / 8).astype(np.float32)
+
+    def embed_np(tok):
+        return np.tanh(tok.astype(np.float32) / 1000.0 @ W)
+
+    class FakeModel:
+        def encode_text(self, tokens):
+            return torch.from_numpy(embed_np(tokens.numpy()))
+
+    with torch.no_grad():
+        want = fu.get_adapted_single_class_text_embedding(
+            FakeModel(), "MVTec", "bottle", "cpu").numpy()
+    got = np.asarray(encode_dataset_anchors(
+        lambda t: jnp.asarray(embed_np(np.asarray(t))),
+        "MVTec", ["bottle"])["bottle"])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_stage2_detection_loss_matches_reference():
     """Stage-2 detection CE: raw (unscaled) det-anchor logits through
     F.cross_entropy (reference train.py:147-150) == the masked CE here."""
@@ -279,6 +312,65 @@ def test_stage2_detection_loss_matches_reference():
     got = float(LL.cross_entropy_logits_masked(
         logits, jnp.asarray(label, jnp.int32), jnp.ones((B,), jnp.float32)))
     assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (got, want)
+
+
+@pytest.mark.parametrize("domain", ["Industrial", "Medical"])
+def test_eval_map_chain_matches_reference(domain):
+    """The fused M(sum q)M^T eval map (ops/similarity.eval_anomaly_map)
+    equals the reference's own per-level calculate_similarity_map(test=True)
+    summed over levels (reference test.py:87-93, forward_utils.py:196-216).
+
+    The only piece the reference path can't supply here is kornia's
+    gaussian_blur2d (kornia is not installed); it is provided as a faithful
+    separable reflect-pad convolution built on the already-torch-validated
+    ops/blur.gaussian_kernel_1d, so everything else — the (s1+1-s0)/2
+    arithmetic, blur->bilinear order, align_corners upsample, domain kernel
+    selection — runs the reference's code."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax.numpy as jnp
+
+    from aaclip_tpu.ops.blur import gaussian_kernel_1d
+    from aaclip_tpu.ops.similarity import eval_anomaly_map, image_score
+
+    fu = _import_reference_forward_utils()
+
+    def faithful_blur(x, ksize, sigma):
+        g = torch.from_numpy(gaussian_kernel_1d(ksize[0], sigma[0]))
+        pad = ksize[0] // 2
+        xp = F.pad(x, (pad, pad, pad, pad), mode="reflect")
+        xp = F.conv2d(xp, g.view(1, 1, 1, -1))
+        return F.conv2d(xp, g.view(1, 1, -1, 1))
+
+    orig = fu.gaussian_blur2d
+    fu.gaussian_blur2d = faithful_blur
+    try:
+        rng = np.random.default_rng(9)
+        n, B, grid, D, img = 2, 3, 6, 16, 50
+        seg = rng.standard_normal((n, B, grid * grid, D)).astype(np.float32)
+        seg /= np.linalg.norm(seg, axis=-1, keepdims=True)
+        anch = rng.standard_normal((D, 2)).astype(np.float32)
+        anch /= np.linalg.norm(anch, axis=0, keepdims=True)
+        det = rng.standard_normal((B, D)).astype(np.float32)
+        det /= np.linalg.norm(det, axis=-1, keepdims=True)
+
+        a_t = torch.from_numpy(anch)
+        with torch.no_grad():
+            per_level = [fu.calculate_similarity_map(
+                torch.from_numpy(seg[i]), a_t, img, test=True, domain=domain)
+                for i in range(n)]
+            want = torch.cat(per_level, dim=1).sum(1).numpy()
+            want_score = ((torch.from_numpy(det) @ a_t)[:, 1] + 1) / 2
+    finally:
+        fu.gaussian_blur2d = orig
+
+    got = np.asarray(eval_anomaly_map(jnp.asarray(seg), jnp.asarray(anch),
+                                      img, domain))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(image_score(jnp.asarray(det),
+                                                      jnp.asarray(anch))),
+                               want_score.numpy(), atol=1e-6)
 
 
 def test_stage1_features_match_reference(crossval):
