@@ -40,6 +40,15 @@ def test_bench_modes_emit_contract(mode, metric):
     assert "vs_baseline" in payload and "unit" in payload
 
 
+def test_bench_stage1_vv_mode_flag():
+    """--vv_mode spatial selects the per-sample V-V form for the stage-1
+    bench; the unit string records which semantics were measured."""
+    payload = _run(COMMON + ["--mode", "train_stage1",
+                             "--vv_mode", "spatial"])
+    assert payload["metric"] == "stage1_train_images_per_sec_per_chip"
+    assert "vv=spatial" in payload["unit"]
+
+
 def test_bench_serve_open_loop():
     """--open_loop RPS: fixed-rate arrivals for --steps seconds; the JSON
     contract holds and the unit string carries the ok/rejected accounting."""

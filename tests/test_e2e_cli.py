@@ -293,6 +293,22 @@ def test_few_shot_flow(env):
     assert os.path.isfile(os.path.join(save, "image_adapter_1.npz"))
 
 
+def test_vv_mode_spatial_cli(env):
+    """--vv_mode spatial trains stage-1 with per-sample V-V attention (the
+    opt-in intended semantics); the default batch quirk mode is covered by
+    every other stage-1 test (docs/PARITY.md)."""
+    import train as train_cli
+
+    save = os.path.join(env, "ckpt_vv_spatial")
+    train_cli.main(COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "1", "--image_epoch", "0",
+        "--text_batch_size", "4", "--surgery_until_layer", "2",
+        "--vv_mode", "spatial",
+    ])
+    assert os.path.isfile(os.path.join(save, "text_adapter.npz"))
+
+
 def test_train_resume(env):
     """Stage-2 resume: rerunning with a higher epoch count continues from
     the stored epoch instead of restarting (reference train.py:289-296)."""

@@ -82,6 +82,21 @@ def main(argv=None):
                   f"(scale {scale:.2f})")
             assert d <= tol * max(scale, 1.0), (prec_name, vv, d)
 
+    # batch-coupled V-V (the reference layout quirk, stage-1 default —
+    # docs/PARITY.md): precision-policy parity on the real chip
+    want = np.asarray(jax.jit(
+        lambda x, p: L.attention_vv_batch(x, p, H, policy=DtypePolicy.fp32())
+    )(x, p))
+    for prec_name, policy, tol in [("fp32_high", DtypePolicy.fp32_high(), 5e-4),
+                                   ("bf16", DtypePolicy.bf16(), 3e-2)]:
+        got = np.asarray(jax.jit(
+            lambda x, p: L.attention_vv_batch(x, p, H, policy=policy))(x, p))
+        d = np.abs(got.astype(np.float64) - want).max()
+        scale = np.abs(want).max()
+        print(f"attention {prec_name} vv=batch: max|d|={d:.3e} "
+              f"(scale {scale:.2f})")
+        assert d <= tol * max(scale, 1.0), (prec_name, d)
+
     # ---- 2. custom VJP vs XLA gradient ------------------------------------
     for policy, tol in [(DtypePolicy.fp32(), 1e-4),
                         (DtypePolicy.bf16(), 5e-2)]:
