@@ -59,6 +59,22 @@ def test_sharded_step_matches_single_device(setup):
                                    atol=1e-6, rtol=1e-5)
 
 
+def test_stage1_batch_vv_features_sharded_match_single_device(setup):
+    """The reference's batch-coupled V-V supervision (vv_mode='batch', the
+    stage-1 default — docs/PARITY.md) under data parallelism: the batch-axis
+    softmax spans devices, so XLA must insert cross-device collectives, and
+    the sharded features must still reproduce single-device execution (the
+    reference's single-GPU semantics)."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    clip, _, batch, _ = setup
+    feats_fn = stage1_features_fn(clip, CFG, surgery_until_layer=2)
+    want = np.asarray(feats_fn(jnp.asarray(batch["images"])))
+    mesh = sh.make_data_mesh(8)
+    got = np.asarray(feats_fn(sh.shard_batch(mesh, batch["images"])))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_pad_batch_to_devices():
     arrays = [np.arange(6, dtype=np.float32).reshape(6, 1)]
     valid = np.ones((6,), np.float32)

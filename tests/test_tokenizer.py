@@ -81,3 +81,21 @@ def test_parity_with_huggingface(hf_tokenizer):
         ours = tok.encode(s)
         theirs = hf_tokenizer(s, add_special_tokens=False)["input_ids"]
         assert ours == theirs, f"mismatch for {s!r}: {ours} vs {theirs}"
+
+
+def test_fuzz_parity_with_huggingface(hf_tokenizer):
+    """Random printable-ASCII fuzz: the merge loop, byte encoder, cache,
+    and whitespace cleanup must match HF on arbitrary text, not just
+    prompt-shaped sentences."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "0123456789 .,!?-_'\"()/:;%$#@&*+=<>[]{}|\\~`^\n\t")
+    tok = default_tokenizer()
+    for _ in range(200):
+        n = rng.randint(1, 60)
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        ours = tok.encode(s)
+        theirs = hf_tokenizer(s, add_special_tokens=False)["input_ids"]
+        assert ours == theirs, f"mismatch for {s!r}: {ours} vs {theirs}"
