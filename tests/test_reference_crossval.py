@@ -41,17 +41,39 @@ SURGERY_UNTIL = 20
 PROMPTS = ["a photo of a normal bottle", "a photo of an anomalous cable"]
 
 
+def _stub_modules(names_attrs):
+    """Install inert module stubs so reference imports resolve; returns a
+    cleanup fn that removes every stub we installed from sys.modules — the
+    reference modules keep their bound references, while later real imports
+    (e.g. transformers probing find_spec('ftfy'), which raises ValueError
+    on a spec-less stub) see the true state again."""
+    installed = []
+    for name, attrs in names_attrs.items():
+        if name in sys.modules:
+            continue
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        installed.append(name)
+    def cleanup():
+        for name in installed:
+            sys.modules.pop(name, None)
+    return cleanup
+
+
 def _import_reference():
     """Import the reference's model package (namespace package, no
     __init__.py). ipdb is imported-but-unused there and isn't installed
     here — satisfy the import with an empty stub."""
-    sys.modules.setdefault("ipdb", types.ModuleType("ipdb"))
+    cleanup = _stub_modules({"ipdb": {}})
     sys.path.insert(0, REF)
     try:
         from model.adapter import AdaptedCLIP
         from model.clip import create_model
     finally:
         sys.path.remove(REF)
+        cleanup()
     return create_model, AdaptedCLIP
 
 
@@ -180,32 +202,33 @@ def _import_reference_forward_utils():
     """Import reference forward_utils.py. Its module-level imports pull in
     kornia / torchvision / ftfy / ipdb, none installed here; the code paths
     this test exercises never call them, so satisfy the imports with inert
-    stubs (the blur stub raises if the untested path is ever reached)."""
-    def stub(name, **attrs):
-        if name in sys.modules:
-            return sys.modules[name]
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[name] = m
-        return m
-
+    stubs (the blur stub raises if the untested path is ever reached), then
+    drop the stubs from sys.modules so they can't shadow real-availability
+    probes in unrelated tests."""
     def _no_blur(*a, **k):
         raise AssertionError("gaussian_blur2d must not run in train mode")
 
-    stub("ipdb")
-    k = stub("kornia")
-    k.filters = stub("kornia.filters", gaussian_blur2d=_no_blur)
-    tv = stub("torchvision")
-    tv.transforms = stub("torchvision.transforms", Compose=object,
-                         Resize=object, CenterCrop=object, ToTensor=object,
-                         Normalize=object)
-    stub("ftfy", fix_text=lambda s: s)
+    tf_attrs = dict(Compose=object, Resize=object, CenterCrop=object,
+                    ToTensor=object, Normalize=object)
+    cleanup = _stub_modules({
+        "ipdb": {},
+        "kornia.filters": {"gaussian_blur2d": _no_blur},
+        "kornia": {},
+        "torchvision.transforms": tf_attrs,
+        "torchvision": {},
+        "ftfy": {"fix_text": lambda s: s},
+    })
+    if "kornia" in sys.modules and "kornia.filters" in sys.modules:
+        sys.modules["kornia"].filters = sys.modules["kornia.filters"]
+    if "torchvision" in sys.modules and "torchvision.transforms" in sys.modules:
+        sys.modules["torchvision"].transforms = \
+            sys.modules["torchvision.transforms"]
     sys.path.insert(0, REF)
     try:
         import forward_utils as fu
     finally:
         sys.path.remove(REF)
+        cleanup()
     return fu
 
 
