@@ -396,6 +396,33 @@ def test_eval_map_chain_matches_reference(domain):
                                want_score.numpy(), atol=1e-6)
 
 
+@pytest.mark.parametrize("domain", ["Industrial", "Medical"])
+def test_metrics_eval_matches_reference(domain):
+    """Per-class metric rows vs the reference's actual metrics_eval
+    (forward_utils.py:233-280): the max!=1 normalization guard, the
+    normalize-THEN-mix image aggregation (pmax*0.5 + image*0.5 — the mix
+    depends on the per-class normalization), the Medical pmax-only branch,
+    and the rounding all have to line up."""
+    fu = _import_reference_forward_utils()
+    from aaclip_tpu.eval.metrics import metrics_eval
+
+    rng = np.random.default_rng(13)
+    B, H = 8, 24
+    pixel_label = (rng.random((B, H, H)) > 0.9).astype(np.int64)
+    pixel_label[0] = 0  # mixed labels overall, one all-normal sample
+    image_label = (np.arange(B) % 2).astype(np.int64)
+    pixel_preds = rng.random((B, H, H)).astype(np.float64)
+    image_preds = rng.random(B).astype(np.float64)
+
+    want = fu.metrics_eval(pixel_label.copy(), image_label.copy(),
+                           pixel_preds.copy(), image_preds.copy(),
+                           "bottle", domain)
+    got = metrics_eval(pixel_label, image_label, pixel_preds, image_preds,
+                       "bottle", domain)
+    for key in ("pixel AUC", "pixel AP", "image AUC", "image AP"):
+        assert abs(got[key] - want[key]) < 1e-9, (key, got[key], want[key])
+
+
 def test_stage1_features_match_reference(crossval):
     """reference train.py:75-85 (two full towers) vs the fused
     shared-prefix stage1_features_fn."""
