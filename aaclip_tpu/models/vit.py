@@ -271,8 +271,9 @@ def surgery_patch_features(
     packed Pallas kernel via ``vv_attn_fn``).
     """
     if vv_mode == "batch":
-        heads, _pol = cfg.vision.heads, policy
-        vv_attn_fn = lambda h, p: L.attention_vv_batch(h, p, heads, policy=_pol)
+        heads = cfg.vision.heads
+        vv_attn_fn = lambda h, p: L.attention_vv_batch(h, p, heads,
+                                                       policy=policy)
         vv_block_fn = None
     elif vv_mode != "spatial":
         raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
