@@ -32,7 +32,7 @@ import optax
 from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
 from aaclip_tpu.models import layers as Lyr
 from aaclip_tpu.models.text_model import adapted_encode_text
-from aaclip_tpu.models.vit import adapted_forward, encode_image, surgery_patch_features
+from aaclip_tpu.models.vit import adapted_forward
 from aaclip_tpu.ops import losses as LL
 from aaclip_tpu.ops.similarity import level_scores, train_similarity_logit
 from aaclip_tpu.text.anchors import reduce_to_anchors

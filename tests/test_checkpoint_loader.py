@@ -13,11 +13,9 @@ rebuilt model to fp32).
 """
 
 import math
-import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 import torch
 

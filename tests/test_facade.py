@@ -2,11 +2,10 @@
 reference-shaped surface."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from aaclip_tpu.core.config import AdapterConfig, get_config
-from aaclip_tpu.models.clip import AdaptedCLIP, CLIPModel
+from aaclip_tpu.models.clip import AdaptedCLIP
 from aaclip_tpu.models.text_model import encode_text
 from aaclip_tpu.models.vit import adapted_forward
 from aaclip_tpu.text.bpe import tokenize

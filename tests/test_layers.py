@@ -163,8 +163,6 @@ def test_quick_gelu_config_wiring():
     config_act must pick the right function per config/policy."""
     import dataclasses
 
-    import jax
-
     from aaclip_tpu.core.config import DtypePolicy, get_config
     from aaclip_tpu.core.params import create_clip_params
     from aaclip_tpu.models.text_model import encode_text

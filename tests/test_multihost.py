@@ -16,7 +16,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 _WORKER = r"""
 import os, sys

@@ -2,7 +2,6 @@
 reference semantics (F.interpolate align_corners, reflect-padded Gaussian
 conv), and exactness of the fused anomaly-map rewrite."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -10,7 +9,7 @@ import torch
 import torch.nn.functional as F
 
 from aaclip_tpu.ops.blur import gaussian_blur_matrix, gaussian_kernel_1d
-from aaclip_tpu.ops.resize import bilinear_matrix, resize_bilinear_2d
+from aaclip_tpu.ops.resize import resize_bilinear_2d
 from aaclip_tpu.ops.similarity import (
     fused_postproc_matrix,
     image_score,

@@ -334,7 +334,6 @@ def test_engine_loads_adapter_checkpoints(tmp_path):
     base.shutdown(); loaded.shutdown()
 
     # orbax-format snapshots are discovered too
-    import shutil
     from aaclip_tpu.train.checkpoint import save_adapter_checkpoint_any, \
         wait_for_async_saves
     orbax_dir = tmp_path / "orbax_run"

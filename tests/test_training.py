@@ -10,7 +10,7 @@ import pytest
 from aaclip_tpu.core.config import AdapterConfig, get_config
 from aaclip_tpu.core.params import create_clip_params, init_adapter_params
 from aaclip_tpu.ops import losses as LL
-from aaclip_tpu.text.anchors import dataset_prompt_tokens, reduce_to_anchors
+from aaclip_tpu.text.anchors import dataset_prompt_tokens
 from aaclip_tpu.train import checkpoint as ckpt
 from aaclip_tpu.train.optim import (
     make_image_optimizer,
