@@ -91,7 +91,6 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     # bf16-prefix trunk (bf16_until) is an inference-path feature; honoring
     # it here would silently change training numerics across resumes
     policy = policy.unstaged()
-    last_level = cfg.vision.layers
     visual = clip_params["visual"]
     act = Lyr.config_act(cfg, policy)
     layers = cfg.vision.layers
