@@ -108,6 +108,28 @@ def test_vv_attention_matches_manual():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+def test_vv_batch_attention_degenerates_at_batch_one():
+    """The reference layout quirk's documented degenerate case
+    (docs/PARITY.md): with a batch of one, the per-position softmax is
+    over a single sample, so batch-coupled V-V attention reduces exactly
+    to proj(v) — the 'attention' does nothing."""
+    d, heads, n = 16, 4, 6
+    p = _mha_params(d, seed=10)
+    x = _rand((1, n, d), 11)
+    pj = {k: jnp.asarray(v) for k, v in p.items()}
+    got = np.asarray(L.attention_vv_batch(jnp.asarray(x), pj, heads))
+    v = x @ p["w_qkv"][:, 2 * d:] + p["b_qkv"][2 * d:]
+    want = v @ p["w_out"] + p["b_out"]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    # and with two samples it no longer does (the coupling is real)
+    x2 = _rand((2, n, d), 12)
+    got2 = np.asarray(L.attention_vv_batch(jnp.asarray(x2), pj, heads))
+    v2 = x2 @ p["w_qkv"][:, 2 * d:] + p["b_qkv"][2 * d:]
+    want2 = v2 @ p["w_out"] + p["b_out"]
+    assert np.abs(got2 - want2).max() > 1e-3
+
+
 def test_residual_block_matches_torch():
     d, heads, n = 32, 4, 5
     rng = np.random.default_rng(10)
