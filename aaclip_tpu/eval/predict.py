@@ -45,6 +45,13 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     collectives are needed and per-sample results are identical to the
     single-device path. The reference eval loop (reference test.py:53-99)
     is strictly single-device; this is the TPU-native scale-out of it.
+
+    A 2-D ``('data', 'model')`` mesh (parallel/tensor.make_mesh_2d) adds
+    tensor parallelism: frozen trunk weights are sharded Megatron-style
+    over the model axis (heads / MLP hidden), the batch over the data axis.
+    The attention override is replaced by the TP-aware closure (Pallas
+    kernels are single-shard programs; ``block_fn`` overrides are rejected)
+    and results stay equal to the single-device path within fp tolerance.
     """
     from aaclip_tpu.core.params import cast_matmul_weights
     from aaclip_tpu.models.layers import config_act
@@ -75,7 +82,25 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     # leading blocks need an attention kernel built against the bf16 prefix
     # policy; later blocks keep the given attn_fn
     prefix_attn_fn = None
-    if policy.bf16_until and attn_fn is not None:
+    tp_shardings = None
+    from aaclip_tpu.parallel.tensor import is_tp_mesh
+
+    if is_tp_mesh(mesh):
+        from aaclip_tpu.parallel import tensor as tpar
+
+        if block_fn is not None:
+            raise ValueError(
+                "tensor parallelism and fused block_fn overrides are "
+                "mutually exclusive (Pallas block kernels are single-shard "
+                "programs)")
+        # the TP closure supersedes any Pallas attn_fn: attention must read
+        # the head-major repacked weights and carry the 'model' shardings
+        visual, tp_shardings = tpar.shard_visual(visual, cfg, mesh)
+        attn_fn = tpar.make_tp_attn_fn(cfg.vision.heads, mesh, policy)
+        if policy.bf16_until:
+            prefix_attn_fn = tpar.make_tp_attn_fn(
+                cfg.vision.heads, mesh, policy.prefix_policy())
+    elif policy.bf16_until and attn_fn is not None:
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
         prefix_attn_fn = maybe_make_attn_fn(cfg, policy.prefix_policy())
@@ -110,15 +135,18 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
 
         repl = sh.replicated(mesh)
         bsh = sh.batch_sharding(mesh)
+        vsh = tp_shardings if tp_shardings is not None else repl
         _predict = jax.jit(_predict_impl,
-                           in_shardings=(repl, repl, bsh, repl, repl),
+                           in_shardings=(vsh, repl, bsh, repl, repl),
                            out_shardings=(bsh, bsh))
-        visual = jax.device_put(visual, repl)
+        if tp_shardings is None:
+            visual = jax.device_put(visual, repl)
+        dp = dict(mesh.shape).get("data", mesh.devices.size)
 
         def predict(image_adapter, images, anchors, M):
-            n_dev = mesh.devices.size
-            assert images.shape[0] % n_dev == 0, (
-                f"batch {images.shape[0]} not divisible by mesh size {n_dev}")
+            assert images.shape[0] % dp == 0, (
+                f"batch {images.shape[0]} not divisible by data-parallel "
+                f"size {dp}")
             return _predict(visual, image_adapter, images, anchors, M)
 
     # expose the all-arguments form (visual first) for callers that re-jit

@@ -1,0 +1,187 @@
+"""Tensor (model) parallelism for the ViT trunk.
+
+Megatron-style sharding expressed the TPU-native way: parameters carry
+GSPMD shardings over a 2-D ``('data', 'model')`` mesh and XLA inserts the
+collectives.  Per block the layout is
+
+* QKV projection column-parallel over attention HEADS (each device owns
+  ``heads / tp`` complete heads, so scores/softmax/context need no
+  communication),
+* attention out-projection row-parallel (one ``psum`` over ``'model'``
+  restores the residual stream),
+* MLP up-projection column-parallel over the 4x hidden dim, down-projection
+  row-parallel (one more ``psum``),
+
+i.e. two all-reduces per block — the standard tensor-parallel transformer
+schedule (reference AA-CLIP is strictly single-device; this subsystem is a
+TPU-native extension, like ``parallel/sharding.py``'s data parallelism).
+
+The one layout subtlety: the packed QKV weight stores output columns in
+``(3, heads, head_dim)`` order (q block, then k, then v — the torch
+``in_proj_weight`` convention the checkpoint converter preserves,
+reference model/transformer.py:85).  Sharding that axis over ``'model'``
+would split the *q/k/v* factor, not heads, and every reshape to
+``[B, S, 3, H, hd]`` would reshard.  ``repack_qkv_head_major`` permutes the
+columns to ``(heads, 3, head_dim)`` order once at placement time, so the
+head axis is outermost and the ``'model'`` sharding propagates through
+every reshape with zero communication.  ``make_tp_attn_fn`` builds the
+matching attention closure (plugged in as the ``attn_fn`` override of
+``models.vit``'s trunk; the math is identical to ``layers.attention``).
+
+Correctness is equality-tested against the single-device path on the
+8-device CPU mesh (tests/test_tensor_parallel.py) and exercised by the
+driver dryrun; with one real chip, multi-chip TP *throughput* is not
+measurable here (same status as data parallelism, docs/PERFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aaclip_tpu.core.config import CLIPConfig, DtypePolicy
+
+
+def make_mesh_2d(tp: int, num_devices: Optional[int] = None) -> Mesh:
+    """``(n // tp, tp)`` device mesh with axes ``('data', 'model')``.
+
+    The model axis is innermost so tensor-parallel collectives ride the
+    fastest ICI hops; data-parallel traffic (none at eval, gradient psums
+    in training) crosses the outer axis.
+    """
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if tp < 1 or n % tp:
+        raise ValueError(f"tensor_parallel={tp} must divide device count {n}")
+    return Mesh(np.asarray(devices[:n]).reshape(n // tp, tp),
+                ("data", "model"))
+
+
+def is_tp_mesh(mesh) -> bool:
+    return (mesh is not None and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1)
+
+
+def repack_qkv_head_major(w_qkv: jax.Array, b_qkv: jax.Array,
+                          heads: int) -> Tuple[jax.Array, jax.Array]:
+    """Permute packed-QKV output columns from (3, H, hd) to (H, 3, hd) order.
+
+    Accepts stacked block weights ``[L, D, 3D]`` / biases ``[L, 3D]`` (or
+    unstacked ``[D, 3D]`` / ``[3D]``).  Pure permutation — consumed by
+    ``make_tp_attn_fn``'s reshape; everything else about the math is
+    unchanged.
+    """
+    stacked = w_qkv.ndim == 3
+    if not stacked:
+        w_qkv, b_qkv = w_qkv[None], b_qkv[None]
+    L, D, threeD = w_qkv.shape
+    hd = D // heads
+    w = w_qkv.reshape(L, D, 3, heads, hd).transpose(0, 1, 3, 2, 4)
+    w = w.reshape(L, D, threeD)
+    b = b_qkv.reshape(L, 3, heads, hd).transpose(0, 2, 1, 3).reshape(L, threeD)
+    if not stacked:
+        w, b = w[0], b[0]
+    return w, b
+
+
+def visual_partition_specs(visual: dict) -> dict:
+    """PartitionSpec pytree for the (stacked-block) visual param tree.
+
+    Embeddings / LayerNorms / output proj are tiny — replicated; the block
+    matmuls carry the Megatron layout described in the module docstring.
+    Leading axis of every block leaf is the stacked layer axis (unsharded —
+    ``lax.scan`` consumes it).
+    """
+    specs = jax.tree.map(lambda _: P(), visual)
+    specs["blocks"]["attn"] = {
+        "w_qkv": P(None, None, "model"),   # [L, D, 3D] column-parallel (heads)
+        "b_qkv": P(None, "model"),
+        "w_out": P(None, "model", None),   # [L, D, D] row-parallel
+        "b_out": P(None, None),
+    }
+    specs["blocks"]["mlp"] = {
+        "w_fc": P(None, None, "model"),    # [L, D, 4D] column-parallel
+        "b_fc": P(None, "model"),
+        "w_proj": P(None, "model", None),  # [L, 4D, D] row-parallel
+        "b_proj": P(None, None),
+    }
+    return specs
+
+
+def shard_visual(visual: dict, cfg: CLIPConfig, mesh: Mesh):
+    """Repack QKV head-major and place the visual tree on the TP mesh.
+
+    Returns ``(params, shardings)`` — the sharding pytree doubles as the
+    ``in_shardings`` entry when jitting a function that takes the tree.
+    """
+    heads = cfg.vision.heads
+    tp = mesh.shape["model"]
+    if heads % tp:
+        raise ValueError(
+            f"model-parallel size {tp} must divide head count {heads}")
+    hidden = visual["blocks"]["mlp"]["w_fc"].shape[-1]
+    if hidden % tp:
+        raise ValueError(
+            f"model-parallel size {tp} must divide MLP hidden dim {hidden}")
+    visual = dict(visual)
+    blocks = dict(visual["blocks"])
+    attn = dict(blocks["attn"])
+    attn["w_qkv"], attn["b_qkv"] = repack_qkv_head_major(
+        attn["w_qkv"], attn["b_qkv"], heads)
+    blocks["attn"] = attn
+    visual["blocks"] = blocks
+    specs = visual_partition_specs(visual)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(visual, shardings), shardings
+
+
+def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy):
+    """Attention closure for head-major-packed params under the TP mesh.
+
+    Same math as ``layers.attention`` (fp32 accumulation, fp32 softmax)
+    with the QKV reshape in head-major order and sharding constraints
+    pinning each head's q/k/v — and therefore scores and context — to one
+    ``'model'`` shard.  The out-projection contracts over the sharded
+    feature axis; GSPMD emits the block's single attention all-reduce
+    there.
+    """
+    qkv_s = NamedSharding(mesh, P("data", None, "model", None, None))
+    ctx_s = NamedSharding(mesh, P("data", "model", None, None))
+    out_s = NamedSharding(mesh, P("data", None, None))
+
+    def attn(x: jax.Array, p: dict) -> jax.Array:
+        B, L, D = x.shape
+        hd = D // heads
+        scale = hd ** -0.5
+        cd = policy.compute_dtype
+        qkv = jnp.dot(x.astype(cd), p["w_qkv"].astype(cd),
+                      preferred_element_type=jnp.float32,
+                      precision=policy.precision)
+        qkv = qkv + p["b_qkv"].astype(jnp.float32)
+        qkv = qkv.reshape(B, L, heads, 3, hd)
+        qkv = jax.lax.with_sharding_constraint(qkv, qkv_s)
+        q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)   # [B, H, L, hd]
+        k = qkv[:, :, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, :, 2].transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
+                            preferred_element_type=jnp.float32,
+                            precision=policy.precision) * scale
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
+                         preferred_element_type=jnp.float32,
+                         precision=policy.precision)
+        ctx = jax.lax.with_sharding_constraint(ctx, ctx_s)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = jnp.dot(ctx.astype(cd), p["w_out"].astype(cd),
+                      preferred_element_type=jnp.float32,
+                      precision=policy.precision)
+        out = out + p["b_out"].astype(jnp.float32)
+        out = jax.lax.with_sharding_constraint(out.astype(x.dtype), out_s)
+        return out
+
+    return attn

@@ -61,6 +61,13 @@ def parse_args(argv=None):
                         help="shard eval batches over all local devices "
                              "(params/anchors replicated); per-sample results "
                              "are identical to single-device")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="model-parallel size: shard the frozen ViT "
+                             "trunk Megatron-style over this many devices "
+                             "(must divide device count and head count); "
+                             "remaining devices form the data axis. "
+                             "Results equal single-device within fp "
+                             "tolerance (tests/test_tensor_parallel.py)")
     return parser.parse_args(argv)
 
 
@@ -133,15 +140,22 @@ def main(argv=None):
     attn_fn = maybe_make_attn_fn(cfg, policy)
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.tensor_parallel > 1:
         from aaclip_tpu.parallel import sharding as sh
         sh.initialize_multihost()
-        mesh = sh.make_data_mesh()
-        n_dev = mesh.devices.size
+        if args.tensor_parallel > 1:
+            from aaclip_tpu.parallel import tensor as tpar
+            mesh = tpar.make_mesh_2d(args.tensor_parallel)
+            n_dev = dict(mesh.shape)["data"]
+            logger.info("mesh: data=%d x model=%d", n_dev,
+                        args.tensor_parallel)
+        else:
+            mesh = sh.make_data_mesh()
+            n_dev = mesh.devices.size
         if args.batch_size % n_dev:
             args.batch_size = ((args.batch_size + n_dev - 1) // n_dev) * n_dev
             logger.info("data_parallel: batch_size rounded up to %d "
-                        "(%d devices)", args.batch_size, n_dev)
+                        "(%d-way data axis)", args.batch_size, n_dev)
     predict_fn = make_predict_fn(clip_params, cfg, acfg,
                                  img_size=args.img_size, policy=policy,
                                  attn_fn=attn_fn, uint8_inputs=uint8_inputs,

@@ -1,0 +1,119 @@
+"""Tensor-parallel correctness on the 8-device virtual CPU mesh.
+
+The Megatron-style trunk sharding (parallel/tensor.py) must reproduce the
+single-device eval path exactly up to fp reassociation: same maps, same
+scores, for every (dp, tp) factorization of the mesh, with and without the
+staged-precision trunk.  The reference has no model parallelism at all
+(SURVEY §2 — strictly single-GPU); these tests pin the TPU-native
+extension's equality contract.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+from aaclip_tpu.eval.predict import make_predict_fn
+from aaclip_tpu.models import layers as L
+from aaclip_tpu.ops.similarity import fused_postproc_matrix
+from aaclip_tpu.parallel import sharding as sh
+from aaclip_tpu.parallel import tensor as tpar
+
+CFG = get_config("tiny-test")
+ACFG = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, jax.devices()
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(3)
+    B, S = 8, CFG.vision.image_size
+    images = rng.standard_normal((B, 3, S, S)).astype(np.float32)
+    anchors = rng.standard_normal((CFG.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+    M = np.asarray(fused_postproc_matrix(CFG.vision.grid, S, "Industrial"))
+    return clip, adapters["image"], images, anchors, M
+
+
+def test_repacked_attention_matches_packed(setup):
+    """make_tp_attn_fn on head-major weights == layers.attention on the
+    original packing (the permutation is semantics-preserving)."""
+    clip, *_ = setup
+    blk = jax.tree.map(lambda a: a[0], clip["visual"]["blocks"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 9, CFG.vision.width)), jnp.float32)
+    want = L.attention(x, blk["attn"], CFG.vision.heads)
+    mesh = tpar.make_mesh_2d(tp=2)
+    w, b = tpar.repack_qkv_head_major(
+        blk["attn"]["w_qkv"], blk["attn"]["b_qkv"], CFG.vision.heads)
+    p_hm = dict(blk["attn"], w_qkv=w, b_qkv=b)
+    got = tpar.make_tp_attn_fn(CFG.vision.heads, mesh, DtypePolicy())(x, p_hm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_eval_matches_single_device(setup, tp):
+    clip, image_adapter, images, anchors, M = setup
+    single = make_predict_fn(clip, CFG, ACFG)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(anchors), jnp.asarray(M))
+
+    mesh = tpar.make_mesh_2d(tp=tp)
+    assert dict(mesh.shape) == {"data": 8 // tp, "model": tp}
+    tp_fn = make_predict_fn(clip, CFG, ACFG, mesh=mesh)
+    pix1, score1 = tp_fn(image_adapter, sh.shard_batch(mesh, images),
+                         jnp.asarray(anchors), jnp.asarray(M))
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_tp_eval_staged_policy_matches_single_device(setup):
+    """TP under the staged-precision trunk (fp32_high-style bf16 prefix):
+    both sides staged, sharded == single-device within bf16 tolerance."""
+    clip, image_adapter, images, anchors, M = setup
+    policy = DtypePolicy(bf16_until=1)
+    single = make_predict_fn(clip, CFG, ACFG, policy=policy)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(anchors), jnp.asarray(M))
+    mesh = tpar.make_mesh_2d(tp=2)
+    tp_fn = make_predict_fn(clip, CFG, ACFG, policy=policy, mesh=mesh)
+    pix1, score1 = tp_fn(image_adapter, sh.shard_batch(mesh, images),
+                         jnp.asarray(anchors), jnp.asarray(M))
+    # the bf16 prefix matmul partitioning differs between the two paths, so
+    # equality is up to bf16 reassociation, not exact
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-2, rtol=1e-2)
+
+
+def test_tp_mesh_validation():
+    with pytest.raises(ValueError, match="must divide device count"):
+        tpar.make_mesh_2d(tp=3)
+    mesh = tpar.make_mesh_2d(tp=8)  # tiny-test has 4 heads: 8 can't divide
+    with pytest.raises(ValueError, match="must divide head count"):
+        tpar.shard_visual(create_clip_params(CFG, seed=0)["visual"], CFG, mesh)
+
+
+def test_tp_rejects_fused_block_fn(setup):
+    clip, *_ = setup
+    mesh = tpar.make_mesh_2d(tp=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_predict_fn(clip, CFG, ACFG, mesh=mesh,
+                        block_fn=lambda x, p: x)
+
+
+def test_dp_only_mesh_unaffected():
+    """A 1-D ('data',) mesh must keep the replicated-params DP path (no
+    repack, no TP closures)."""
+    mesh = sh.make_data_mesh(8)
+    assert not tpar.is_tp_mesh(mesh)
+    assert tpar.is_tp_mesh(tpar.make_mesh_2d(tp=2))
+    assert not tpar.is_tp_mesh(tpar.make_mesh_2d(tp=1))
