@@ -186,7 +186,7 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                      tx: optax.GradientTransformation, anchors_table,
                      *, img_size: int | None = None,
                      policy: DtypePolicy = DtypePolicy(), attn_fn=None,
-                     remat: bool | str = True):
+                     remat: bool | str = True, mesh=None):
     """Build the jitted stage-2 update.
 
     ``anchors_table``: [n_classes, D, 2] frozen text anchors.  The step takes
@@ -198,11 +198,27 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     stores [B,H,S,S] probabilities per layer).  With the Pallas custom-VJP
     attention the probabilities never reach HBM, so ``remat=False`` fits
     and skips the recompute (measured numbers in docs/PERFORMANCE.md).
+
+    ``mesh``: a 2-D ``('data','model')`` mesh (parallel/tensor.make_mesh_2d)
+    Megatron-shards the frozen trunk over the model axis for the forward
+    AND the backward through it (adapter grads are psummed over both axes
+    by GSPMD); a 1-D ``('data',)`` mesh or ``None`` keeps the replicated
+    path — batches arrive pre-sharded via ``sharding.shard_batch`` either
+    way.  The TP closure replaces any given ``attn_fn`` (Pallas kernels
+    are single-shard programs).
     """
     img = img_size or cfg.vision.image_size
     policy = policy.unstaged()  # staging is inference-only (see features_fn)
     anchors_table = jnp.asarray(anchors_table)
     visual = clip_params["visual"]
+
+    from aaclip_tpu.parallel.tensor import is_tp_mesh
+
+    if is_tp_mesh(mesh):
+        from aaclip_tpu.parallel import tensor as tpar
+
+        visual, _ = tpar.shard_visual(visual, cfg, mesh)
+        attn_fn = tpar.make_tp_attn_fn(cfg.vision.heads, mesh, policy)
 
     def loss_fn(image_adapter, visual, images, mask, label, class_idx, valid):
         seg_tokens, det = adapted_forward(

@@ -86,6 +86,14 @@ def parse_args(argv=None):
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard batches over all local devices")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="model-parallel size: Megatron-shard the frozen "
+                             "ViT trunk over this many devices for stage-2 "
+                             "training (forward and backward; must divide "
+                             "device count and head count); remaining "
+                             "devices form the data axis. Stage 1 runs "
+                             "data-parallel over the data axis (the text "
+                             "tower is small; the model axis replicates it)")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "full", "selective", "off"],
                         help="stage-2 rematerialization. 'selective' saves "
@@ -206,8 +214,16 @@ def main(argv=None):
                                  jnp.asarray(step, jnp.int32))
         image_start_epoch = epoch
 
-    mesh = sh.make_data_mesh() if args.data_parallel else None
-    n_dev = len(jax.devices()) if args.data_parallel else 1
+    mesh = None
+    n_dev = 1
+    if args.tensor_parallel > 1:
+        from aaclip_tpu.parallel import tensor as tpar
+        mesh = tpar.make_mesh_2d(args.tensor_parallel)
+        n_dev = dict(mesh.shape)["data"]
+        logger.info("mesh: data=%d x model=%d", n_dev, args.tensor_parallel)
+    elif args.data_parallel:
+        mesh = sh.make_data_mesh()
+        n_dev = len(jax.devices())
 
     def device_batch(batch):
         """numpy batch dict -> device arrays (+ class idx & validity)."""
@@ -295,7 +311,8 @@ def main(argv=None):
     step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
                                anchors_table, img_size=args.img_size,
                                policy=policy, attn_fn=s2_attn_fn,
-                               remat=s2_remat)
+                               remat=s2_remat,
+                               mesh=mesh if args.tensor_parallel > 1 else None)
     loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
                          seed=args.seed + 1, num_workers=args.num_workers,
                          host_id=host_id, num_hosts=num_hosts)
