@@ -27,7 +27,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                     *, img_size: int | None = None,
                     policy: DtypePolicy = DtypePolicy(), attn_fn=None,
                     block_fn=None, uint8_inputs: bool = False,
-                    mesh=None) -> Callable:
+                    mesh=None, sequence_parallel: bool = False) -> Callable:
     """jitted (image_adapter, images, anchors, M [img, grid]) ->
     (pixel_map [B, img, img], image_score [B]).
 
@@ -52,6 +52,12 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     The attention override is replaced by the TP-aware closure (Pallas
     kernels are single-shard programs; ``block_fn`` overrides are rejected)
     and results stay equal to the single-device path within fp tolerance.
+
+    ``sequence_parallel=True`` (requires a TP mesh) additionally shards
+    the residual stream's sequence axis over the model devices between the
+    matmul regions (Megatron-SP): the per-block all-reduces become
+    reduce-scatter + all-gather pairs and every LayerNorm / residual /
+    adapter-blend computes S/tp tokens per device.
     """
     from aaclip_tpu.core.params import cast_matmul_weights
     from aaclip_tpu.models.layers import config_act
@@ -83,8 +89,12 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     # policy; later blocks keep the given attn_fn
     prefix_attn_fn = None
     tp_shardings = None
+    resid_fn = None
     from aaclip_tpu.parallel.tensor import is_tp_mesh
 
+    if sequence_parallel and not is_tp_mesh(mesh):
+        raise ValueError("sequence_parallel requires a 2-D mesh with "
+                         "model-parallel size > 1 (make_mesh_2d)")
     if is_tp_mesh(mesh):
         from aaclip_tpu.parallel import tensor as tpar
 
@@ -96,10 +106,14 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         # the TP closure supersedes any Pallas attn_fn: attention must read
         # the head-major repacked weights and carry the 'model' shardings
         visual, tp_shardings = tpar.shard_visual(visual, cfg, mesh)
-        attn_fn = tpar.make_tp_attn_fn(cfg.vision.heads, mesh, policy)
+        attn_fn = tpar.make_tp_attn_fn(cfg.vision.heads, mesh, policy,
+                                       sequence_parallel=sequence_parallel)
+        if sequence_parallel:
+            resid_fn = tpar.make_sp_constraint(mesh)
         if policy.bf16_until:
             prefix_attn_fn = tpar.make_tp_attn_fn(
-                cfg.vision.heads, mesh, policy.prefix_policy())
+                cfg.vision.heads, mesh, policy.prefix_policy(),
+                sequence_parallel=sequence_parallel)
     elif policy.bf16_until and attn_fn is not None:
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
@@ -112,6 +126,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
             policy=policy, act=_act, attn_fn=attn_fn, block_fn=block_fn,
             patch_embed_fn=_patch_embed, prefix_attn_fn=prefix_attn_fn,
+            resid_fn=resid_fn,
         )
         stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]
         scores = level_scores(stacked, anchors)             # [n, B, L, 2]

@@ -44,10 +44,16 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
                     act=L.gelu, policy: DtypePolicy = DtypePolicy(),
                     attn_fn=None, vv_attn_fn=None,
                     block_fn=None, vv_block_fn=None,
-                    remat: bool | str = False) -> jax.Array:
+                    remat: bool | str = False,
+                    resid_fn=None) -> jax.Array:
     """lax.scan over a homogeneous run of residual blocks; optionally each
     block is followed by a norm-matched adapter blend (stacked adapter
     weights zipped into the scan).
+
+    ``resid_fn`` (optional) is applied to the residual stream after every
+    block (inside the remat boundary) — used by sequence parallelism to
+    pin the carry to a sequence-sharded layout
+    (parallel/tensor.make_sp_constraint).
 
     ``remat=True`` wraps each block in jax.checkpoint — REQUIRED for
     training at real sizes: without it the backward pass stores every
@@ -72,6 +78,8 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
                              policy=policy, attn_fn=attn_fn,
                              vv_attn_fn=vv_attn_fn, block_fn=block_fn,
                              vv_block_fn=vv_block_fn)
+        if resid_fn is not None:
+            h = resid_fn(h)
         return h
 
     def block_adapted(h, blk_and_ad):
@@ -154,7 +162,8 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                      vv_attn_fn=None, block_fn=None, vv_block_fn=None,
                      remat: bool | str = False,
                      patch_embed_fn=None,
-                     prefix_attn_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
+                     prefix_attn_fn=None,
+                     resid_fn=None) -> Tuple[jax.Array, List[jax.Array]]:
     """Shared segmented trunk; returns (final x, taps at out_layers).
 
     ``policy.bf16_until`` stages the first K blocks at single-pass bf16
@@ -200,7 +209,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
                             attn_fn=prefix_attn_fn if staged else attn_fn,
                             vv_attn_fn=vv_attn_fn,
                             block_fn=block_fn, vv_block_fn=vv_block_fn,
-                            remat=remat)
+                            remat=remat, resid_fn=resid_fn)
         if stop in out_layers:
             taps[stop] = x
     return x, [taps[l] for l in out_layers]
@@ -310,6 +319,7 @@ def adapted_forward(
     remat: bool | str = False,
     patch_embed_fn=None,
     prefix_attn_fn=None,
+    resid_fn=None,
 ) -> Tuple[List[jax.Array], jax.Array]:
     """AdaptedCLIP image forward (reference model/adapter.py:67-112).
 
@@ -323,6 +333,7 @@ def adapted_forward(
         adapt_weight=image_adapt_weight, act=act, policy=policy,
         attn_fn=attn_fn, block_fn=block_fn, remat=remat,
         patch_embed_fn=patch_embed_fn, prefix_attn_fn=prefix_attn_fn,
+        resid_fn=resid_fn,
     )
     taps = [t[:, 1:, :] for t in taps]  # drop CLS
     tokens = [L.layer_norm(t, params["ln_post"]) for t in taps]

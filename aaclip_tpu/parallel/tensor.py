@@ -140,7 +140,29 @@ def shard_visual(visual: dict, cfg: CLIPConfig, mesh: Mesh):
     return jax.device_put(visual, shardings), shardings
 
 
-def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy):
+def make_sp_constraint(mesh: Mesh):
+    """Sequence-parallel residual-stream constraint (Megatron-SP).
+
+    Returns a function pinning a ``[B, S, D]`` activation to
+    ``P('data', 'model', None)`` — the sequence axis sharded over the
+    model-parallel devices.  Applied to each block's output
+    (``run_block_range(resid_fn=...)``), GSPMD then turns the block's two
+    all-reduces into reduce-scatter + all-gather pairs (same bytes on the
+    wire, but every LayerNorm / residual add / adapter blend between them
+    computes — and stores, under remat — only ``S / tp`` of the sequence
+    per device).  Differentiable: the transpose of a sharding constraint
+    is the same constraint, so the backward pass keeps the schedule.
+    """
+    s = NamedSharding(mesh, P("data", "model", None))
+
+    def constrain(x: jax.Array) -> jax.Array:
+        return jax.lax.with_sharding_constraint(x, s)
+
+    return constrain
+
+
+def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
+                    sequence_parallel: bool = False):
     """Attention closure for head-major-packed params under the TP mesh.
 
     Same math as ``layers.attention`` (fp32 accumulation, fp32 softmax)
@@ -148,11 +170,15 @@ def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy):
     pinning each head's q/k/v — and therefore scores and context — to one
     ``'model'`` shard.  The out-projection contracts over the sharded
     feature axis; GSPMD emits the block's single attention all-reduce
-    there.
+    there — or, with ``sequence_parallel=True``, a reduce-scatter into a
+    sequence-sharded output (pair with ``make_sp_constraint`` on the
+    residual stream).
     """
     qkv_s = NamedSharding(mesh, P("data", None, "model", None, None))
     ctx_s = NamedSharding(mesh, P("data", "model", None, None))
-    out_s = NamedSharding(mesh, P("data", None, None))
+    out_s = NamedSharding(
+        mesh, P("data", "model", None) if sequence_parallel
+        else P("data", None, None))
 
     def attn(x: jax.Array, p: dict) -> jax.Array:
         B, L, D = x.shape

@@ -186,7 +186,8 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                      tx: optax.GradientTransformation, anchors_table,
                      *, img_size: int | None = None,
                      policy: DtypePolicy = DtypePolicy(), attn_fn=None,
-                     remat: bool | str = True, mesh=None):
+                     remat: bool | str = True, mesh=None,
+                     sequence_parallel: bool = False):
     """Build the jitted stage-2 update.
 
     ``anchors_table``: [n_classes, D, 2] frozen text anchors.  The step takes
@@ -205,20 +206,30 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     by GSPMD); a 1-D ``('data',)`` mesh or ``None`` keeps the replicated
     path — batches arrive pre-sharded via ``sharding.shard_batch`` either
     way.  The TP closure replaces any given ``attn_fn`` (Pallas kernels
-    are single-shard programs).
+    are single-shard programs).  ``sequence_parallel=True`` (TP mesh only)
+    additionally shards the residual stream's sequence axis over the model
+    devices between the matmul regions (Megatron-SP) — under remat this
+    also shrinks the per-device saved residuals to S/tp tokens.
     """
     img = img_size or cfg.vision.image_size
     policy = policy.unstaged()  # staging is inference-only (see features_fn)
     anchors_table = jnp.asarray(anchors_table)
     visual = clip_params["visual"]
+    resid_fn = None
 
     from aaclip_tpu.parallel.tensor import is_tp_mesh
 
+    if sequence_parallel and not is_tp_mesh(mesh):
+        raise ValueError("sequence_parallel requires a 2-D mesh with "
+                         "model-parallel size > 1 (make_mesh_2d)")
     if is_tp_mesh(mesh):
         from aaclip_tpu.parallel import tensor as tpar
 
         visual, _ = tpar.shard_visual(visual, cfg, mesh)
-        attn_fn = tpar.make_tp_attn_fn(cfg.vision.heads, mesh, policy)
+        attn_fn = tpar.make_tp_attn_fn(cfg.vision.heads, mesh, policy,
+                                       sequence_parallel=sequence_parallel)
+        if sequence_parallel:
+            resid_fn = tpar.make_sp_constraint(mesh)
 
     def loss_fn(image_adapter, visual, images, mask, label, class_idx, valid):
         seg_tokens, det = adapted_forward(
@@ -226,6 +237,7 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             image_adapt_weight=acfg.image_adapt_weight,
             levels=acfg.levels, proj_relu=acfg.proj_relu,
             policy=policy, attn_fn=attn_fn, remat=remat,
+            resid_fn=resid_fn,
         )
         banchors = anchors_table[class_idx]  # [B, D, 2]
         logits = jnp.einsum("bd,bdk->bk", det, banchors,

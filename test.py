@@ -68,6 +68,12 @@ def parse_args(argv=None):
                              "remaining devices form the data axis. "
                              "Results equal single-device within fp "
                              "tolerance (tests/test_tensor_parallel.py)")
+    parser.add_argument("--sequence_parallel", action="store_true",
+                        help="with --tensor_parallel N: also shard the "
+                             "residual stream's sequence axis over the "
+                             "model devices between matmul regions "
+                             "(Megatron-SP; LayerNorms/residuals compute "
+                             "S/N tokens per device)")
     return parser.parse_args(argv)
 
 
@@ -159,7 +165,8 @@ def main(argv=None):
     predict_fn = make_predict_fn(clip_params, cfg, acfg,
                                  img_size=args.img_size, policy=policy,
                                  attn_fn=attn_fn, uint8_inputs=uint8_inputs,
-                                 mesh=mesh)
+                                 mesh=mesh,
+                                 sequence_parallel=args.sequence_parallel)
     domain = DOMAINS[args.dataset]
 
     for file in files:

@@ -199,9 +199,10 @@ def test_eval_tensor_parallel_cli(env):
 
 
 def test_train_tensor_parallel_cli(env):
-    """train.py --tensor_parallel 2: stage-2 trains through the Megatron-
-    sharded trunk on the (data=4, model=2) mesh; the checkpoint must then
-    evaluate normally single-device."""
+    """train.py --tensor_parallel 2 --sequence_parallel: stage-2 trains
+    through the Megatron-sharded trunk (sequence-sharded residual stream)
+    on the (data=4, model=2) mesh; the checkpoint must then evaluate
+    normally single-device."""
     import subprocess
     import sys
 
@@ -212,6 +213,7 @@ def test_train_tensor_parallel_cli(env):
         "--text_epoch", "1", "--image_epoch", "1",
         "--text_batch_size", "4", "--image_batch_size", "8",
         "--surgery_until_layer", "2", "--tensor_parallel", "2",
+        "--sequence_parallel",
     ]
     test_args = COMMON + ["--save_path", save, "--batch_size", "4"]
     code = (

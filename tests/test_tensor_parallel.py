@@ -147,6 +147,92 @@ def test_tp_stage2_step_matches_single_device(setup, remat):
         st1.params, st0.params)
 
 
+def test_sp_eval_matches_single_device(setup):
+    """Sequence parallelism (Megatron-SP) on the (data=4, model=2) mesh:
+    residual stream sequence-sharded between matmul regions — results must
+    equal single-device, and the partitioned program must carry the SP
+    schedule (sequence all-gathers before the matmul regions; the
+    post-matmul reductions keep only the local sequence shard — fused into
+    reduce-scatter by the TPU backend's collective pass, visible as
+    all-reduce + dynamic-slice on this CPU test backend)."""
+    import re
+
+    clip, image_adapter, images, anchors, M = setup
+    single = make_predict_fn(clip, CFG, ACFG)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(anchors), jnp.asarray(M))
+
+    mesh = tpar.make_mesh_2d(tp=2)
+    sp_fn = make_predict_fn(clip, CFG, ACFG, mesh=mesh,
+                            sequence_parallel=True)
+    pix1, score1 = sp_fn(image_adapter, sh.shard_batch(mesh, images),
+                         jnp.asarray(anchors), jnp.asarray(M))
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+    txt = sp_fn.raw.lower(sp_fn.visual, image_adapter,
+                          sh.shard_batch(mesh, images), jnp.asarray(anchors),
+                          jnp.asarray(M)).compile().as_text()
+    assert re.search(r"all-gather", txt), "SP must gather sequence shards"
+    # block elementwise work runs on the sequence shard: ceil(S/2) tokens
+    S = CFG.vision.grid ** 2 + 1
+    shard_tokens = -(-S // 2)
+    assert re.search(rf"f32\[2,{shard_tokens},{CFG.vision.width}\]", txt), (
+        "residual-stream ops should compute on the per-device sequence "
+        "shard")
+
+
+@pytest.mark.parametrize("remat", [True, "selective"])
+def test_sp_stage2_step_matches_single_device(setup, remat):
+    """Stage-2 update with sequence parallelism == single-device (loss and
+    updated adapter params), under both remat modes."""
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    clip, image_adapter, images, anchors, M = setup
+    B, S = images.shape[0], CFG.vision.image_size
+    rng = np.random.default_rng(11)
+    mask = (rng.random((B, S, S)) > 0.8).astype(np.float32)
+    label = (np.arange(B) % 2).astype(np.int32)
+    class_idx = (np.arange(B) % 2).astype(np.int32)
+    valid = np.ones((B,), np.float32)
+    table = np.stack([anchors, anchors[:, ::-1]]).astype(np.float32)
+
+    tx = make_image_optimizer(1e-3)
+    s0 = make_stage2_step(clip, CFG, ACFG, tx, table, remat=remat)
+    st0, l0 = s0(init_state(image_adapter, tx), jnp.asarray(images),
+                 jnp.asarray(mask), jnp.asarray(label),
+                 jnp.asarray(class_idx), jnp.asarray(valid))
+
+    mesh = tpar.make_mesh_2d(tp=2)
+    s1 = make_stage2_step(clip, CFG, ACFG, tx, table, remat=remat,
+                          mesh=mesh, sequence_parallel=True)
+    batch = sh.shard_batch(mesh, images, mask, label, class_idx, valid)
+    st1, l1 = s1(init_state(image_adapter, tx), *batch)
+
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-5, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        st1.params, st0.params)
+
+
+def test_sp_requires_tp_mesh(setup):
+    clip, *_ = setup
+    with pytest.raises(ValueError, match="sequence_parallel requires"):
+        make_predict_fn(clip, CFG, ACFG, sequence_parallel=True)
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import make_stage2_step
+
+    anchors = np.zeros((2, CFG.embed_dim, 2), np.float32)
+    with pytest.raises(ValueError, match="sequence_parallel requires"):
+        make_stage2_step(clip, CFG, ACFG, make_image_optimizer(1e-3),
+                         anchors, mesh=sh.make_data_mesh(8),
+                         sequence_parallel=True)
+
+
 def test_dp_only_mesh_unaffected():
     """A 1-D ('data',) mesh must keep the replicated-params DP path (no
     repack, no TP closures)."""

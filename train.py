@@ -94,6 +94,12 @@ def parse_args(argv=None):
                              "devices form the data axis. Stage 1 runs "
                              "data-parallel over the data axis (the text "
                              "tower is small; the model axis replicates it)")
+    parser.add_argument("--sequence_parallel", action="store_true",
+                        help="with --tensor_parallel N: also shard the "
+                             "residual stream's sequence axis over the "
+                             "model devices between matmul regions "
+                             "(Megatron-SP — under remat the saved "
+                             "residuals shrink to S/N tokens per device)")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "full", "selective", "off"],
                         help="stage-2 rematerialization. 'selective' saves "
@@ -312,7 +318,8 @@ def main(argv=None):
                                anchors_table, img_size=args.img_size,
                                policy=policy, attn_fn=s2_attn_fn,
                                remat=s2_remat,
-                               mesh=mesh if args.tensor_parallel > 1 else None)
+                               mesh=mesh if args.tensor_parallel > 1 else None,
+                               sequence_parallel=args.sequence_parallel)
     loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
                          seed=args.seed + 1, num_workers=args.num_workers,
                          host_id=host_id, num_hosts=num_hosts)
