@@ -187,7 +187,8 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                      *, img_size: int | None = None,
                      policy: DtypePolicy = DtypePolicy(), attn_fn=None,
                      remat: bool | str = True, mesh=None,
-                     sequence_parallel: bool = False):
+                     sequence_parallel: bool = False,
+                     grad_accum: int = 1):
     """Build the jitted stage-2 update.
 
     ``anchors_table``: [n_classes, D, 2] frozen text anchors.  The step takes
@@ -210,6 +211,18 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     additionally shards the residual stream's sequence axis over the model
     devices between the matmul regions (Megatron-SP) — under remat this
     also shrinks the per-device saved residuals to S/tp tokens.
+
+    ``grad_accum=K`` splits each batch into K microbatches inside the
+    jitted step (``lax.scan``): gradients are accumulated across
+    microbatches and applied once, so peak activation memory is that of a
+    batch/K forward+backward.  The applied gradient is the MEAN of the K
+    microbatch gradients (loss reported is the mean loss); because every
+    loss term is a per-sample mean over valid samples, this equals the
+    single-big-batch gradient exactly whenever the microbatches carry
+    equal valid counts — i.e. everywhere except a ragged final batch,
+    where it weights each microbatch's valid samples equally instead.
+    The batch size must be divisible by K (train.py pads batches to the
+    full loader batch size, so this holds for every step).
     """
     img = img_size or cfg.vision.image_size
     policy = policy.unstaged()  # staging is inference-only (see features_fn)
@@ -250,10 +263,36 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             loss = loss + LL.seg_loss_from_logit_masked(d, mask, valid)
         return loss
 
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state: TrainState, visual, images, mask, label, class_idx, valid):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, visual, images, mask, label, class_idx, valid)
+        if grad_accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, visual, images, mask, label, class_idx, valid)
+        else:
+            B = images.shape[0]
+            if B % grad_accum:
+                raise ValueError(
+                    f"batch size {B} not divisible by grad_accum {grad_accum}")
+            micro = jax.tree.map(
+                lambda a: a.reshape((grad_accum, B // grad_accum)
+                                    + a.shape[1:]),
+                (images, mask, label, class_idx, valid))
+
+            def accum(carry, mb):
+                loss_sum, grad_sum = carry
+                l, g = jax.value_and_grad(loss_fn)(state.params, visual, *mb)
+                return (loss_sum + l,
+                        jax.tree.map(jnp.add, grad_sum, g)), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (loss, grads), _ = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zeros), micro)
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

@@ -79,6 +79,11 @@ def main(argv=None):
                              "(backward recomputes only LN/activations; "
                              "needs the Pallas custom-VJP attention); 'off' "
                              "OOMs at production shapes")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="train mode: split the batch into K "
+                             "microbatches inside the step, accumulating "
+                             "gradients (peak activation memory of a "
+                             "batch/K backward)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="infer mode: shard the batch over all local "
                              "devices and report aggregate + per-chip "
@@ -367,7 +372,8 @@ def bench_train(args, cfg, acfg, policy, clip, adapters):
                             img_size=args.img_size, policy=policy,
                             attn_fn=attn_fn,
                             remat={"full": True, "selective": "selective",
-                                   "off": False}[args.remat])
+                                   "off": False}[args.remat],
+                            grad_accum=args.grad_accum)
     state = init_state(adapters["image"], tx)
     for _ in range(args.warmup):
         state, loss = step(state, images, mask, label, cidx, valid)
@@ -384,7 +390,9 @@ def bench_train(args, cfg, acfg, policy, clip, adapters):
         "metric": "stage2_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": f"img/s/chip ({args.model_name} @ {args.img_size}px stage-2 "
-                f"update, {args.precision}, attn={effective_attn})",
+                f"update, {args.precision}, attn={effective_attn}"
+                + (f", grad_accum={args.grad_accum}" if args.grad_accum > 1
+                   else "") + ")",
         "vs_baseline": round(per_chip / REFERENCE_BASELINE_STAGE2_IMG_PER_SEC, 3),
     }))
 

@@ -40,6 +40,15 @@ def test_bench_modes_emit_contract(mode, metric):
     assert "vs_baseline" in payload and "unit" in payload
 
 
+def test_bench_train_grad_accum_flag():
+    """--grad_accum K runs the microbatched stage-2 step and records K in
+    the unit string."""
+    payload = _run(COMMON + ["--mode", "train", "--grad_accum", "2"])
+    assert payload["metric"] == "stage2_train_images_per_sec_per_chip"
+    assert "grad_accum=2" in payload["unit"]
+    assert payload["value"] > 0
+
+
 def test_bench_stage1_vv_mode_flag():
     """--vv_mode spatial selects the per-sample V-V form for the stage-1
     bench; the unit string records which semantics were measured."""

@@ -219,6 +219,41 @@ def test_sp_stage2_step_matches_single_device(setup, remat):
         st1.params, st0.params)
 
 
+def test_tp_stage2_grad_accum_composes(setup):
+    """--tensor_parallel + --grad_accum together: the microbatch scan runs
+    inside the GSPMD-sharded step and still reproduces the single-device
+    grad_accum update."""
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    clip, image_adapter, images, anchors, M = setup
+    B, S = images.shape[0], CFG.vision.image_size
+    rng = np.random.default_rng(13)
+    mask = (rng.random((B, S, S)) > 0.8).astype(np.float32)
+    label = (np.arange(B) % 2).astype(np.int32)
+    class_idx = (np.arange(B) % 2).astype(np.int32)
+    valid = np.ones((B,), np.float32)
+    table = np.stack([anchors, anchors[:, ::-1]]).astype(np.float32)
+
+    tx = make_image_optimizer(1e-3)
+    s0 = make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=2)
+    st0, l0 = s0(init_state(image_adapter, tx), jnp.asarray(images),
+                 jnp.asarray(mask), jnp.asarray(label),
+                 jnp.asarray(class_idx), jnp.asarray(valid))
+
+    mesh = tpar.make_mesh_2d(tp=2)
+    s1 = make_stage2_step(clip, CFG, ACFG, tx, table, mesh=mesh,
+                          sequence_parallel=True, grad_accum=2)
+    batch = sh.shard_batch(mesh, images, mask, label, class_idx, valid)
+    st1, l1 = s1(init_state(image_adapter, tx), *batch)
+
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-5, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        st1.params, st0.params)
+
+
 def test_sp_requires_tp_mesh(setup):
     clip, *_ = setup
     with pytest.raises(ValueError, match="sequence_parallel requires"):

@@ -283,6 +283,45 @@ def test_stage2_grads_identical_across_remat_modes(setup):
             np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
 
 
+def test_stage2_grad_accum_matches_big_batch(setup):
+    """grad_accum=K on a full (all-valid) batch must reproduce the K=1
+    update: every loss term is a per-sample mean over valid samples, so
+    the microbatch-mean gradient equals the big-batch gradient up to fp
+    reassociation."""
+    clip, adapters, images, masks, labels, class_idx, valid, _ = setup
+    rng = np.random.default_rng(6)
+    table = rng.standard_normal((2, CFG.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+
+    results = {}
+    for k in (1, 2, 4):
+        tx = make_image_optimizer(lr=1e-3)
+        step = make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=k)
+        state = init_state(adapters["image"], tx)
+        state, loss = step(state, images, masks, labels, class_idx, valid)
+        results[k] = (float(loss), jax.tree.map(np.asarray, state.params))
+
+    base_loss, base_params = results[1]
+    for k in (2, 4):
+        loss, params = results[k]
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(base_params),
+                        jax.tree.leaves(params)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-6)
+
+
+def test_stage2_grad_accum_validates_divisibility(setup):
+    clip, adapters, images, masks, labels, class_idx, valid, _ = setup
+    table = np.zeros((2, CFG.embed_dim, 2), np.float32)
+    tx = make_image_optimizer(lr=1e-3)
+    step = make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=3)
+    with pytest.raises(ValueError, match="not divisible by grad_accum"):
+        step(init_state(adapters["image"], tx), images, masks, labels,
+             class_idx, valid)
+    with pytest.raises(ValueError, match="grad_accum must be"):
+        make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=0)
+
+
 def test_stage1_grads_identical_across_remat_modes(setup):
     """Text-tower remat modes must also leave loss/params unchanged.
 

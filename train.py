@@ -100,6 +100,15 @@ def parse_args(argv=None):
                              "model devices between matmul regions "
                              "(Megatron-SP — under remat the saved "
                              "residuals shrink to S/N tokens per device)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="split each stage-2 batch into this many "
+                             "microbatches inside the jitted step, "
+                             "accumulating gradients (peak activation "
+                             "memory drops to a batch/K forward+backward; "
+                             "the applied update is the microbatch-mean "
+                             "gradient — equal to the big-batch gradient "
+                             "for full batches). image_batch_size must be "
+                             "divisible by it")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "full", "selective", "off"],
                         help="stage-2 rematerialization. 'selective' saves "
@@ -319,7 +328,8 @@ def main(argv=None):
                                policy=policy, attn_fn=s2_attn_fn,
                                remat=s2_remat,
                                mesh=mesh if args.tensor_parallel > 1 else None,
-                               sequence_parallel=args.sequence_parallel)
+                               sequence_parallel=args.sequence_parallel,
+                               grad_accum=args.grad_accum)
     loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
                          seed=args.seed + 1, num_workers=args.num_workers,
                          host_id=host_id, num_hosts=num_hosts)
