@@ -74,6 +74,18 @@ def parse_args(argv=None):
                              "model devices between matmul regions "
                              "(Megatron-SP; LayerNorms/residuals compute "
                              "S/N tokens per device)")
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="GPipe the trunk over this many devices "
+                             "(stage boundaries on the tap levels, so it "
+                             "must divide the level count; each device "
+                             "holds layers/N blocks). Mutually exclusive "
+                             "with --data_parallel/--tensor_parallel; "
+                             "disables the staged-precision trunk and "
+                             "fused uint8 preprocessing")
+    parser.add_argument("--pp_microbatches", type=int, default=None,
+                        help="microbatch count for --pipeline_parallel "
+                             "(default = stage count; batch_size must "
+                             "divide by it)")
     return parser.parse_args(argv)
 
 
@@ -146,7 +158,29 @@ def main(argv=None):
     attn_fn = maybe_make_attn_fn(cfg, policy)
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"
     mesh = None
-    if args.data_parallel or args.tensor_parallel > 1:
+    if args.pipeline_parallel > 1:
+        if args.data_parallel or args.tensor_parallel > 1:
+            raise SystemExit("--pipeline_parallel is mutually exclusive "
+                             "with --data_parallel/--tensor_parallel")
+        import dataclasses as _dc
+        if policy.bf16_until:
+            policy = _dc.replace(policy, bf16_until=0)
+            logger.info("pipeline_parallel: staged-precision trunk disabled")
+        uint8_inputs = False  # pipeline embeds normalized float pixels
+        from aaclip_tpu.parallel.pipeline import make_pipeline_predict_fn
+        predict_fn = make_pipeline_predict_fn(
+            clip_params, cfg, acfg, pp=args.pipeline_parallel,
+            n_micro=args.pp_microbatches, img_size=args.img_size,
+            policy=policy, attn_fn=maybe_make_attn_fn(cfg, policy))
+        n_micro = predict_fn.n_micro
+        if args.batch_size % n_micro:
+            args.batch_size = ((args.batch_size + n_micro - 1)
+                               // n_micro) * n_micro
+            logger.info("pipeline_parallel: batch_size rounded up to %d "
+                        "(%d microbatches)", args.batch_size, n_micro)
+        logger.info("mesh: stage=%d (GPipe, %d microbatches)",
+                    args.pipeline_parallel, n_micro)
+    elif args.data_parallel or args.tensor_parallel > 1:
         from aaclip_tpu.parallel import sharding as sh
         sh.initialize_multihost()
         if args.tensor_parallel > 1:
@@ -162,11 +196,12 @@ def main(argv=None):
             args.batch_size = ((args.batch_size + n_dev - 1) // n_dev) * n_dev
             logger.info("data_parallel: batch_size rounded up to %d "
                         "(%d-way data axis)", args.batch_size, n_dev)
-    predict_fn = make_predict_fn(clip_params, cfg, acfg,
-                                 img_size=args.img_size, policy=policy,
-                                 attn_fn=attn_fn, uint8_inputs=uint8_inputs,
-                                 mesh=mesh,
-                                 sequence_parallel=args.sequence_parallel)
+    if args.pipeline_parallel <= 1:
+        predict_fn = make_predict_fn(clip_params, cfg, acfg,
+                                     img_size=args.img_size, policy=policy,
+                                     attn_fn=attn_fn,
+                                     uint8_inputs=uint8_inputs, mesh=mesh,
+                                     sequence_parallel=args.sequence_parallel)
     domain = DOMAINS[args.dataset]
 
     for file in files:

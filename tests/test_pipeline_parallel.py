@@ -1,0 +1,113 @@
+"""Pipeline-parallel (GPipe over the level-aligned trunk) correctness on
+the virtual CPU mesh.
+
+make_pipeline_predict_fn must reproduce the single-device eval path for
+every (pp, n_micro) the level structure admits; the reference is strictly
+single-GPU (SURVEY §2), so like the rest of parallel/ this pins the
+TPU-native extension's equality contract.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+from aaclip_tpu.eval.predict import make_predict_fn
+from aaclip_tpu.ops.similarity import fused_postproc_matrix
+from aaclip_tpu.parallel import pipeline as ppl
+
+CFG = get_config("tiny-test")
+ACFG = AdapterConfig(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+
+
+def _setup(cfg, acfg, batch, seed=3):
+    clip = create_clip_params(cfg, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg)
+    rng = np.random.default_rng(seed)
+    S = cfg.vision.image_size
+    images = rng.standard_normal((batch, 3, S, S)).astype(np.float32)
+    anchors = rng.standard_normal((cfg.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+    M = np.asarray(fused_postproc_matrix(cfg.vision.grid, S, "Industrial"))
+    return clip, adapters["image"], images, anchors, M
+
+
+@pytest.mark.parametrize("n_micro", [2, 4])
+def test_pp_eval_matches_single_device(n_micro):
+    assert len(jax.devices()) == 8
+    clip, image_adapter, images, anchors, M = _setup(CFG, ACFG, batch=8)
+    single = make_predict_fn(clip, CFG, ACFG)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(anchors), jnp.asarray(M))
+
+    pp_fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2,
+                                         n_micro=n_micro)
+    pix1, score1 = pp_fn(image_adapter, images, anchors, M)
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_pp4_four_stage_four_level_tower():
+    """A 4-layer tower with levels (1,2,3,4) pipelines over 4 stages (one
+    block per stage, every stage output a tap)."""
+    cfg = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, layers=4))
+    acfg = AdapterConfig(levels=(1, 2, 3, 4), image_adapt_until=2,
+                         text_adapt_until=1)
+    clip, image_adapter, images, anchors, M = _setup(cfg, acfg, batch=4)
+    single = make_predict_fn(clip, cfg, acfg)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(anchors), jnp.asarray(M))
+    pp_fn = ppl.make_pipeline_predict_fn(clip, cfg, acfg, pp=4, n_micro=2)
+    pix1, score1 = pp_fn(image_adapter, images, anchors, M)
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_pp_per_sample_anchors():
+    """Mixed-class batches (per-sample [B, D, 2] anchors — the serving
+    layout) flow through the microbatch slicing."""
+    clip, image_adapter, images, anchors, M = _setup(CFG, ACFG, batch=4)
+    rng = np.random.default_rng(9)
+    banchors = rng.standard_normal((4, CFG.embed_dim, 2)).astype(np.float32)
+    banchors /= np.linalg.norm(banchors, axis=1, keepdims=True)
+    single = make_predict_fn(clip, CFG, ACFG)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(banchors), jnp.asarray(M))
+    pp_fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2, n_micro=2)
+    pix1, score1 = pp_fn(image_adapter, images, banchors, M)
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_pp_validation():
+    clip = create_clip_params(CFG, seed=0)
+    with pytest.raises(ValueError, match="must divide the level count"):
+        ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=3)
+    with pytest.raises(ValueError, match="needs 2"):
+        ppl.make_pp_mesh(1)
+    cfg4 = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, layers=4))
+    with pytest.raises(ValueError, match="evenly spaced"):
+        ppl.make_pipeline_predict_fn(
+            create_clip_params(cfg4, seed=0), cfg4,
+            AdapterConfig(levels=(1, 4), image_adapt_until=1), pp=2)
+    with pytest.raises(ValueError, match="staged-precision"):
+        ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2,
+                                     policy=DtypePolicy(bf16_until=1))
+    fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2, n_micro=2)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    with pytest.raises(ValueError, match="not divisible by n_micro"):
+        fn(adapters["image"], np.zeros((3, 3, 70, 70), np.float32),
+           np.zeros((CFG.embed_dim, 2), np.float32),
+           np.zeros((70, 5), np.float32))
