@@ -78,6 +78,52 @@ def _validate(cfg: CLIPConfig, acfg: AdapterConfig, pp: int) -> int:
     return n_lev // pp
 
 
+def _stage_split(tree, pp: int, Ls: int):
+    """[L, ...] stacked leaves -> [pp, L/pp, ...] (leading stage axis)."""
+    return jax.tree.map(lambda a: a.reshape((pp, Ls) + a.shape[1:]), tree)
+
+
+def _pad_adapters(layer_adapters, pp: int, Ls: int, total_layers: int):
+    """[n_adapt, ...] trainable stack -> [pp, L/pp, ...] with finite
+    dummies for unadapted layers (their blend weight is 0; under autodiff
+    the ``where`` on the blend weight keeps the dummies' cotangents zero
+    and the concatenate transpose drops them)."""
+    def pad(a):
+        n_adapt = a.shape[0]
+        fill = jnp.ones((total_layers - n_adapt,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, fill]).reshape((pp, Ls) + a.shape[1:])
+    return jax.tree.map(pad, layer_adapters)
+
+
+def _adapt_weight_vector(cfg: CLIPConfig, acfg: AdapterConfig) -> jax.Array:
+    """Per-layer blend weights: adapted layers get the configured weight,
+    the rest 0 — keeps every stage's program identical (SPMD)."""
+    return jnp.where(
+        jnp.arange(cfg.vision.layers) < acfg.image_adapt_until,
+        jnp.float32(acfg.image_adapt_weight), jnp.float32(0.0))
+
+
+def _make_block_body(cfg: CLIPConfig, policy: DtypePolicy, act, attn_fn):
+    """scan body for one adapted block: residual block + norm-matched
+    adapter blend gated by the per-layer weight (zero-weight layers stay
+    bit-identical to the unadapted path via the ``where``)."""
+    heads = cfg.vision.heads
+
+    def body(hh, per):
+        b, ad, wl = per
+        hh = L.residual_block(hh, b, heads, act=act, policy=policy,
+                              attn_fn=attn_fn)
+        a = L.simple_adapter(hh, ad, policy)
+        x_norm = jnp.linalg.norm(hh, axis=-1, keepdims=True)
+        a_norm = jnp.maximum(
+            jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        blended = wl * (a * (x_norm / a_norm)) + (1.0 - wl) * hh
+        hh = jnp.where(wl > 0, blended.astype(hh.dtype), hh)
+        return hh, None
+
+    return body
+
+
 def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                              acfg: AdapterConfig, *, pp: int,
                              n_micro: Optional[int] = None,
@@ -118,25 +164,8 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     visual = cast_matmul_weights(clip_params["visual"], policy)
     _act = config_act(cfg, policy)
     _pp_prec = "highest" if policy.precision == "highest" else "high"
-    # per-layer blend weights: adapted layers get the configured weight
-    w_layers = jnp.where(jnp.arange(v.layers) < acfg.image_adapt_until,
-                         jnp.float32(acfg.image_adapt_weight),
-                         jnp.float32(0.0))
-
-    def _stage_split(tree):
-        """[L, ...] stacked leaves -> [pp, L/pp, ...] (leading stage axis)."""
-        return jax.tree.map(
-            lambda a: a.reshape((pp, Ls) + a.shape[1:]), tree)
-
-    def _pad_adapters(layer_adapters):
-        """[n_adapt, ...] trainable stack -> [pp, L/pp, ...] with finite
-        dummies for unadapted layers (their blend weight is 0)."""
-        def pad(a):
-            n_adapt = a.shape[0]
-            fill = jnp.ones((v.layers - n_adapt,) + a.shape[1:], a.dtype)
-            return jnp.concatenate([a, fill]).reshape(
-                (pp, Ls) + a.shape[1:])
-        return jax.tree.map(pad, layer_adapters)
+    w_layers = _adapt_weight_vector(cfg, acfg)
+    _block_body = _make_block_body(cfg, policy, _act, attn_fn)
 
     def _proj(t, w, anchors_m):
         """Per-level head: ln_post'd tokens -> L2-normalized embedding ->
@@ -183,20 +212,7 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                 lambda a: a[seg_idx * spacing:(seg_idx + 1) * spacing],
                 adapters)
             wseg = w_l[seg_idx * spacing:(seg_idx + 1) * spacing]
-
-            def body(hh, per):
-                b, ad, wl = per
-                hh = L.residual_block(hh, b, v.heads, act=_act,
-                                      policy=policy, attn_fn=attn_fn)
-                a = L.simple_adapter(hh, ad, policy)
-                x_norm = jnp.linalg.norm(hh, axis=-1, keepdims=True)
-                a_norm = jnp.maximum(
-                    jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
-                blended = wl * (a * (x_norm / a_norm)) + (1.0 - wl) * hh
-                hh = jnp.where(wl > 0, blended.astype(hh.dtype), hh)
-                return hh, None
-
-            h, _ = jax.lax.scan(body, h, (blk, ada, wseg))
+            h, _ = jax.lax.scan(_block_body, h, (blk, ada, wseg))
             return h
 
         def tick(t, carry):
@@ -270,8 +286,9 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
         B = images.shape[0]
         x = embed(visual, cfg, images, policy)           # [B, S, D]
         emb_mb = x.reshape(n_micro, B // n_micro, S, v.width)
-        blocks_staged = _stage_split(visual["blocks"])
-        adapters_staged = _pad_adapters(image_adapter["layer_adapters"])
+        blocks_staged = _stage_split(visual["blocks"], pp, Ls)
+        adapters_staged = _pad_adapters(image_adapter["layer_adapters"],
+                                        pp, Ls, v.layers)
         seg_w = jnp.stack([image_adapter["seg_proj"][i]["w"]
                            for i in range(n_lev)])       # [n_lev, D, E]
         seg_w = seg_w.reshape((pp, tps) + seg_w.shape[1:])
@@ -309,3 +326,202 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     predict.pp = pp
     predict.n_micro = n_micro
     return predict
+
+
+def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
+                        acfg: AdapterConfig, tx, anchors_table, *, pp: int,
+                        n_micro: Optional[int] = None,
+                        img_size: int | None = None,
+                        policy: DtypePolicy = DtypePolicy(),
+                        attn_fn=None, remat: bool = True) -> Callable:
+    """Pipeline-parallel drop-in for ``train.steps.make_stage2_step``.
+
+    Same step signature — ``(state, images, mask, label, class_idx,
+    valid) -> (state, loss)`` — but the forward AND backward stream
+    GPipe-style through the ``('stage',)`` ring: the stage-2 loss is
+    additive over levels (CE on the detection token + per-level seg
+    losses, reference train.py:117-174), so each stage computes its own
+    levels' loss terms locally, the total is one scalar ``psum``, and
+    ``jax.grad`` differentiates straight through the shard_map /
+    ``ppermute`` schedule (the ppermute transpose is the reverse hop, so
+    backward microbatches counter-stream through the ring — 1F1B falls
+    out of AD rather than being hand-scheduled).
+
+    Loss semantics match ``grad_accum=n_micro``: the reported loss and
+    applied gradient are the MEAN over microbatches, equal to the
+    big-batch step for full batches (per-sample-mean loss terms; ragged
+    final batches weight each microbatch's valid samples equally).
+
+    ``remat=True`` (default) wraps each block in ``jax.checkpoint`` —
+    with the GPipe schedule the per-device backward otherwise stores
+    every in-flight microbatch's block internals.  The Pallas custom-VJP
+    attention composes via ``attn_fn`` (whole blocks stay on one
+    device).  Adapter/optimizer state stays in the canonical (unstaged)
+    layout: staging/padding happens inside the differentiated loss, so
+    checkpoints and resume interop with every other trainer path.
+    """
+    import functools
+
+    from aaclip_tpu.models.layers import config_act
+    from aaclip_tpu.ops import losses as LL
+    from aaclip_tpu.ops.resize import bilinear_matrix
+    from aaclip_tpu.train.steps import TrainState
+
+    import optax
+
+    policy = policy.unstaged()
+    tps = _validate(cfg, acfg, pp)
+    n_micro = n_micro or pp
+    mesh = make_pp_mesh(pp)
+    v = cfg.vision
+    spacing = v.layers // len(acfg.levels)
+    Ls = tps * spacing
+    img = img_size or v.image_size
+    grid = img // v.patch_size
+    S = grid * grid + 1
+    n_lev = len(acfg.levels)
+    anchors_table = jnp.asarray(anchors_table)
+    visual_host = clip_params["visual"]
+    _act = config_act(cfg, policy)
+    _body = _make_block_body(cfg, policy, _act, attn_fn)
+    if remat:
+        _body = jax.checkpoint(_body)
+    w_layers = _adapt_weight_vector(cfg, acfg)
+    U_np = bilinear_matrix(grid, img, align_corners=True)
+
+    def stage_fn(blocks, adapters, w_l, seg_w, det_w, ln_post, emb_mb,
+                 banchors_mb, mask_mb, label_mb, valid_mb):
+        """Per-device pipeline loss (inside shard_map) -> scalar sum of
+        per-microbatch losses (this stage's level terms; psummed)."""
+        blocks = jax.tree.map(lambda a: a[0], blocks)
+        adapters = jax.tree.map(lambda a: a[0], adapters)
+        w_l, seg_w = w_l[0], seg_w[0]        # [Ls], [tps, D, E]
+        sid = jax.lax.axis_index("stage")
+        B_m = emb_mb.shape[1]
+        U = jnp.asarray(U_np)
+        cd = policy.compute_dtype
+
+        def run_segment(h, seg_idx):
+            sl = lambda a: a[seg_idx * spacing:(seg_idx + 1) * spacing]
+            h, _ = jax.lax.scan(
+                _body, h, (jax.tree.map(sl, blocks),
+                           jax.tree.map(sl, adapters), sl(w_l)))
+            return h
+
+        def proj_norm(tok, w):
+            y = jnp.dot(tok.astype(cd), w.astype(cd),
+                        preferred_element_type=jnp.float32,
+                        precision=policy.precision)
+            if acfg.proj_relu:
+                y = L.leaky_relu(y)
+            return L.l2_normalize(y)
+
+        def tick(carry, t):
+            act, loss_acc = carry
+            m_in = jnp.clip(t, 0, n_micro - 1)
+            h = jnp.where(sid == 0,
+                          jax.lax.dynamic_index_in_dim(
+                              emb_mb, m_in, keepdims=False),
+                          act)
+            taps = []
+            for k in range(tps):
+                h = run_segment(h, k)
+                taps.append(h)
+            m_self = t - sid
+            tick_w = ((m_self >= 0) & (m_self < n_micro)).astype(
+                jnp.float32)
+            m_c = jnp.clip(m_self, 0, n_micro - 1)
+            pick = lambda a: jax.lax.dynamic_index_in_dim(
+                a, m_c, keepdims=False)
+            ban, msk, lbl, val = (pick(banchors_mb), pick(mask_mb),
+                                  pick(label_mb), pick(valid_mb))
+            loss_t = jnp.float32(0.0)
+            tok = None
+            for k, tap in enumerate(taps):
+                tok = L.layer_norm(tap[:, 1:, :], ln_post)
+                y = proj_norm(tok, seg_w[k])
+                # level_scores + train_similarity_logit, stage-locally
+                s = 100.0 * jnp.einsum("blc,bck->blk", y, ban,
+                                       preferred_element_type=jnp.float32,
+                                       precision="highest")
+                d = (s[..., 1] - s[..., 0]).reshape(B_m, grid, grid)
+                d = jnp.einsum("Ig,bgh->bIh", U, d,
+                               preferred_element_type=jnp.float32,
+                               precision="highest")
+                d = jnp.einsum("Jh,bIh->bIJ", U, d,
+                               preferred_element_type=jnp.float32,
+                               precision="highest")
+                loss_t = loss_t + LL.seg_loss_from_logit_masked(d, msk, val)
+            # detection CE: global last level = last tap of the last stage
+            det = proj_norm(tok, det_w).mean(axis=1)
+            logits = jnp.einsum("bd,bdk->bk", det, ban,
+                                preferred_element_type=jnp.float32,
+                                precision=policy.precision)
+            ce = LL.cross_entropy_logits_masked(logits, lbl, val)
+            loss_t = loss_t + jnp.where(sid == pp - 1, ce, 0.0)
+            loss_acc = loss_acc + tick_w * loss_t
+            act = jax.lax.ppermute(
+                h, "stage", [(i, (i + 1) % pp) for i in range(pp)])
+            return (act, loss_acc), None
+
+        # seed the carry with REAL data, not zeros: a zero carry stays
+        # exactly zero through zero-bias towers, and the bubble ticks'
+        # heads then hit l2_normalize(0) — whose VJP turns the (exactly
+        # zero) discarded cotangents into 0*inf = NaN that poisons the
+        # last stage's head gradients.  With a generic finite seed every
+        # bubble tick differentiates cleanly and its contribution is
+        # exactly zeroed by tick_w.
+        init = jax.tree.map(
+            lambda a: jax.lax.pcast(a, "stage", to="varying"),
+            (emb_mb[0], jnp.zeros((), jnp.float32)))
+        (_, loss_acc), _ = jax.lax.scan(
+            tick, init, jnp.arange(n_micro + pp - 1))
+        return jax.lax.psum(loss_acc, "stage")
+
+    stage_spec = P("stage")
+    sharded = jax.shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(stage_spec,) * 4 + (P(),) * 7,
+        out_specs=P())
+
+    def loss_fn(image_adapter, visual, images, mask, label, class_idx,
+                valid):
+        B = images.shape[0]
+        B_m = B // n_micro
+        x = embed(visual, cfg, images, policy)
+        emb_mb = x.reshape(n_micro, B_m, S, v.width)
+        blocks_staged = _stage_split(visual["blocks"], pp, Ls)
+        adapters_staged = _pad_adapters(image_adapter["layer_adapters"],
+                                        pp, Ls, v.layers)
+        seg_w = jnp.stack([image_adapter["seg_proj"][i]["w"]
+                           for i in range(n_lev)])
+        seg_w = seg_w.reshape((pp, tps) + seg_w.shape[1:])
+        banchors = anchors_table[class_idx]              # [B, D, 2]
+        mb = lambda a: a.reshape((n_micro, B_m) + a.shape[1:])
+        loss = sharded(blocks_staged, adapters_staged,
+                       w_layers.reshape(pp, Ls), seg_w,
+                       image_adapter["det_proj"]["w"], visual["ln_post"],
+                       emb_mb, mb(banchors), mb(mask), mb(label), mb(valid))
+        return loss / n_micro
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, visual, images, mask, label, class_idx,
+              valid):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, visual, images, mask, label, class_idx, valid)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def step(state, images, mask, label, class_idx, valid):
+        B = images.shape[0]
+        if B % n_micro:
+            raise ValueError(
+                f"batch {B} not divisible by n_micro={n_micro}")
+        return _step(state, visual_host, jnp.asarray(images),
+                     jnp.asarray(mask), jnp.asarray(label),
+                     jnp.asarray(class_idx), jnp.asarray(valid))
+
+    step.pp = pp
+    step.n_micro = n_micro
+    return step

@@ -235,6 +235,43 @@ def test_eval_pipeline_parallel_cli(env):
     assert "bottle" in tlog and "cable" in tlog
 
 
+def test_train_pipeline_parallel_cli(env):
+    """train.py --pipeline_parallel 2: stage-2 trains GPipe-style over the
+    2-stage ring, and the resulting checkpoint evaluates through the
+    standard test.py path."""
+    import subprocess
+    import sys
+
+    save = os.path.join(env, "ckpt_pp_train")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    train_args = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "0", "--image_epoch", "1",
+        "--image_batch_size", "8", "--surgery_until_layer", "2",
+        "--pipeline_parallel", "2",
+    ]
+    test_args = COMMON + ["--save_path", save, "--batch_size", "4"]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 8, jax.devices()\n"
+        f"import sys; sys.argv = ['train.py'] + {train_args!r}\n"
+        "import train; train.main()\n"
+        f"sys.argv = ['test.py'] + {test_args!r}\n"
+        "import test; test.main()\n"
+    )
+    envv = dict(os.environ)
+    envv["JAX_PLATFORMS"] = "cpu"
+    envv["XLA_FLAGS"] = (envv.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=repo, env=envv, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    tlog = open(os.path.join(save, "train.log")).read()
+    assert "mesh: stage=2 (GPipe stage-2, 2 microbatches)" in tlog
+    elog = open(os.path.join(save, "test.log")).read()
+    assert "final results" in elog and "Average" in elog
+
+
 def test_train_tensor_parallel_cli(env):
     """train.py --tensor_parallel 2 --sequence_parallel: stage-2 trains
     through the Megatron-sharded trunk (sequence-sharded residual stream)

@@ -111,3 +111,95 @@ def test_pp_validation():
         fn(adapters["image"], np.zeros((3, 3, 70, 70), np.float32),
            np.zeros((CFG.embed_dim, 2), np.float32),
            np.zeros((70, 5), np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel stage-2 TRAINING (make_pp_stage2_step)
+
+
+def _train_setup(cfg, acfg, batch, seed=3):
+    clip = create_clip_params(cfg, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg)
+    rng = np.random.default_rng(seed)
+    S = cfg.vision.image_size
+    images = rng.standard_normal((batch, 3, S, S)).astype(np.float32)
+    mask = (rng.random((batch, S, S)) > 0.8).astype(np.float32)
+    label = (np.arange(batch) % 2).astype(np.int32)
+    class_idx = (np.arange(batch) % 2).astype(np.int32)
+    valid = np.ones((batch,), np.float32)
+    anchors = rng.standard_normal((cfg.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+    table = np.stack([anchors, anchors[:, ::-1]]).astype(np.float32)
+    return clip, adapters, (images, mask, label, class_idx, valid), table
+
+
+@pytest.mark.parametrize("n_micro", [2, 4])
+def test_pp_stage2_step_matches_grad_accum(n_micro):
+    """The GPipe training step must reproduce the single-device
+    grad_accum=n_micro update (identical microbatch-mean semantics): the
+    backward streams through ppermute's transpose, and per-stage level
+    losses psum to the reference total."""
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    clip, adapters, batch, table = _train_setup(CFG, ACFG, batch=8)
+    tx = make_image_optimizer(1e-3)
+    s0 = make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=n_micro)
+    st0, l0 = s0(init_state(adapters["image"], tx),
+                 *(jnp.asarray(a) for a in batch))
+
+    s1 = ppl.make_pp_stage2_step(clip, CFG, ACFG, tx, table, pp=2,
+                                 n_micro=n_micro)
+    st1, l1 = s1(init_state(adapters["image"], tx), *batch)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        st1.params, st0.params)
+
+
+def test_pp_stage2_multi_step_and_cross_stage_adapters():
+    """Two consecutive GPipe steps on a 4-stage tower whose adapters span
+    stage boundaries (image_adapt_until=2: a REAL adapter lives on stage 1,
+    which also processes bubble ticks — the NaN regression case) keep
+    matching the single-device trainer."""
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    cfg = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, layers=4))
+    acfg = AdapterConfig(levels=(1, 2, 3, 4), image_adapt_until=2,
+                         text_adapt_until=1)
+    clip, adapters, batch, table = _train_setup(cfg, acfg, batch=4)
+    tx = make_image_optimizer(1e-3)
+    s0 = make_stage2_step(clip, cfg, acfg, tx, table, grad_accum=2)
+    s1 = ppl.make_pp_stage2_step(clip, cfg, acfg, tx, table, pp=4,
+                                 n_micro=2)
+    st0 = init_state(adapters["image"], tx)
+    st1 = init_state(adapters["image"], tx)
+    for _ in range(2):
+        st0, l0 = s0(st0, *(jnp.asarray(a) for a in batch))
+        st1, l1 = s1(st1, *batch)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    assert not np.isnan(float(l1))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-4),
+        st1.params, st0.params)
+
+
+def test_pp_stage2_validation():
+    import optax
+
+    clip, adapters, batch, table = _train_setup(CFG, ACFG, batch=8)
+    with pytest.raises(ValueError, match="must divide the level count"):
+        ppl.make_pp_stage2_step(clip, CFG, ACFG, optax.sgd(1e-3), table,
+                                pp=3)
+    step = ppl.make_pp_stage2_step(clip, CFG, ACFG, optax.sgd(1e-3), table,
+                                   pp=2, n_micro=4)
+    from aaclip_tpu.train.steps import init_state
+    tx = optax.sgd(1e-3)
+    images, mask, label, class_idx, valid = batch
+    with pytest.raises(ValueError, match="not divisible by n_micro"):
+        step(init_state(adapters["image"], tx), images[:6], mask[:6],
+             label[:6], class_idx[:6], valid[:6])

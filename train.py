@@ -100,6 +100,21 @@ def parse_args(argv=None):
                              "model devices between matmul regions "
                              "(Megatron-SP — under remat the saved "
                              "residuals shrink to S/N tokens per device)")
+    parser.add_argument("--pipeline_parallel", type=int, default=1,
+                        help="GPipe stage-2 training over this many devices "
+                             "(parallel/pipeline.py): the trunk's blocks "
+                             "live layers/N per device on a ('stage',) "
+                             "ring, microbatches stream through via "
+                             "ppermute, and the backward counter-streams "
+                             "through the transpose. Must divide the "
+                             "level count. Mutually exclusive with "
+                             "--data_parallel/--tensor_parallel; stage 1 "
+                             "(text) runs unsharded. Update semantics == "
+                             "--grad_accum <microbatches>")
+    parser.add_argument("--pp_microbatches", type=int, default=None,
+                        help="microbatch count for --pipeline_parallel "
+                             "(default = stage count; image_batch_size "
+                             "must divide by it)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="split each stage-2 batch into this many "
                              "microbatches inside the jitted step, "
@@ -231,6 +246,20 @@ def main(argv=None):
 
     mesh = None
     n_dev = 1
+    if args.pipeline_parallel > 1 and (args.data_parallel
+                                       or args.tensor_parallel > 1):
+        raise SystemExit("--pipeline_parallel is mutually exclusive with "
+                         "--data_parallel/--tensor_parallel")
+    if args.pipeline_parallel > 1:
+        n_micro = args.pp_microbatches or args.pipeline_parallel
+        if args.image_batch_size % n_micro:
+            args.image_batch_size = ((args.image_batch_size + n_micro - 1)
+                                     // n_micro) * n_micro
+            logger.info("pipeline_parallel: image_batch_size rounded up "
+                        "to %d (%d microbatches)", args.image_batch_size,
+                        n_micro)
+        logger.info("mesh: stage=%d (GPipe stage-2, %d microbatches)",
+                    args.pipeline_parallel, n_micro)
     if args.tensor_parallel > 1:
         from aaclip_tpu.parallel import tensor as tpar
         mesh = tpar.make_mesh_2d(args.tensor_parallel)
@@ -323,13 +352,22 @@ def main(argv=None):
     else:
         s2_remat = {"full": True, "selective": "selective",
                     "off": False}[args.remat]
-    step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
-                               anchors_table, img_size=args.img_size,
-                               policy=policy, attn_fn=s2_attn_fn,
-                               remat=s2_remat,
-                               mesh=mesh if args.tensor_parallel > 1 else None,
-                               sequence_parallel=args.sequence_parallel,
-                               grad_accum=args.grad_accum)
+    if args.pipeline_parallel > 1:
+        from aaclip_tpu.parallel.pipeline import make_pp_stage2_step
+        step_fn = make_pp_stage2_step(
+            clip_params, cfg, acfg, image_tx, anchors_table,
+            pp=args.pipeline_parallel, n_micro=args.pp_microbatches,
+            img_size=args.img_size, policy=policy, attn_fn=s2_attn_fn,
+            remat=bool(s2_remat))
+    else:
+        step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
+                                   anchors_table, img_size=args.img_size,
+                                   policy=policy, attn_fn=s2_attn_fn,
+                                   remat=s2_remat,
+                                   mesh=mesh if args.tensor_parallel > 1
+                                   else None,
+                                   sequence_parallel=args.sequence_parallel,
+                                   grad_accum=args.grad_accum)
     loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
                          seed=args.seed + 1, num_workers=args.num_workers,
                          host_id=host_id, num_hosts=num_hosts)
