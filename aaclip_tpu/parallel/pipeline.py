@@ -46,14 +46,23 @@ from aaclip_tpu.models import layers as L
 from aaclip_tpu.models.vit import embed
 
 
-def make_pp_mesh(pp: int, num_devices: Optional[int] = None) -> Mesh:
-    """1-D ``('stage',)`` mesh over the first ``pp`` devices (ring order —
-    the per-tick ``ppermute`` hop rides neighbouring ICI links)."""
+def make_pp_mesh(pp: int, dp: int = 1,
+                 num_devices: Optional[int] = None) -> Mesh:
+    """``('stage', 'data')`` mesh over the first ``pp * dp`` devices.
+
+    The stage axis is the pipeline ring (laid out first so the per-tick
+    ``ppermute`` hop rides neighbouring ICI links); the data axis
+    (default size 1) replicates the pipeline and shards the batch —
+    ``test.py --pipeline_parallel N --data_parallel``."""
     devices = jax.devices()
     n = num_devices or len(devices)
     if pp < 2 or pp > n:
         raise ValueError(f"pipeline_parallel={pp} needs 2..{n} devices")
-    return Mesh(np.asarray(devices[:pp]), ("stage",))
+    if dp < 1 or pp * dp > n:
+        raise ValueError(
+            f"pipeline dp={dp} needs pp*dp <= {n} devices (pp={pp})")
+    return Mesh(
+        np.asarray(devices[:pp * dp]).reshape(pp, dp), ("stage", "data"))
 
 
 def _validate(cfg: CLIPConfig, acfg: AdapterConfig, pp: int) -> int:
@@ -127,6 +136,7 @@ def _make_block_body(cfg: CLIPConfig, policy: DtypePolicy, act, attn_fn):
 def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                              acfg: AdapterConfig, *, pp: int,
                              n_micro: Optional[int] = None,
+                             dp: int = 1,
                              img_size: int | None = None,
                              policy: DtypePolicy = DtypePolicy(),
                              attn_fn=None) -> Callable:
@@ -142,6 +152,12 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     per-shard attention override — whole blocks stay on one device, so the
     packed Pallas kernels plug in unchanged (unlike tensor parallelism).
     Staged-precision trunks (``policy.bf16_until``) are not supported.
+
+    ``dp > 1`` composes with data parallelism on a 2-D ``('stage',
+    'data')`` mesh: the ``dp`` pipeline replicas each process a batch
+    shard of every microbatch (eval is per-sample separable, so the data
+    axis is pure SPMD — the stage ``psum``/``ppermute`` run within each
+    replica).  The batch must divide by ``n_micro * dp``.
     """
     from aaclip_tpu.core.params import cast_matmul_weights
     from aaclip_tpu.models.layers import config_act
@@ -152,7 +168,7 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                          "staged-precision (bf16_until) trunk")
     tps = _validate(cfg, acfg, pp)
     n_micro = n_micro or pp
-    mesh = make_pp_mesh(pp)
+    mesh = make_pp_mesh(pp, dp)
     v = cfg.vision
     spacing = v.layers // len(acfg.levels)
     Ls = tps * spacing                       # layers per stage
@@ -261,10 +277,14 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
 
         E = det_w.shape[-1]
         # the carry becomes device-varying on the first tick (axis_index
-        # selects per-stage work) — mark the init accordingly (shard_map's
-        # varying-manual-axes typing)
+        # selects per-stage work; the batch shard is data-varying) — mark
+        # the init accordingly (shard_map's varying-manual-axes typing)
+        def _mark(a):
+            a = jax.lax.pcast(a, "stage", to="varying")
+            return jax.lax.pcast(a, "data", to="varying")
+
         init = jax.tree.map(
-            lambda a: jax.lax.pcast(a, "stage", to="varying"),
+            _mark,
             (jnp.zeros((B_m, S, v.width), emb_dtype),
              jnp.zeros((n_micro, B_m, grid, grid), jnp.float32),
              jnp.zeros((n_micro, B_m, E), jnp.float32)))
@@ -276,14 +296,22 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                 jax.lax.psum(det_acc, "stage"))
 
     stage_spec = P("stage")
-    sharded = jax.shard_map(
-        stage_fn, mesh=mesh,
-        in_specs=(stage_spec, stage_spec, stage_spec, stage_spec,
-                  P(), P(), P(), P()),
-        out_specs=(P(), P()))
+    data_spec = P(None, "data")    # [n_micro, B, ...] sharded on batch
+    _sharded = {}
+
+    def _get_sharded(per_sample_anchors: bool):
+        if per_sample_anchors not in _sharded:
+            _sharded[per_sample_anchors] = jax.shard_map(
+                stage_fn, mesh=mesh,
+                in_specs=(stage_spec, stage_spec, stage_spec, stage_spec,
+                          P(), P(), data_spec,
+                          data_spec if per_sample_anchors else P()),
+                out_specs=(data_spec, data_spec))
+        return _sharded[per_sample_anchors]
 
     def _predict_impl(visual, image_adapter, images, anchors, M):
         B = images.shape[0]
+        sharded = _get_sharded(anchors.ndim == 3)
         x = embed(visual, cfg, images, policy)           # [B, S, D]
         emb_mb = x.reshape(n_micro, B // n_micro, S, v.width)
         blocks_staged = _stage_split(visual["blocks"], pp, Ls)
@@ -314,9 +342,10 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
 
     def predict(image_adapter, images, anchors, M):
         B = images.shape[0]
-        if B % n_micro:
+        if B % (n_micro * dp):
             raise ValueError(
-                f"batch {B} not divisible by n_micro={n_micro}")
+                f"batch {B} not divisible by n_micro={n_micro}"
+                + (f" * dp={dp}" if dp > 1 else ""))
         return _predict(visual, image_adapter, jnp.asarray(images),
                         jnp.asarray(anchors), jnp.asarray(M))
 
@@ -324,6 +353,7 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     predict.visual = visual
     predict.mesh = None          # inputs are replicated; jit places them
     predict.pp = pp
+    predict.dp = dp
     predict.n_micro = n_micro
     return predict
 

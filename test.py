@@ -78,8 +78,10 @@ def parse_args(argv=None):
                         help="GPipe the trunk over this many devices "
                              "(stage boundaries on the tap levels, so it "
                              "must divide the level count; each device "
-                             "holds layers/N blocks). Mutually exclusive "
-                             "with --data_parallel/--tensor_parallel; "
+                             "holds layers/N blocks). Composes with "
+                             "--data_parallel (remaining devices form "
+                             "the data axis of a ('stage','data') mesh); "
+                             "mutually exclusive with --tensor_parallel; "
                              "disables the staged-precision trunk and "
                              "fused uint8 preprocessing")
     parser.add_argument("--pp_microbatches", type=int, default=None,
@@ -159,27 +161,32 @@ def main(argv=None):
     uint8_inputs = args.fused_preprocess or args.precision == "bf16"
     mesh = None
     if args.pipeline_parallel > 1:
-        if args.data_parallel or args.tensor_parallel > 1:
+        if args.tensor_parallel > 1:
             raise SystemExit("--pipeline_parallel is mutually exclusive "
-                             "with --data_parallel/--tensor_parallel")
+                             "with --tensor_parallel")
         import dataclasses as _dc
         if policy.bf16_until:
             policy = _dc.replace(policy, bf16_until=0)
             logger.info("pipeline_parallel: staged-precision trunk disabled")
         uint8_inputs = False  # pipeline embeds normalized float pixels
         from aaclip_tpu.parallel.pipeline import make_pipeline_predict_fn
+        import jax as _jax
+        pp_dp = (len(_jax.devices()) // args.pipeline_parallel
+                 if args.data_parallel else 1)
         predict_fn = make_pipeline_predict_fn(
             clip_params, cfg, acfg, pp=args.pipeline_parallel,
-            n_micro=args.pp_microbatches, img_size=args.img_size,
+            n_micro=args.pp_microbatches, dp=pp_dp, img_size=args.img_size,
             policy=policy, attn_fn=maybe_make_attn_fn(cfg, policy))
         n_micro = predict_fn.n_micro
-        if args.batch_size % n_micro:
-            args.batch_size = ((args.batch_size + n_micro - 1)
-                               // n_micro) * n_micro
+        chunk = n_micro * pp_dp
+        if args.batch_size % chunk:
+            args.batch_size = ((args.batch_size + chunk - 1)
+                               // chunk) * chunk
             logger.info("pipeline_parallel: batch_size rounded up to %d "
-                        "(%d microbatches)", args.batch_size, n_micro)
-        logger.info("mesh: stage=%d (GPipe, %d microbatches)",
-                    args.pipeline_parallel, n_micro)
+                        "(%d microbatches x dp=%d)", args.batch_size,
+                        n_micro, pp_dp)
+        logger.info("mesh: stage=%d x data=%d (GPipe, %d microbatches)",
+                    args.pipeline_parallel, pp_dp, n_micro)
     elif args.data_parallel or args.tensor_parallel > 1:
         from aaclip_tpu.parallel import sharding as sh
         sh.initialize_multihost()

@@ -199,9 +199,11 @@ def test_eval_tensor_parallel_cli(env):
 
 
 def test_eval_pipeline_parallel_cli(env):
-    """test.py --pipeline_parallel 2: GPipe over the tap-aligned trunk
-    (one level per stage on tiny-test) must produce the per-class results
-    table, identical protocol to single-device."""
+    """test.py --pipeline_parallel 2 (then + --data_parallel): GPipe over
+    the tap-aligned trunk (one level per stage on tiny-test) must produce
+    the per-class results table, identical protocol to single-device; with
+    --data_parallel the remaining devices form the data axis of the
+    ('stage','data') mesh."""
     import subprocess
     import sys
 
@@ -214,6 +216,7 @@ def test_eval_pipeline_parallel_cli(env):
     ]
     test_args = COMMON + ["--save_path", save, "--batch_size", "4",
                           "--pipeline_parallel", "2"]
+    test_args_dp = test_args + ["--data_parallel"]
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "assert len(jax.devices()) == 8, jax.devices()\n"
@@ -221,6 +224,8 @@ def test_eval_pipeline_parallel_cli(env):
         "import train; train.main()\n"
         f"sys.argv = ['test.py'] + {test_args!r}\n"
         "import test; test.main()\n"
+        f"sys.argv = ['test.py'] + {test_args_dp!r}\n"
+        "test.main()\n"
     )
     envv = dict(os.environ)
     envv["JAX_PLATFORMS"] = "cpu"
@@ -230,7 +235,8 @@ def test_eval_pipeline_parallel_cli(env):
                        text=True, cwd=repo, env=envv, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     tlog = open(os.path.join(save, "test.log")).read()
-    assert "mesh: stage=2 (GPipe, 2 microbatches)" in tlog
+    assert "mesh: stage=2 x data=1 (GPipe, 2 microbatches)" in tlog
+    assert "mesh: stage=2 x data=4 (GPipe, 2 microbatches)" in tlog
     assert "final results" in tlog and "Average" in tlog
     assert "bottle" in tlog and "cable" in tlog
 

@@ -90,6 +90,38 @@ def test_pp_per_sample_anchors():
                                atol=1e-6, rtol=1e-5)
 
 
+def test_pp_dp_composition():
+    """pp=2 x dp=4 on the 8-device ('stage','data') mesh: each pipeline
+    replica processes a batch shard of every microbatch; shared AND
+    per-sample anchors must reproduce single-device."""
+    clip, image_adapter, images, anchors, M = _setup(CFG, ACFG, batch=8)
+    single = make_predict_fn(clip, CFG, ACFG)
+    pix0, score0 = single(image_adapter, jnp.asarray(images),
+                          jnp.asarray(anchors), jnp.asarray(M))
+    fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2, n_micro=2,
+                                      dp=4)
+    pix1, score1 = fn(image_adapter, images, anchors, M)
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+    rng = np.random.default_rng(11)
+    ban = rng.standard_normal((8, CFG.embed_dim, 2)).astype(np.float32)
+    ban /= np.linalg.norm(ban, axis=1, keepdims=True)
+    pix0b, score0b = single(image_adapter, jnp.asarray(images),
+                            jnp.asarray(ban), jnp.asarray(M))
+    pix1b, score1b = fn(image_adapter, images, ban, M)
+    np.testing.assert_allclose(np.asarray(pix1b), np.asarray(pix0b),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1b), np.asarray(score0b),
+                               atol=1e-6, rtol=1e-5)
+    with pytest.raises(ValueError, match="dp=4"):
+        fn(image_adapter, images[:6], anchors, M)
+    with pytest.raises(ValueError, match="pp\\*dp"):
+        ppl.make_pp_mesh(2, 5)
+
+
 def test_pp_validation():
     clip = create_clip_params(CFG, seed=0)
     with pytest.raises(ValueError, match="must divide the level count"):
