@@ -360,7 +360,7 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
 
 def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                         acfg: AdapterConfig, tx, anchors_table, *, pp: int,
-                        n_micro: Optional[int] = None,
+                        n_micro: Optional[int] = None, dp: int = 1,
                         img_size: int | None = None,
                         policy: DtypePolicy = DtypePolicy(),
                         attn_fn=None, remat: bool = True) -> Callable:
@@ -389,6 +389,15 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
     device).  Adapter/optimizer state stays in the canonical (unstaged)
     layout: staging/padding happens inside the differentiated loss, so
     checkpoints and resume interop with every other trainer path.
+
+    ``dp > 1`` composes with data parallelism on the ``('stage','data')``
+    mesh.  Unlike eval, the training loss is NOT per-sample separable
+    (every term is a mean over the GLOBAL valid count), so each data
+    shard contributes numerator SUMS and its valid count, both psummed
+    over the data axis before the division — the decomposition is
+    algebraically exact, and the adapter-gradient psum over data falls
+    out of the shard_map transpose (replicated-input cotangents).  The
+    batch must divide by ``n_micro * dp``.
     """
     import functools
 
@@ -402,7 +411,7 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
     policy = policy.unstaged()
     tps = _validate(cfg, acfg, pp)
     n_micro = n_micro or pp
-    mesh = make_pp_mesh(pp)
+    mesh = make_pp_mesh(pp, dp)
     v = cfg.vision
     spacing = v.layers // len(acfg.levels)
     Ls = tps * spacing
@@ -446,6 +455,24 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                 y = L.leaky_relu(y)
             return L.l2_normalize(y)
 
+        def seg_loss_psummed(d, m, val, nv):
+            """seg_loss_from_logit_masked with the per-sample-mean
+            divisions deferred until after a data-axis psum of the
+            numerator sums — algebraically exact under batch sharding
+            (identical to the single-shard form at dp=1)."""
+            d = d.astype(jnp.float32)
+            m = m.reshape(d.shape).astype(jnp.float32)
+            vv = val.astype(jnp.float32)
+            per_pixel = LL._focal_terms_from_logit(d, m)
+            f_num = jax.lax.psum(
+                jnp.sum(per_pixel * vv[:, None, None]), "data")
+            focal = f_num / (nv * per_pixel.shape[1] * per_pixel.shape[2])
+            p1 = jax.nn.sigmoid(d)
+            e0 = jax.lax.psum(
+                jnp.sum(LL._dice_eff(1.0 - p1, 1.0 - m) * vv), "data")
+            e1 = jax.lax.psum(jnp.sum(LL._dice_eff(p1, m) * vv), "data")
+            return focal + (1.0 - e0 / nv) + (1.0 - e1 / nv)
+
         def tick(carry, t):
             act, loss_acc = carry
             m_in = jnp.clip(t, 0, n_micro - 1)
@@ -465,6 +492,11 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                 a, m_c, keepdims=False)
             ban, msk, lbl, val = (pick(banchors_mb), pick(mask_mb),
                                   pick(label_mb), pick(valid_mb))
+            # global valid count for this microbatch (the loss terms are
+            # means over ALL valid samples, not per-shard means)
+            nv = jnp.maximum(
+                jax.lax.psum(jnp.sum(val.astype(jnp.float32)), "data"),
+                1.0)
             loss_t = jnp.float32(0.0)
             tok = None
             for k, tap in enumerate(taps):
@@ -481,13 +513,17 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                 d = jnp.einsum("Jh,bIh->bIJ", U, d,
                                preferred_element_type=jnp.float32,
                                precision="highest")
-                loss_t = loss_t + LL.seg_loss_from_logit_masked(d, msk, val)
+                loss_t = loss_t + seg_loss_psummed(d, msk, val, nv)
             # detection CE: global last level = last tap of the last stage
             det = proj_norm(tok, det_w).mean(axis=1)
             logits = jnp.einsum("bd,bdk->bk", det, ban,
                                 preferred_element_type=jnp.float32,
                                 precision=policy.precision)
-            ce = LL.cross_entropy_logits_masked(logits, lbl, val)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, lbl[:, None].astype(jnp.int32), axis=1)[:, 0]
+            ce = jax.lax.psum(
+                jnp.sum(nll * val.astype(jnp.float32)), "data") / nv
             loss_t = loss_t + jnp.where(sid == pp - 1, ce, 0.0)
             loss_acc = loss_acc + tick_w * loss_t
             act = jax.lax.ppermute(
@@ -501,17 +537,20 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
         # last stage's head gradients.  With a generic finite seed every
         # bubble tick differentiates cleanly and its contribution is
         # exactly zeroed by tick_w.
-        init = jax.tree.map(
-            lambda a: jax.lax.pcast(a, "stage", to="varying"),
-            (emb_mb[0], jnp.zeros((), jnp.float32)))
+        # emb_mb arrives data-sharded (already data-varying); both carry
+        # legs become stage-varying on the first tick
+        init = (jax.lax.pcast(emb_mb[0], "stage", to="varying"),
+                jax.lax.pcast(jnp.zeros((), jnp.float32), "stage",
+                              to="varying"))
         (_, loss_acc), _ = jax.lax.scan(
             tick, init, jnp.arange(n_micro + pp - 1))
         return jax.lax.psum(loss_acc, "stage")
 
     stage_spec = P("stage")
+    data_spec = P(None, "data")    # [n_micro, B, ...] sharded on batch
     sharded = jax.shard_map(
         stage_fn, mesh=mesh,
-        in_specs=(stage_spec,) * 4 + (P(),) * 7,
+        in_specs=(stage_spec,) * 4 + (P(), P()) + (data_spec,) * 5,
         out_specs=P())
 
     def loss_fn(image_adapter, visual, images, mask, label, class_idx,
@@ -545,13 +584,15 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
 
     def step(state, images, mask, label, class_idx, valid):
         B = images.shape[0]
-        if B % n_micro:
+        if B % (n_micro * dp):
             raise ValueError(
-                f"batch {B} not divisible by n_micro={n_micro}")
+                f"batch {B} not divisible by n_micro={n_micro}"
+                + (f" * dp={dp}" if dp > 1 else ""))
         return _step(state, visual_host, jnp.asarray(images),
                      jnp.asarray(mask), jnp.asarray(label),
                      jnp.asarray(class_idx), jnp.asarray(valid))
 
     step.pp = pp
+    step.dp = dp
     step.n_micro = n_micro
     return step

@@ -242,9 +242,10 @@ def test_eval_pipeline_parallel_cli(env):
 
 
 def test_train_pipeline_parallel_cli(env):
-    """train.py --pipeline_parallel 2: stage-2 trains GPipe-style over the
-    2-stage ring, and the resulting checkpoint evaluates through the
-    standard test.py path."""
+    """train.py --pipeline_parallel 2 --data_parallel: stage-2 trains
+    GPipe-style over the ('stage','data') mesh (2 stages x 4 data
+    shards), and the resulting checkpoint evaluates through the standard
+    test.py path."""
     import subprocess
     import sys
 
@@ -254,7 +255,7 @@ def test_train_pipeline_parallel_cli(env):
         "--save_path", save, "--training_mode", "full_shot",
         "--text_epoch", "0", "--image_epoch", "1",
         "--image_batch_size", "8", "--surgery_until_layer", "2",
-        "--pipeline_parallel", "2",
+        "--pipeline_parallel", "2", "--data_parallel",
     ]
     test_args = COMMON + ["--save_path", save, "--batch_size", "4"]
     code = (
@@ -273,7 +274,7 @@ def test_train_pipeline_parallel_cli(env):
                        text=True, cwd=repo, env=envv, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     tlog = open(os.path.join(save, "train.log")).read()
-    assert "mesh: stage=2 (GPipe stage-2, 2 microbatches)" in tlog
+    assert "mesh: stage=2 x data=4 (GPipe stage-2, 2 microbatches)" in tlog
     elog = open(os.path.join(save, "test.log")).read()
     assert "final results" in elog and "Average" in elog
 

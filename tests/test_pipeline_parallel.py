@@ -220,6 +220,36 @@ def test_pp_stage2_multi_step_and_cross_stage_adapters():
         st1.params, st0.params)
 
 
+@pytest.mark.parametrize("valid_tail", [None, 2])
+def test_pp_dp_stage2_step_matches_grad_accum(valid_tail):
+    """pp=2 x dp=4 training: each data shard contributes numerator sums
+    and valid counts psummed over the data axis before division, so the
+    update still equals single-device grad_accum=2 — including ragged
+    batches (trailing invalid samples), where the per-term means run over
+    the GLOBAL valid count."""
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    clip, adapters, batch, table = _train_setup(CFG, ACFG, batch=8)
+    images, mask, label, class_idx, valid = batch
+    if valid_tail:
+        valid = valid.copy()
+        valid[-valid_tail:] = 0.0
+        batch = (images, mask, label, class_idx, valid)
+    tx = make_image_optimizer(1e-3)
+    s0 = make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=2)
+    st0, l0 = s0(init_state(adapters["image"], tx),
+                 *(jnp.asarray(a) for a in batch))
+    s1 = ppl.make_pp_stage2_step(clip, CFG, ACFG, tx, table, pp=2,
+                                 n_micro=2, dp=4)
+    st1, l1 = s1(init_state(adapters["image"], tx), *batch)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        st1.params, st0.params)
+
+
 def test_pp_stage2_validation():
     import optax
 

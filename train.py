@@ -107,10 +107,12 @@ def parse_args(argv=None):
                              "ring, microbatches stream through via "
                              "ppermute, and the backward counter-streams "
                              "through the transpose. Must divide the "
-                             "level count. Mutually exclusive with "
-                             "--data_parallel/--tensor_parallel; stage 1 "
-                             "(text) runs unsharded. Update semantics == "
-                             "--grad_accum <microbatches>")
+                             "level count. Composes with --data_parallel "
+                             "(remaining devices form the data axis; "
+                             "loss numerators/valid counts psum over it); "
+                             "mutually exclusive with --tensor_parallel; "
+                             "stage 1 (text) runs unsharded. Update "
+                             "semantics == --grad_accum <microbatches>")
     parser.add_argument("--pp_microbatches", type=int, default=None,
                         help="microbatch count for --pipeline_parallel "
                              "(default = stage count; image_batch_size "
@@ -246,21 +248,27 @@ def main(argv=None):
 
     mesh = None
     n_dev = 1
-    if args.pipeline_parallel > 1 and (args.data_parallel
-                                       or args.tensor_parallel > 1):
+    pp_dp = 1
+    if args.pipeline_parallel > 1 and args.tensor_parallel > 1:
         raise SystemExit("--pipeline_parallel is mutually exclusive with "
-                         "--data_parallel/--tensor_parallel")
+                         "--tensor_parallel")
     if args.pipeline_parallel > 1:
+        # pp composes with --data_parallel on a ('stage','data') mesh for
+        # stage 2; stage 1 (text) runs unsharded either way
+        pp_dp = (len(jax.devices()) // args.pipeline_parallel
+                 if args.data_parallel else 1)
         n_micro = args.pp_microbatches or args.pipeline_parallel
-        if args.image_batch_size % n_micro:
-            args.image_batch_size = ((args.image_batch_size + n_micro - 1)
-                                     // n_micro) * n_micro
+        chunk = n_micro * pp_dp
+        if args.image_batch_size % chunk:
+            args.image_batch_size = ((args.image_batch_size + chunk - 1)
+                                     // chunk) * chunk
             logger.info("pipeline_parallel: image_batch_size rounded up "
-                        "to %d (%d microbatches)", args.image_batch_size,
-                        n_micro)
-        logger.info("mesh: stage=%d (GPipe stage-2, %d microbatches)",
-                    args.pipeline_parallel, n_micro)
-    if args.tensor_parallel > 1:
+                        "to %d (%d microbatches x dp=%d)",
+                        args.image_batch_size, n_micro, pp_dp)
+        logger.info("mesh: stage=%d x data=%d (GPipe stage-2, "
+                    "%d microbatches)", args.pipeline_parallel, pp_dp,
+                    n_micro)
+    elif args.tensor_parallel > 1:
         from aaclip_tpu.parallel import tensor as tpar
         mesh = tpar.make_mesh_2d(args.tensor_parallel)
         n_dev = dict(mesh.shape)["data"]
@@ -357,8 +365,8 @@ def main(argv=None):
         step_fn = make_pp_stage2_step(
             clip_params, cfg, acfg, image_tx, anchors_table,
             pp=args.pipeline_parallel, n_micro=args.pp_microbatches,
-            img_size=args.img_size, policy=policy, attn_fn=s2_attn_fn,
-            remat=bool(s2_remat))
+            dp=pp_dp, img_size=args.img_size, policy=policy,
+            attn_fn=s2_attn_fn, remat=bool(s2_remat))
     else:
         step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
                                    anchors_table, img_size=args.img_size,
