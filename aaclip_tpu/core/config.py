@@ -118,6 +118,12 @@ class DtypePolicy:
     # policy's fp32 semantics.  Adopted for fp32_high after the round-3
     # on-chip task-level equality run (docs/PERFORMANCE.md).
     bf16_until: int = 0
+    # int8 quantized inference (ops/quant.py): trunk QKV/out/MLP weights
+    # stored as per-channel int8, activations dynamically quantized per
+    # token, matmuls on the int8 MXU path (2x bf16 peak). INFERENCE ONLY —
+    # training CLIs reject it; the opt-in quality trade is measured like
+    # the bf16 fast path's (tests/test_fast_path_quality.py).
+    quant_int8: bool = False
 
     def prefix_policy(self) -> "DtypePolicy":
         """Policy for the bf16-staged leading trunk blocks: single-pass
@@ -164,16 +170,24 @@ class DtypePolicy:
         return cls(jnp.float32, jnp.bfloat16, None, True)
 
     @classmethod
+    def int8(cls) -> "DtypePolicy":
+        """Quantized inference path: the bf16 fast path with the trunk's
+        big matmuls (packed QKV, attn out, MLP) running int8 x int8 ->
+        int32 on the MXU (2x bf16 peak); weights per-channel, activations
+        per-token dynamic (ops/quant.py). Inference only."""
+        return cls(jnp.float32, jnp.bfloat16, None, True, quant_int8=True)
+
+    @classmethod
     def from_name(cls, name: str) -> "DtypePolicy":
         """CLI --precision string -> policy."""
         try:
             return {"fp32": cls.fp32, "fp32_high": cls.fp32_high,
-                    "bf16": cls.bf16}[name]()
+                    "bf16": cls.bf16, "int8": cls.int8}[name]()
         except KeyError:
             raise ValueError(f"unknown precision {name!r}") from None
 
 
-PRECISION_CHOICES = ("fp32", "fp32_high", "bf16")
+PRECISION_CHOICES = ("fp32", "fp32_high", "bf16", "int8")
 
 
 VIT_L_14_336 = CLIPConfig()

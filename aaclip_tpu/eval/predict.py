@@ -64,6 +64,21 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
 
     img = img_size or cfg.vision.image_size
     visual = cast_matmul_weights(clip_params["visual"], policy)
+    if policy.quant_int8:
+        # int8 quantized trunk (ops/quant.py): per-channel int8 weights
+        # for QKV/out/MLP; the scale leaves ride the stacked-block pytree
+        # through lax.scan slicing like any other per-layer parameter.
+        # Composes with data parallelism (replication is generic) but not
+        # with the Megatron repack or fused block kernels.
+        from aaclip_tpu.ops.quant import quantize_block_weights
+        from aaclip_tpu.parallel.tensor import is_tp_mesh as _is_tp
+
+        if _is_tp(mesh) or block_fn is not None:
+            raise ValueError("int8 quantized inference does not compose "
+                             "with tensor parallelism or block_fn "
+                             "overrides")
+        visual = dict(visual)
+        visual["blocks"] = quantize_block_weights(visual["blocks"])
     _act = config_act(cfg, policy)
     _patch_embed = None
     if uint8_inputs:

@@ -73,9 +73,17 @@ def leaky_relu(x: jax.Array, negative_slope: float = 0.01) -> jax.Array:
 
 
 def linear(x: jax.Array, p: dict, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
-    """``x @ w (+ b)`` with the policy's compute dtype and fp32 accumulation."""
-    cd = policy.compute_dtype
-    y = jnp.dot(x.astype(cd), p["w"].astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
+    """``x @ w (+ b)`` with the policy's compute dtype and fp32 accumulation.
+
+    int8 weight leaves (``--precision int8``, ops/quant.py) take the
+    dynamically-quantized MXU path: per-token activation quant, int32
+    accumulation, rank-1 dequant."""
+    if p["w"].dtype == jnp.int8:
+        from aaclip_tpu.ops.quant import qdot
+        y = qdot(x, p["w"], p["w_s"])
+    else:
+        cd = policy.compute_dtype
+        y = jnp.dot(x.astype(cd), p["w"].astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y
@@ -103,14 +111,24 @@ def attention(
     cd = policy.compute_dtype
     xc = x.astype(cd)
 
+    quantized = p["w_qkv"].dtype == jnp.int8
+    if quantized:
+        from aaclip_tpu.ops.quant import qdot
+
     if vv:
-        w_v = p["w_qkv"][:, 2 * D :]
-        v = jnp.dot(xc, w_v.astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
+        if quantized:
+            v = qdot(x, p["w_qkv"][:, 2 * D:], p["w_qkv_s"][2 * D:])
+        else:
+            w_v = p["w_qkv"][:, 2 * D :]
+            v = jnp.dot(xc, w_v.astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
         v = v + p["b_qkv"][2 * D :].astype(jnp.float32)
         v = v.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
         q = k = v
     else:
-        qkv = jnp.dot(xc, p["w_qkv"].astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
+        if quantized:
+            qkv = qdot(x, p["w_qkv"], p["w_qkv_s"])
+        else:
+            qkv = jnp.dot(xc, p["w_qkv"].astype(cd), preferred_element_type=jnp.float32, precision=policy.precision)
         qkv = qkv + p["b_qkv"].astype(jnp.float32)
         qkv = qkv.reshape(B, L, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -128,8 +146,11 @@ def attention(
         preferred_element_type=jnp.float32, precision=policy.precision,
     )
     out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-    out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
-                  preferred_element_type=jnp.float32, precision=policy.precision)
+    if quantized:
+        out = qdot(out, p["w_out"], p["w_out_s"])
+    else:
+        out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
+                      preferred_element_type=jnp.float32, precision=policy.precision)
     out = out + p["b_out"].astype(jnp.float32)
     return out.astype(x.dtype)
 
@@ -181,10 +202,16 @@ def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
 def mlp(x: jax.Array, p: dict, act, policy: DtypePolicy = DtypePolicy()) -> jax.Array:
     from jax.ad_checkpoint import checkpoint_name
 
-    h = linear(x, {"w": p["w_fc"], "b": p["b_fc"]}, policy)
+    def sub(wk):
+        d = {"w": p[wk], "b": p["b" + wk[1:]]}
+        if wk + "_s" in p:
+            d["w_s"] = p[wk + "_s"]
+        return d
+
+    h = linear(x, sub("w_fc"), policy)
     h = checkpoint_name(h, "mlp_fc")  # pre-activation (act recompute is cheap)
     h = act(h)
-    return linear(h, {"w": p["w_proj"], "b": p["b_proj"]}, policy).astype(x.dtype)
+    return linear(h, sub("w_proj"), policy).astype(x.dtype)
 
 
 def residual_block(

@@ -426,11 +426,19 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
         B, L, Dm = x.shape
         cd = policy.compute_dtype
         xc = x.astype(cd)
+        quantized = p["w_qkv"].dtype == jnp.int8
+        if quantized:  # --precision int8 (ops/quant.py): the projections
+            from aaclip_tpu.ops.quant import qdot  # take the int8 MXU path;
+            # the Pallas kernel itself stays in the compute dtype
         if vv:
-            w_v = p["w_qkv"][:, 2 * Dm:]
-            proj = jnp.dot(xc, w_v.astype(cd),
-                           preferred_element_type=jnp.float32,
-                           precision=policy.precision)
+            if quantized:
+                proj = qdot(x, p["w_qkv"][:, 2 * Dm:],
+                            p["w_qkv_s"][2 * Dm:])
+            else:
+                w_v = p["w_qkv"][:, 2 * Dm:]
+                proj = jnp.dot(xc, w_v.astype(cd),
+                               preferred_element_type=jnp.float32,
+                               precision=policy.precision)
             proj = (proj + p["b_qkv"][2 * Dm:].astype(jnp.float32)).astype(cd)
             out = attention_packed(proj, num_heads, valid_len=L, vv=True,
                                    q_blk=q_blk, packed_sections=1,
@@ -439,9 +447,12 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
         else:
             from jax.ad_checkpoint import checkpoint_name
 
-            qkv = jnp.dot(xc, p["w_qkv"].astype(cd),
-                          preferred_element_type=jnp.float32,
-                          precision=policy.precision)
+            if quantized:
+                qkv = qdot(x, p["w_qkv"], p["w_qkv_s"])
+            else:
+                qkv = jnp.dot(xc, p["w_qkv"].astype(cd),
+                              preferred_element_type=jnp.float32,
+                              precision=policy.precision)
             qkv = (qkv + p["b_qkv"].astype(jnp.float32)).astype(cd)
             # saved under selective remat: the custom-VJP backward kernel
             # consumes qkv directly, so saving it skips the re-projection
@@ -454,9 +465,12 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
                                        q_blk=q_blk,
                                        precision=policy.precision,
                                        interpret=interpret)
-        out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
-                      preferred_element_type=jnp.float32,
-                      precision=policy.precision)
+        if quantized:
+            out = qdot(out, p["w_out"], p["w_out_s"])
+        else:
+            out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
+                          preferred_element_type=jnp.float32,
+                          precision=policy.precision)
         out = out + p["b_out"].astype(jnp.float32)
         return out.astype(x.dtype)
 

@@ -166,6 +166,9 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     if policy.bf16_until:
         raise ValueError("pipeline parallelism does not support the "
                          "staged-precision (bf16_until) trunk")
+    if policy.quant_int8:
+        raise ValueError("pipeline parallelism does not support the int8 "
+                         "quantized trunk")
     tps = _validate(cfg, acfg, pp)
     n_micro = n_micro or pp
     mesh = make_pp_mesh(pp, dp)

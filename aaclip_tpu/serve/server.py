@@ -479,7 +479,7 @@ def main(argv=None):
     parser.add_argument("--save_path", default=None,
                         help="adapter checkpoint dir (optional)")
     parser.add_argument("--precision", default="bf16",
-                        choices=["fp32", "fp32_high", "bf16"])
+                        choices=["fp32", "fp32_high", "bf16", "int8"])
     parser.add_argument("--max_batch", type=int, default=8)
     parser.add_argument("--max_queue", type=int, default=None,
                         help="pending-request cap (default 4 x max_batch); "

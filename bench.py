@@ -39,7 +39,7 @@ def main(argv=None):
     parser.add_argument("--img_size", type=int, default=518)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--precision", default="bf16",
-                        choices=["fp32", "fp32_high", "bf16"])
+                        choices=["fp32", "fp32_high", "bf16", "int8"])
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--bf16_until", type=int, default=None,
                         help="override the policy's staged-precision trunk "
@@ -133,7 +133,7 @@ def main(argv=None):
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
         attn_fn = maybe_make_attn_fn(cfg, policy)
     effective_attn = "pallas" if attn_fn is not None else "xla"
-    uint8_inputs = args.precision == "bf16"
+    uint8_inputs = args.precision in ("bf16", "int8")
 
     mesh = None
     batch = args.batch_size

@@ -38,10 +38,11 @@ def parse_args(argv=None):
     # TPU-framework extras
     parser.add_argument("--levels", type=int, nargs="+", default=[6, 12, 18, 24])
     parser.add_argument("--precision", type=str, default="fp32",
-                        choices=["fp32", "fp32_high", "bf16"],
+                        choices=["fp32", "fp32_high", "bf16", "int8"],
                         help="fp32 = reference-exact (6-pass matmuls); "
                              "fp32_high = 3-pass fast-parity (~3e-5 rel); "
-                             "bf16 = fast path")
+                             "bf16 = fast path; int8 = quantized trunk "
+                             "matmuls on the int8 MXU (inference only)")
     parser.add_argument("--clip_checkpoint", type=str, default=None)
     parser.add_argument("--bf16_until", type=int, default=None,
                         help="override the staged-precision trunk depth "
@@ -158,7 +159,8 @@ def main(argv=None):
 
     from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
     attn_fn = maybe_make_attn_fn(cfg, policy)
-    uint8_inputs = args.fused_preprocess or args.precision == "bf16"
+    uint8_inputs = (args.fused_preprocess
+                    or args.precision in ("bf16", "int8"))
     mesh = None
     if args.pipeline_parallel > 1:
         if args.tensor_parallel > 1:

@@ -40,6 +40,15 @@ def test_bench_modes_emit_contract(mode, metric):
     assert "vs_baseline" in payload and "unit" in payload
 
 
+def test_bench_infer_int8_precision():
+    """--precision int8 quantizes the trunk and records int8 in the unit
+    string (quality gate lives in test_quant.py)."""
+    payload = _run(COMMON + ["--precision", "int8"])
+    assert payload["metric"] == "anomaly_maps_per_sec_per_chip"
+    assert "int8" in payload["unit"]
+    assert payload["value"] > 0
+
+
 def test_bench_train_grad_accum_flag():
     """--grad_accum K runs the microbatched stage-2 step and records K in
     the unit string."""

@@ -75,6 +75,27 @@ def test_train_then_eval(env):
     assert "pixel AUPRO" in df.columns
 
 
+def test_eval_int8_precision_cli(env):
+    """test.py --precision int8: the quantized trunk (uint8 fused inputs
+    by default) runs the full eval protocol and produces the per-class
+    table."""
+    import train as train_cli
+    import test as test_cli
+
+    save = os.path.join(env, "ckpt_int8")
+    train_cli.main(COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "0", "--image_epoch", "1",
+        "--image_batch_size", "8", "--surgery_until_layer", "2",
+    ])
+    test_cli.main(COMMON + [
+        "--save_path", save, "--batch_size", "4", "--precision", "int8",
+    ])
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert "final results" in tlog and "Average" in tlog
+    assert "'precision': 'int8'" in tlog
+
+
 def test_nondefault_img_size(env):
     """img_size != the tiny config's native 70 flows through train + eval
     (static-shape pipeline re-specializes; masks/maps track the size)."""
