@@ -135,6 +135,35 @@ def test_int8_predict_tracks_fp32_rankings():
                                atol=5e-3)
 
 
+def test_int8_data_parallel_matches_single_device():
+    """int8 composes with data parallelism: the quantized trunk replicates
+    generically and the dp-sharded eval is bit-identical per sample
+    (quantization is deterministic)."""
+    from aaclip_tpu.parallel import sharding as sh
+
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(4)
+    B, S = 8, 70
+    images = rng.standard_normal((B, 3, S, S)).astype(np.float32)
+    anchors = rng.standard_normal((CFG.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+    M = jnp.asarray(fused_postproc_matrix(CFG.vision.grid, S, "Industrial"))
+
+    single = make_predict_fn(clip, CFG, ACFG, policy=DtypePolicy.int8())
+    pix0, score0 = single(adapters["image"], jnp.asarray(images),
+                          jnp.asarray(anchors), M)
+    mesh = sh.make_data_mesh()
+    dp = make_predict_fn(clip, CFG, ACFG, policy=DtypePolicy.int8(),
+                         mesh=mesh)
+    pix1, score1 = dp(adapters["image"], sh.shard_batch(mesh, images),
+                      jnp.asarray(anchors), M)
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6, rtol=1e-5)
+
+
 def test_int8_rejects_tp_and_pipeline():
     clip = create_clip_params(CFG, seed=0)
     from aaclip_tpu.parallel import tensor as tpar
