@@ -59,7 +59,8 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
                        surgery_until_layer: int = 20,
                        policy: DtypePolicy = DtypePolicy(),
                        attn_fn=None, vv_attn_fn=None,
-                       vv_mode: str = "batch"):
+                       vv_mode: str = "batch",
+                       chunk: int | None = None):
     """Returns a jitted fn images -> grad-free stage-1 supervision features:
     last-level surgery patch embedding, L2-normalized, plus the frozen
     model's normalized CLS token (reference train.py:74-85).
@@ -84,6 +85,16 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     ``vv_mode="spatial"`` selects per-sample spatial V-V attention (the
     intended CLIP-Surgery semantics; batch-composition independent, and the
     packed Pallas V-V kernel applies via ``vv_attn_fn``).
+
+    ``chunk=N`` (spatial mode only) extracts features N images at a time
+    and concatenates — EXACT in spatial mode (features are per-sample), a
+    semantics change in batch mode (features are batch-coupled), so batch
+    mode rejects it.  This is the stage-1 large-batch lever: the text
+    tower's forward+backward per step is batch-size independent (all
+    C*S prompts every step), so bigger image batches amortize it — but
+    whole-batch feature extraction thrashes HBM past batch 32; chunked
+    extraction keeps peak memory at the chunk size (measured numbers in
+    docs/PERFORMANCE.md "Stage-1").
     """
     from aaclip_tpu.models.vit import embed, run_block_range, slice_blocks
 
@@ -128,7 +139,25 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
         cls = Lyr.l2_normalize(cls)
         return Lyr.l2_normalize(feats) + cls[:, None, :]
 
-    return lambda images: _features(visual, images)
+    if not chunk:
+        return lambda images: _features(visual, images)
+    if vv_mode != "spatial":
+        raise ValueError(
+            "feature chunking requires vv_mode='spatial': batch-mode "
+            "surgery features are batch-coupled (the reference's V-V "
+            "layout quirk), so chunked extraction would change them")
+
+    def chunked(images):
+        B = images.shape[0]
+        if B <= chunk:
+            return _features(visual, images)
+        pieces = [_features(visual, images[i:i + chunk])
+                  for i in range(0, B - B % chunk, chunk)]
+        if B % chunk:
+            pieces.append(_features(visual, images[B - B % chunk:]))
+        return jnp.concatenate(pieces)
+
+    return chunked
 
 
 def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,

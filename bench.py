@@ -79,6 +79,11 @@ def main(argv=None):
                              "(backward recomputes only LN/activations; "
                              "needs the Pallas custom-VJP attention); 'off' "
                              "OOMs at production shapes")
+    parser.add_argument("--feature_chunk", type=int, default=0,
+                        help="train_stage1 mode: chunked surgery-feature "
+                             "extraction (requires --vv_mode spatial); "
+                             "unlocks batch sizes past the feature HBM "
+                             "wall")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="train mode: split the batch into K "
                              "microbatches inside the step, accumulating "
@@ -430,7 +435,8 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
         "VisA" if args.model_name != "tiny-test" else "MVTec")[:n_cls]
     feats_fn = stage1_features_fn(clip, cfg, policy=policy, attn_fn=attn_fn,
                                   vv_attn_fn=vv_attn_fn,
-                                  vv_mode=args.vv_mode)
+                                  vv_mode=args.vv_mode,
+                                  chunk=args.feature_chunk or None)
     tx = make_text_optimizer()
     step = make_stage1_step(clip, cfg, acfg, tx, tokens,
                             img_size=args.img_size, policy=policy,

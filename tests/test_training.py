@@ -322,6 +322,27 @@ def test_stage2_grad_accum_validates_divisibility(setup):
         make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=0)
 
 
+def test_stage1_feature_chunking_exact_in_spatial_mode(setup):
+    """chunk=N (spatial V-V) extracts features piecewise and must match
+    the whole-batch pass (per-sample semantics — equal up to XLA's
+    batch-size-dependent reduction tiling); batch mode rejects chunking
+    (features are batch-coupled)."""
+    clip, *_ = setup
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.standard_normal(
+        (6, 3, CFG.vision.image_size, CFG.vision.image_size)), jnp.float32)
+    whole = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                               vv_mode="spatial")(images)
+    for chunk in (2, 4):   # 4 exercises the ragged tail (6 = 4 + 2)
+        parts = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                                   vv_mode="spatial", chunk=chunk)(images)
+        np.testing.assert_allclose(np.asarray(parts), np.asarray(whole),
+                                   atol=2e-6, rtol=1e-5)
+    with pytest.raises(ValueError, match="batch-coupled"):
+        stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                           vv_mode="batch", chunk=2)
+
+
 def test_stage1_grads_identical_across_remat_modes(setup):
     """Text-tower remat modes must also leave loss/params unchanged.
 

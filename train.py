@@ -126,6 +126,14 @@ def parse_args(argv=None):
                              "gradient — equal to the big-batch gradient "
                              "for full batches). image_batch_size must be "
                              "divisible by it")
+    parser.add_argument("--feature_chunk", type=int, default=0,
+                        help="stage 1: extract surgery features this many "
+                             "images at a time (exact with --vv_mode "
+                             "spatial; rejected in batch mode, whose "
+                             "features are batch-coupled). Lets "
+                             "text_batch_size grow past the whole-batch "
+                             "feature HBM wall, amortizing the per-step "
+                             "text-tower backward over more images")
     parser.add_argument("--remat", type=str, default="auto",
                         choices=["auto", "full", "selective", "off"],
                         help="stage-2 rematerialization. 'selective' saves "
@@ -303,7 +311,7 @@ def main(argv=None):
         feats_fn = stage1_features_fn(
             clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
             policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
-            vv_mode=args.vv_mode)
+            vv_mode=args.vv_mode, chunk=args.feature_chunk or None)
         # text-tower remat: 'selective' is always safe (the saved tensors
         # are context-length-sized) and measured fastest; 'off' can OOM at
         # large prompt batches with XLA-attention probabilities
