@@ -472,8 +472,9 @@ def test_few_shot_flow(env):
 
 def test_vv_mode_spatial_cli(env):
     """--vv_mode spatial trains stage-1 with per-sample V-V attention (the
-    opt-in intended semantics); the default batch quirk mode is covered by
-    every other stage-1 test (docs/PARITY.md)."""
+    opt-in intended semantics) plus chunked feature extraction; the default
+    batch quirk mode is covered by every other stage-1 test
+    (docs/PARITY.md)."""
     import train as train_cli
 
     save = os.path.join(env, "ckpt_vv_spatial")
@@ -481,7 +482,7 @@ def test_vv_mode_spatial_cli(env):
         "--save_path", save, "--training_mode", "full_shot",
         "--text_epoch", "1", "--image_epoch", "0",
         "--text_batch_size", "4", "--surgery_until_layer", "2",
-        "--vv_mode", "spatial",
+        "--vv_mode", "spatial", "--feature_chunk", "2",
     ])
     assert os.path.isfile(os.path.join(save, "text_adapter.npz"))
 
