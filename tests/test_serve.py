@@ -51,6 +51,33 @@ def test_engine_submit(engine):
     assert 0.0 <= score <= 1.0
 
 
+def test_engine_int8_precision():
+    """precision='int8' serves through the quantized trunk and tracks the
+    fp32 engine's outputs (quality bounds in test_quant.py)."""
+    eng = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="int8", max_batch=4,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    ref = InferenceEngine(
+        model_name="tiny-test", img_size=70, datasets=("MVTec",),
+        precision="fp32", max_batch=4,
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1))
+    try:
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+        amap, score = eng.submit(img, "MVTec", "bottle")
+        amap0, score0 = ref.submit(img, "MVTec", "bottle")
+        assert amap.shape == (70, 70) and 0.0 <= score <= 1.0
+        corr = np.corrcoef(amap.reshape(-1), amap0.reshape(-1))[0, 1]
+        assert corr > 0.999, corr
+        assert abs(score - score0) < 5e-3
+    finally:
+        eng.shutdown()
+        ref.shutdown()
+
+
 def test_engine_concurrent_batching(engine):
     """Concurrent submits share forward passes and all return."""
     rng = np.random.default_rng(2)
