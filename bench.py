@@ -38,8 +38,13 @@ def main(argv=None):
     parser.add_argument("--model_name", default="ViT-L-14-336")
     parser.add_argument("--img_size", type=int, default=518)
     parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--precision", default="bf16",
-                        choices=["fp32", "fp32_high", "bf16", "int8"])
+    parser.add_argument("--precision", default=None,
+                        choices=["fp32", "fp32_high", "bf16", "int8"],
+                        help="default: int8 for --mode infer (the fastest "
+                             "serving config — task metric table "
+                             "chip-verified identical to bf16, "
+                             "docs/PERFORMANCE.md 'int8 quantized "
+                             "inference'), bf16 for the other modes")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--bf16_until", type=int, default=None,
                         help="override the policy's staged-precision trunk "
@@ -94,6 +99,11 @@ def main(argv=None):
                              "devices and report aggregate + per-chip "
                              "throughput (batch_size is per-chip)")
     args = parser.parse_args(argv)
+    if args.precision is None:
+        # headline default: the fastest serving precision whose task
+        # metrics are chip-verified identical to bf16's (int8 is
+        # inference-only; train/serve modes keep the bf16 fast path)
+        args.precision = "int8" if args.mode == "infer" else "bf16"
 
     from aaclip_tpu.utils.platform import honor_env_platform
     honor_env_platform()

@@ -40,6 +40,17 @@ def test_bench_modes_emit_contract(mode, metric):
     assert "vs_baseline" in payload and "unit" in payload
 
 
+def test_bench_default_precision_resolution():
+    """The driver runs bare `python bench.py`: with no --precision the
+    infer headline resolves to int8 (the fastest chip-verified-identical
+    serving config) while train modes keep bf16 (int8 is inference-only)."""
+    base = [a for a in COMMON if a not in ("--precision", "fp32")]
+    payload = _run(base)
+    assert "int8" in payload["unit"]
+    payload = _run(base + ["--mode", "train"])
+    assert "bf16" in payload["unit"]
+
+
 def test_bench_infer_int8_precision():
     """--precision int8 quantizes the trunk and records int8 in the unit
     string (quality gate lives in test_quant.py)."""
