@@ -279,6 +279,12 @@ def surgery_patch_features(
     the arguably-intended per-sample spatial V-V attention (may use the
     packed Pallas kernel via ``vv_attn_fn``).
     """
+    # staging (bf16_until) is an inference-path feature: stage-1 surgery
+    # features are training supervision, so every entry point — this one
+    # (the AdaptedCLIP.surgery_features facade) and train/steps.py's
+    # stage1_features_fn — must produce identical unstaged numerics for a
+    # given precision name
+    policy = policy.unstaged()
     if vv_mode == "batch":
         heads = cfg.vision.heads
         vv_attn_fn = lambda h, p: L.attention_vv_batch(h, p, heads,

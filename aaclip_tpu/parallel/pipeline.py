@@ -39,7 +39,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
 from aaclip_tpu.models import layers as L
@@ -181,6 +181,15 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     n_lev = len(acfg.levels)
 
     visual = cast_matmul_weights(clip_params["visual"], policy)
+    # place the stage-split trunk ONCE at build time, sharded over the
+    # stage axis (replicated over data): each device then holds only its
+    # layers/pp blocks — the memory axis pipeline parallelism exists for.
+    # Splitting inside the jitted call would keep the full unsharded tree
+    # resident as a jit input alongside the shards.
+    stage_sharding = NamedSharding(mesh, P("stage"))
+    blocks_staged = jax.device_put(
+        _stage_split(visual["blocks"], pp, Ls), stage_sharding)
+    visual_rest = {k: v for k, v in visual.items() if k != "blocks"}
     _act = config_act(cfg, policy)
     _pp_prec = "highest" if policy.precision == "highest" else "high"
     w_layers = _adapt_weight_vector(cfg, acfg)
@@ -312,12 +321,12 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                 out_specs=(data_spec, data_spec))
         return _sharded[per_sample_anchors]
 
-    def _predict_impl(visual, image_adapter, images, anchors, M):
+    def _predict_impl(visual_rest, blocks_staged, image_adapter, images,
+                      anchors, M):
         B = images.shape[0]
         sharded = _get_sharded(anchors.ndim == 3)
-        x = embed(visual, cfg, images, policy)           # [B, S, D]
+        x = embed(visual_rest, cfg, images, policy)      # [B, S, D]
         emb_mb = x.reshape(n_micro, B // n_micro, S, v.width)
-        blocks_staged = _stage_split(visual["blocks"], pp, Ls)
         adapters_staged = _pad_adapters(image_adapter["layer_adapters"],
                                         pp, Ls, v.layers)
         seg_w = jnp.stack([image_adapter["seg_proj"][i]["w"]
@@ -329,8 +338,8 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                                          + anchors.shape[1:])
         q, det = sharded(blocks_staged, adapters_staged,
                          w_layers.reshape(pp, Ls), seg_w,
-                         image_adapter["det_proj"]["w"], visual["ln_post"],
-                         emb_mb, anchors_mb)
+                         image_adapter["det_proj"]["w"],
+                         visual_rest["ln_post"], emb_mb, anchors_mb)
         q = q.reshape(B, grid, grid)
         det = det.reshape(B, -1)
         pix = jnp.einsum("Ig,bgh->bIh", M, q,
@@ -349,11 +358,13 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
             raise ValueError(
                 f"batch {B} not divisible by n_micro={n_micro}"
                 + (f" * dp={dp}" if dp > 1 else ""))
-        return _predict(visual, image_adapter, jnp.asarray(images),
-                        jnp.asarray(anchors), jnp.asarray(M))
+        return _predict(visual_rest, blocks_staged, image_adapter,
+                        jnp.asarray(images), jnp.asarray(anchors),
+                        jnp.asarray(M))
 
     predict.raw = _predict
-    predict.visual = visual
+    predict.visual = visual_rest
+    predict.blocks_staged = blocks_staged
     predict.mesh = None          # inputs are replicated; jit places them
     predict.pp = pp
     predict.dp = dp
@@ -381,9 +392,11 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
     out of AD rather than being hand-scheduled).
 
     Loss semantics match ``grad_accum=n_micro``: the reported loss and
-    applied gradient are the MEAN over microbatches, equal to the
-    big-batch step for full batches (per-sample-mean loss terms; ragged
-    final batches weight each microbatch's valid samples equally).
+    applied gradient are the MEAN over LIVE (any-valid) microbatches,
+    equal to the big-batch step for full batches (per-sample-mean loss
+    terms; ragged final batches weight each microbatch's valid samples
+    equally, and all-padding microbatches — zero gradient, constant dice
+    terms — are excluded from both the loss and the normalizer).
 
     ``remat=True`` (default) wraps each block in ``jax.checkpoint`` —
     with the GPipe schedule the per-device backward otherwise stores
@@ -423,7 +436,14 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
     S = grid * grid + 1
     n_lev = len(acfg.levels)
     anchors_table = jnp.asarray(anchors_table)
-    visual_host = clip_params["visual"]
+    # stage-split the frozen trunk once, sharded over the stage axis —
+    # same rationale as make_pipeline_predict_fn: each device holds only
+    # its layers/pp blocks instead of (shards + the full jit-input tree)
+    blocks_staged = jax.device_put(
+        _stage_split(clip_params["visual"]["blocks"], pp, Ls),
+        NamedSharding(mesh, P("stage")))
+    visual_rest = {k: v for k, v in clip_params["visual"].items()
+                   if k != "blocks"}
     _act = config_act(cfg, policy)
     _body = _make_block_body(cfg, policy, _act, attn_fn)
     if remat:
@@ -497,9 +517,13 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                                   pick(label_mb), pick(valid_mb))
             # global valid count for this microbatch (the loss terms are
             # means over ALL valid samples, not per-shard means)
-            nv = jnp.maximum(
-                jax.lax.psum(jnp.sum(val.astype(jnp.float32)), "data"),
-                1.0)
+            nv_raw = jax.lax.psum(jnp.sum(val.astype(jnp.float32)), "data")
+            nv = jnp.maximum(nv_raw, 1.0)
+            # an all-padding microbatch contributes constant dice terms
+            # (2.0/level) and zero gradient — gate it out, mirroring the
+            # grad_accum scan in train/steps.py (normalization by the live
+            # count happens after the tick loop)
+            live = (nv_raw > 0).astype(jnp.float32)
             loss_t = jnp.float32(0.0)
             tok = None
             for k, tap in enumerate(taps):
@@ -528,7 +552,7 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
             ce = jax.lax.psum(
                 jnp.sum(nll * val.astype(jnp.float32)), "data") / nv
             loss_t = loss_t + jnp.where(sid == pp - 1, ce, 0.0)
-            loss_acc = loss_acc + tick_w * loss_t
+            loss_acc = loss_acc + tick_w * live * loss_t
             act = jax.lax.ppermute(
                 h, "stage", [(i, (i + 1) % pp) for i in range(pp)])
             return (act, loss_acc), None
@@ -547,7 +571,12 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                               to="varying"))
         (_, loss_acc), _ = jax.lax.scan(
             tick, init, jnp.arange(n_micro + pp - 1))
-        return jax.lax.psum(loss_acc, "stage")
+        # mean over LIVE microbatches (== n_micro for full batches),
+        # matching the grad_accum scan's normalization exactly
+        nv_all = jax.lax.psum(
+            jnp.sum(valid_mb.astype(jnp.float32), axis=1), "data")
+        n_live = jnp.maximum(jnp.sum((nv_all > 0).astype(jnp.float32)), 1.0)
+        return jax.lax.psum(loss_acc, "stage") / n_live
 
     stage_spec = P("stage")
     data_spec = P(None, "data")    # [n_micro, B, ...] sharded on batch
@@ -556,13 +585,12 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
         in_specs=(stage_spec,) * 4 + (P(), P()) + (data_spec,) * 5,
         out_specs=P())
 
-    def loss_fn(image_adapter, visual, images, mask, label, class_idx,
-                valid):
+    def loss_fn(image_adapter, visual_rest, blocks_staged, images, mask,
+                label, class_idx, valid):
         B = images.shape[0]
         B_m = B // n_micro
-        x = embed(visual, cfg, images, policy)
+        x = embed(visual_rest, cfg, images, policy)
         emb_mb = x.reshape(n_micro, B_m, S, v.width)
-        blocks_staged = _stage_split(visual["blocks"], pp, Ls)
         adapters_staged = _pad_adapters(image_adapter["layer_adapters"],
                                         pp, Ls, v.layers)
         seg_w = jnp.stack([image_adapter["seg_proj"][i]["w"]
@@ -570,17 +598,18 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
         seg_w = seg_w.reshape((pp, tps) + seg_w.shape[1:])
         banchors = anchors_table[class_idx]              # [B, D, 2]
         mb = lambda a: a.reshape((n_micro, B_m) + a.shape[1:])
-        loss = sharded(blocks_staged, adapters_staged,
+        return sharded(blocks_staged, adapters_staged,
                        w_layers.reshape(pp, Ls), seg_w,
-                       image_adapter["det_proj"]["w"], visual["ln_post"],
+                       image_adapter["det_proj"]["w"],
+                       visual_rest["ln_post"],
                        emb_mb, mb(banchors), mb(mask), mb(label), mb(valid))
-        return loss / n_micro
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def _step(state: TrainState, visual, images, mask, label, class_idx,
-              valid):
+    def _step(state: TrainState, visual_rest, blocks_staged, images, mask,
+              label, class_idx, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, visual, images, mask, label, class_idx, valid)
+            state.params, visual_rest, blocks_staged, images, mask, label,
+            class_idx, valid)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -591,7 +620,7 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
             raise ValueError(
                 f"batch {B} not divisible by n_micro={n_micro}"
                 + (f" * dp={dp}" if dp > 1 else ""))
-        return _step(state, visual_host, jnp.asarray(images),
+        return _step(state, visual_rest, blocks_staged, jnp.asarray(images),
                      jnp.asarray(mask), jnp.asarray(label),
                      jnp.asarray(class_idx), jnp.asarray(valid))
 

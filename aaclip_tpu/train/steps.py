@@ -311,17 +311,27 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                 (images, mask, label, class_idx, valid))
 
             def accum(carry, mb):
-                loss_sum, grad_sum = carry
+                loss_sum, grad_sum, n_live = carry
                 l, g = jax.value_and_grad(loss_fn)(state.params, visual, *mb)
-                return (loss_sum + l,
-                        jax.tree.map(jnp.add, grad_sum, g)), None
+                # an all-padding microbatch (ragged final batch) has exactly
+                # zero gradient, but its dice terms evaluate to a constant
+                # 2.0 per level (losses.py seg_loss_from_logit_masked with
+                # n_valid clamped to 1) — gate it out and normalize by the
+                # LIVE microbatch count so the reported loss keeps the
+                # documented per-valid-sample-mean semantics
+                live = (jnp.sum(mb[-1]) > 0).astype(jnp.float32)
+                return (loss_sum + live * l,
+                        jax.tree.map(jnp.add, grad_sum, g),
+                        n_live + live), None
 
             zeros = jax.tree.map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            (loss, grads), _ = jax.lax.scan(
-                accum, (jnp.zeros((), jnp.float32), zeros), micro)
-            loss = loss / grad_accum
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            (loss, grads, n_live), _ = jax.lax.scan(
+                accum, (jnp.zeros((), jnp.float32), zeros,
+                        jnp.zeros((), jnp.float32)), micro)
+            n_live = jnp.maximum(n_live, 1.0)
+            loss = loss / n_live
+            grads = jax.tree.map(lambda g: g / n_live, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

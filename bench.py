@@ -138,6 +138,11 @@ def main(argv=None):
     if args.mode in ("train", "train_stage1") and args.data_parallel:
         parser.error("--data_parallel currently applies to --mode infer only "
                      "(train.py --data_parallel benchmarks DP training)")
+    if args.mode in ("train", "train_stage1") and args.precision == "int8":
+        parser.error("--precision int8 is inference-only: the training "
+                     "steps never quantize, so an int8-labeled train bench "
+                     "would silently measure the bf16 path (train.py "
+                     "rejects int8 for the same reason)")
     if args.mode == "train":
         return bench_train(args, cfg, acfg, policy, clip, adapters)
     if args.mode == "train_stage1":

@@ -166,6 +166,10 @@ def main(argv=None):
         if args.tensor_parallel > 1:
             raise SystemExit("--pipeline_parallel is mutually exclusive "
                              "with --tensor_parallel")
+        if args.sequence_parallel:
+            raise SystemExit("--sequence_parallel requires "
+                             "--tensor_parallel and does not compose with "
+                             "--pipeline_parallel")
         import dataclasses as _dc
         if policy.bf16_until:
             policy = _dc.replace(policy, bf16_until=0)

@@ -60,6 +60,24 @@ def test_bench_infer_int8_precision():
     assert payload["value"] > 0
 
 
+def test_bench_train_rejects_int8():
+    """int8 is inference-only: an int8-labeled train bench would silently
+    measure the bf16 path, so bench.py must refuse (round-3 review
+    finding)."""
+    args = [a for a in COMMON if a not in ("--precision", "fp32")] + [
+        "--mode", "train", "--precision", "int8"]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.argv = ['bench.py'] + {args!r}\n"
+        "import bench; bench.main()\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO, env=env, timeout=120)
+    assert r.returncode != 0
+    assert "inference-only" in r.stderr
+
+
 def test_bench_train_grad_accum_flag():
     """--grad_accum K runs the microbatched stage-2 step and records K in
     the unit string."""

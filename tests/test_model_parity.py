@@ -181,6 +181,30 @@ def test_surgery_parity(setup, vv_mode):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-4)
 
 
+def test_surgery_features_ignore_staging(setup):
+    """Staging (bf16_until) is inference-only: stage-1 surgery features are
+    training supervision, so surgery_patch_features must produce bitwise
+    the SAME features for a staged policy as for its unstaged form — the
+    facade path and train/steps.py's stage1_features_fn then agree for any
+    precision name (round-3 review finding)."""
+    import dataclasses
+
+    from aaclip_tpu.core.config import DtypePolicy
+
+    _, params, images = setup
+    base = DtypePolicy.fp32_high()
+    staged = dataclasses.replace(base, bf16_until=2)
+    kw = dict(out_layers=[2, 3], surgery_until_layer=3, vv_mode="batch")
+    ref = surgery_patch_features(params["visual"], CFG,
+                                 jnp.asarray(images.numpy()),
+                                 policy=base.unstaged(), **kw)
+    got = surgery_patch_features(params["visual"], CFG,
+                                 jnp.asarray(images.numpy()),
+                                 policy=staged, **kw)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
 def test_encode_text_parity(setup):
     sd, params, _ = setup
     t = CFG.text

@@ -122,6 +122,18 @@ def test_pp_dp_composition():
         ppl.make_pp_mesh(2, 5)
 
 
+def test_pp_blocks_stage_sharded_at_build():
+    """The frozen trunk is placed ONCE at build time, sharded over the
+    stage axis: every device holds exactly layers/pp blocks (the memory
+    benefit pipeline parallelism advertises), never the full tree."""
+    clip = create_clip_params(CFG, seed=0)
+    fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2, n_micro=2)
+    for leaf in jax.tree.leaves(fn.blocks_staged):
+        assert leaf.shape[0] == 2                        # [pp, L/pp, ...]
+        # stage axis sharded: each shard's leading extent is 1 stage
+        assert {s.data.shape[0] for s in leaf.addressable_shards} == {1}
+
+
 def test_pp_validation():
     clip = create_clip_params(CFG, seed=0)
     with pytest.raises(ValueError, match="must divide the level count"):
@@ -220,13 +232,15 @@ def test_pp_stage2_multi_step_and_cross_stage_adapters():
         st1.params, st0.params)
 
 
-@pytest.mark.parametrize("valid_tail", [None, 2])
+@pytest.mark.parametrize("valid_tail", [None, 2, 4])
 def test_pp_dp_stage2_step_matches_grad_accum(valid_tail):
     """pp=2 x dp=4 training: each data shard contributes numerator sums
     and valid counts psummed over the data axis before division, so the
     update still equals single-device grad_accum=2 — including ragged
     batches (trailing invalid samples), where the per-term means run over
-    the GLOBAL valid count."""
+    the GLOBAL valid count.  valid_tail=4 makes the SECOND microbatch
+    all-padding: both paths must exclude it from the loss and the
+    normalizer (its dice terms are a constant, its gradient zero)."""
     from aaclip_tpu.train.optim import make_image_optimizer
     from aaclip_tpu.train.steps import init_state, make_stage2_step
 

@@ -310,6 +310,35 @@ def test_stage2_grad_accum_matches_big_batch(setup):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-6)
 
 
+def test_stage2_grad_accum_skips_all_padding_microbatch(setup):
+    """A ragged final batch can leave a whole microbatch all-padding; its
+    gradient is exactly zero but its dice terms are a constant 2.0/level
+    (losses.py), so it must be excluded from the reported loss AND the
+    normalizer — the step then equals running only the live microbatches
+    (round-3 review finding)."""
+    clip, adapters, images, masks, labels, class_idx, _, _ = setup
+    rng = np.random.default_rng(8)
+    table = rng.standard_normal((2, CFG.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    valid_ragged = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+
+    tx = make_image_optimizer(lr=1e-3)
+    step = make_stage2_step(clip, CFG, ACFG, tx, table, grad_accum=2)
+    state, loss = step(init_state(adapters["image"], tx), images, masks,
+                       labels, class_idx, valid_ragged)
+
+    tx2 = make_image_optimizer(lr=1e-3)
+    step2 = make_stage2_step(clip, CFG, ACFG, tx2, table, grad_accum=1)
+    state2, loss2 = step2(init_state(adapters["image"], tx2), images[:2],
+                          masks[:2], labels[:2], class_idx[:2],
+                          jnp.ones((2,), jnp.float32))
+
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, state.params)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, state2.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-6)
+
+
 def test_stage2_grad_accum_validates_divisibility(setup):
     clip, adapters, images, masks, labels, class_idx, valid, _ = setup
     table = np.zeros((2, CFG.embed_dim, 2), np.float32)

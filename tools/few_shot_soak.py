@@ -115,6 +115,10 @@ def main(argv=None):
         ])
         t2 = time.time()
         row = last_average_row(os.path.join(save, "test.log"))
+        if row is None:
+            raise RuntimeError(
+                f"{k}-shot: no 'Average' row in {save}/test.log — the eval "
+                "did not produce a metric table; see the log above")
         line = (f"{k}-shot: train {t1 - t0:.0f}s eval {t2 - t1:.0f}s "
                 f"pixel_auroc {row[0]:.2f} pixel_ap {row[1]:.2f} "
                 f"image_auroc {row[2]:.2f} image_ap {row[3]:.2f} "

@@ -260,6 +260,9 @@ def main(argv=None):
     if args.pipeline_parallel > 1 and args.tensor_parallel > 1:
         raise SystemExit("--pipeline_parallel is mutually exclusive with "
                          "--tensor_parallel")
+    if args.pipeline_parallel > 1 and args.sequence_parallel:
+        raise SystemExit("--sequence_parallel requires --tensor_parallel "
+                         "and does not compose with --pipeline_parallel")
     if args.pipeline_parallel > 1:
         # pp composes with --data_parallel on a ('stage','data') mesh for
         # stage 2; stage 1 (text) runs unsharded either way
