@@ -78,7 +78,11 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                              "with tensor parallelism or block_fn "
                              "overrides")
         visual = dict(visual)
-        visual["blocks"] = quantize_block_weights(visual["blocks"])
+        # quantize from the ORIGINAL leaves: the policy's compute dtype is
+        # bf16, so fitting the int8 grid to the cast copies would round
+        # twice (bf16's 8-bit mantissa, then int8)
+        visual["blocks"] = quantize_block_weights(
+            visual["blocks"], source=clip_params["visual"]["blocks"])
     _act = config_act(cfg, policy)
     _patch_embed = None
     if uint8_inputs:

@@ -67,7 +67,7 @@ _QUANT_KEYS = {
 }
 
 
-def quantize_block_weights(blocks: dict) -> dict:
+def quantize_block_weights(blocks: dict, source: dict | None = None) -> dict:
     """Quantize the stacked trunk blocks' big matmul weights in place of
     their float leaves, adding ``<name>_s`` scale leaves next to each.
 
@@ -75,12 +75,18 @@ def quantize_block_weights(blocks: dict) -> dict:
     out-channel); ``lax.scan`` slicing carries the scale rows alongside
     the weights automatically.  Biases, LayerNorms, and everything else
     are untouched.
+
+    ``source`` (optional) supplies the leaves to quantize FROM while
+    ``blocks`` provides everything else: pass the original full-precision
+    tree when ``blocks`` has already been cast to a bf16 compute dtype,
+    so the int8 grid is fit to the fp32 values instead of double-rounding
+    through bf16's 8-bit mantissa first.
     """
     out = {k: (dict(v) if isinstance(v, dict) else v)
            for k, v in blocks.items()}
     for group, names in _QUANT_KEYS.items():
         for name in names:
-            q, s = quantize_weight(out[group][name])
+            q, s = quantize_weight((source or out)[group][name])
             out[group][name] = q
             out[group][name + "_s"] = s
     return out

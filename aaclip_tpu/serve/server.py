@@ -17,7 +17,8 @@ POST /predict?dataset=MVTec&class_name=bottle
      downsampled by "map_stride" query arg if given)}
     429 (Retry-After: 1) when the request queue is at max_queue —
     admission control sheds load instead of queuing past capacity.
-GET /healthz          -> {"status": "ok", "model": ..., "classes": [...]}
+GET /healthz          -> {"status": "ok", "img_size": N,
+                          "datasets": [...], "untrained": bool}
 GET /classes?dataset= -> per-dataset class list
 GET /statz            -> serving counters: requests, batches, mean batch
                          occupancy, and request-latency p50/p95/max (ms)
@@ -118,9 +119,20 @@ class InferenceEngine:
             if found:
                 _, text_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
                     found, adapters["text"])
+            import re
+
+            def _snap_epoch(path):
+                # train.py names snapshots image_adapter_{epoch}.npz with
+                # NO zero padding — lexicographic order puts 10 before 2,
+                # which would silently serve a stale adapter on 10+-epoch
+                # runs; sort by the parsed epoch
+                m = re.search(r"image_adapter_(\d+)\.(npz|orbax)$", path)
+                return int(m.group(1)) if m else -1
+
             snaps = sorted(
                 glob.glob(os.path.join(save_path, "image_adapter_*.npz"))
-                + glob.glob(os.path.join(save_path, "image_adapter_*.orbax")))
+                + glob.glob(os.path.join(save_path, "image_adapter_*.orbax")),
+                key=_snap_epoch)
             if snaps:
                 _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
                     snaps[-1], adapters["image"])
@@ -220,7 +232,18 @@ class InferenceEngine:
 
     def submit(self, image_u8: np.ndarray, dataset: str, class_name: str,
                timeout: float = 30.0):
-        """image_u8: [3, H, W] uint8 at img_size.  Blocks for the result."""
+        """image_u8: [3, img_size, img_size] uint8.  Blocks for the result.
+
+        Shape/dtype are validated HERE: requests are co-batched, so one
+        malformed array reaching the serve loop would fail (or silently
+        recompile an unwarmed bucket for) every request in its group.
+        """
+        image_u8 = np.asarray(image_u8)
+        want = (3, self.img_size, self.img_size)
+        if image_u8.dtype != np.uint8 or image_u8.shape != want:
+            raise ValueError(
+                f"image must be uint8 {list(want)}, got {image_u8.dtype} "
+                f"{list(image_u8.shape)}")
         if dataset not in self.anchors:
             raise KeyError(f"dataset {dataset} not loaded; have "
                            f"{sorted(self.anchors)}")
@@ -354,17 +377,31 @@ class InferenceEngine:
         self._worker.join(timeout=2)
         self._completer.join(timeout=2)
         # fast-fail anything still queued so waiters don't sit out their
-        # full submit timeout
-        for q in (self._queue, self._completion_q):
-            while True:
-                try:
-                    item = q.get_nowait()
-                except queue.Empty:
-                    break
-                items = item[0] if q is self._completion_q else [item]
-                for _, _, _, slot, done in items:
-                    slot["error"] = "engine shutting down"
-                    done.set()
+        # full submit timeout.  Loop until both threads are actually dead:
+        # the dispatch thread can be blocked in the bounded
+        # _completion_q.put — draining unblocks it, after which it may
+        # enqueue ONE more batch before seeing _stop, so a single drain
+        # pass would strand those waiters for their full timeout.
+        deadline = time.perf_counter() + 5.0
+        while True:
+            drained = False
+            for q in (self._queue, self._completion_q):
+                while True:
+                    try:
+                        item = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    drained = True
+                    items = item[0] if q is self._completion_q else [item]
+                    for _, _, _, slot, done in items:
+                        slot["error"] = "engine shutting down"
+                        done.set()
+            workers_dead = (not self._worker.is_alive()
+                            and not self._completer.is_alive())
+            if (workers_dead and not drained) or \
+                    time.perf_counter() > deadline:
+                break
+            time.sleep(0.01)
 
 
 def _decode_image(body: bytes, img_size: int) -> np.ndarray:
@@ -378,14 +415,23 @@ def _decode_image(body: bytes, img_size: int) -> np.ndarray:
 
 def make_handler(engine: InferenceEngine):
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout: without it a client that announces a larger
+        # Content-Length than it sends parks this handler thread in
+        # rfile.read forever — a few such requests permanently leak
+        # ThreadingHTTPServer threads
+        timeout = 65
+
         def log_message(self, fmt, *args):  # quiet
             pass
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict,
+                  headers: Optional[dict] = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -422,7 +468,19 @@ def make_handler(engine: InferenceEngine):
             if cls is None:
                 self._json(400, {"error": "class_name query arg required"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            # parse ALL client-controlled numerics up front: a bad
+            # map_stride discovered after the forward pass would waste the
+            # compute and escape do_POST as an uncaught ValueError
+            try:
+                stride = max(1, int(q.get("map_stride", ["1"])[0]))
+            except ValueError:
+                self._json(400, {"error": "map_stride must be an integer"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._json(400, {"error": "bad Content-Length header"})
+                return
             if length <= 0:
                 self._json(400, {"error": "empty body (expected image bytes)"})
                 return
@@ -437,19 +495,16 @@ def make_handler(engine: InferenceEngine):
             except KeyError as e:
                 self._json(404, {"error": str(e)})
                 return
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
             except EngineOverloadedError as e:
-                self.send_response(429)
-                self.send_header("Retry-After", "1")
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json(429, {"error": str(e)},
+                           headers={"Retry-After": "1"})
                 return
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            stride = max(1, int(q.get("map_stride", ["1"])[0]))
             payload = {
                 "image_score": score,
                 "map_shape": list(amap[::stride, ::stride].shape),
@@ -491,9 +546,12 @@ def main(argv=None):
                         help="shard each micro-batch over all local devices "
                              "(max_batch must divide by the device count)")
     parser.add_argument("--no_precompile", action="store_true",
-                        help="skip compiling every batch bucket at startup "
-                             "(faster boot, but the first request hitting "
-                             "each bucket size then waits on a jit compile)")
+                        help="skip compiling every batch bucket at startup. "
+                             "Faster boot, but on a COLD compile cache the "
+                             "first request hitting each bucket size will "
+                             "fail with a 500 timeout (the compile exceeds "
+                             "the 30s submit window) and only retries "
+                             "succeed — use with a warm persistent cache")
     parser.add_argument("--levels", type=int, nargs="+",
                         default=[6, 12, 18, 24])
     parser.add_argument("--image_adapt_until", type=int, default=6)

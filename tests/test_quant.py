@@ -104,6 +104,35 @@ def test_quantize_block_weights_structure():
             == clip["visual"]["blocks"]["ln_1"]["scale"].dtype)
 
 
+def test_quantize_block_weights_source_skips_bf16_rounding():
+    """make_predict_fn quantizes AFTER cast_matmul_weights has already
+    produced bf16 copies; passing the original tree as ``source`` must fit
+    the int8 grid to the fp32 values — identical to quantizing the
+    originals directly, not the double-rounded bf16 copies (round-3
+    review finding)."""
+    from aaclip_tpu.core.config import DtypePolicy
+    from aaclip_tpu.core.params import cast_matmul_weights
+
+    clip = create_clip_params(CFG, seed=0)
+    orig = clip["visual"]["blocks"]
+    cast = cast_matmul_weights(clip["visual"], DtypePolicy.int8())["blocks"]
+    want = Q.quantize_block_weights(orig)
+    got = Q.quantize_block_weights(cast, source=orig)
+    for grp, names in (("attn", ("w_qkv", "w_out")),
+                       ("mlp", ("w_fc", "w_proj"))):
+        for n in names:
+            np.testing.assert_array_equal(np.asarray(got[grp][n]),
+                                          np.asarray(want[grp][n]))
+            np.testing.assert_array_equal(np.asarray(got[grp][n + "_s"]),
+                                          np.asarray(want[grp][n + "_s"]))
+    # and the bf16 copies genuinely differ (the bug was observable)
+    buggy = Q.quantize_block_weights(cast)
+    assert any(
+        not np.array_equal(np.asarray(buggy[g][n]), np.asarray(want[g][n]))
+        for g, ns in (("attn", ("w_qkv", "w_out")),
+                      ("mlp", ("w_fc", "w_proj"))) for n in ns)
+
+
 def test_int8_predict_tracks_fp32_rankings():
     """Task-level gate, mirroring the bf16 fast path's: the int8 pixel
     maps must rank pixels like fp32 (AUROC within the same budget)."""

@@ -212,6 +212,13 @@ def test_http_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 404
+    # non-numeric map_stride: 400 up front, BEFORE any compute
+    req = urllib.request.Request(
+        server + "/predict?dataset=MVTec&class_name=bottle&map_stride=abc",
+        data=_png_bytes(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
 
 
 def test_engine_data_parallel_matches_single_device(engine):
@@ -329,6 +336,52 @@ def test_http_429_when_overloaded(server, engine):
         assert "queue full" in json.loads(ei.value.read())["error"]
     finally:
         engine.submit = orig
+
+
+def test_engine_submit_rejects_malformed_image(engine):
+    """Shape/dtype are validated in submit(): requests are co-batched, so
+    a malformed array reaching the serve loop would fail every request in
+    its group (round-3 review finding)."""
+    rng = np.random.default_rng(2)
+    with pytest.raises(ValueError, match="image must be uint8"):
+        engine.submit(rng.integers(0, 256, (3, 48, 48), dtype=np.uint8),
+                      "MVTec", "bottle")
+    with pytest.raises(ValueError, match="image must be uint8"):
+        engine.submit(rng.random((3, 70, 70)).astype(np.float32),
+                      "MVTec", "bottle")
+
+
+def test_engine_picks_latest_epoch_snapshot(tmp_path):
+    """Snapshots are named image_adapter_{epoch}.npz with no zero padding:
+    the latest must be picked by PARSED epoch, not lexicographically
+    (which would serve epoch 9 on a 10-epoch run — round-3 review
+    finding)."""
+    import jax
+
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    acfg = dict(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    cfg = get_config("tiny-test")
+    old = init_adapter_params(jax.random.PRNGKey(7), cfg,
+                              AdapterConfig(**acfg))
+    new = init_adapter_params(jax.random.PRNGKey(8), cfg,
+                              AdapterConfig(**acfg))
+    save_adapter_checkpoint(str(tmp_path / "image_adapter_2.npz"), 2,
+                            old["image"])
+    save_adapter_checkpoint(str(tmp_path / "image_adapter_10.npz"), 10,
+                            new["image"])
+    eng = InferenceEngine(model_name="tiny-test", img_size=70,
+                          datasets=("MVTec",), precision="fp32",
+                          max_batch=2, save_path=str(tmp_path),
+                          adapter_cfg=acfg)
+    try:
+        for got, want in zip(jax.tree.leaves(eng.image_adapter),
+                             jax.tree.leaves(new["image"])):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        eng.shutdown()
 
 
 def test_engine_loads_adapter_checkpoints(tmp_path):

@@ -52,14 +52,24 @@ def main(argv=None):
     if args.tiny_adapters:
         cmd += ["--levels", "1", "2", "--image_adapt_until", "1",
                 "--text_adapt_until", "1"]
-    proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.PIPE,
+    # child output goes to a FILE, never a PIPE: this loop does not drain
+    # the pipe while polling healthz, so a chatty startup (e.g. XLA's
+    # per-executable AOT cache-mismatch warnings, ~3KB each) would fill
+    # the 64KB pipe buffer and block the server mid-startup — a silent
+    # healthz-timeout deadlock (observed round 3)
+    import tempfile
+    logf = tempfile.NamedTemporaryFile("w", suffix="_serve_smoke.log",
+                                       delete=False)
+    print(f"server log: {logf.name}", flush=True)
+    proc = subprocess.Popen(cmd, cwd=REPO, stdout=logf,
                             stderr=subprocess.STDOUT, text=True)
     base = f"http://127.0.0.1:{args.port}"
     t0 = time.time()
     try:
         while True:
             if proc.poll() is not None:
-                print(proc.stdout.read()[-3000:])
+                with open(logf.name) as f:
+                    print(f.read()[-3000:])
                 raise SystemExit("server exited during startup")
             try:
                 health = json.load(urllib.request.urlopen(
