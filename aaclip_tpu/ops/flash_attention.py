@@ -277,7 +277,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         q = q_ref[0][:, sl]
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
-        do = do_ref[0][:, sl].astype(jnp.float32)
+        # do is consumed only at v.dtype (the fp32 work happens in the
+        # _kdot accumulators / the fp32 p panel above)
+        do = do_ref[0][:, sl].astype(v.dtype)
         s = _kdot(q, k, (((1,), (1,)), ((), ())), precision) * scale
         if valid_len < k.shape[0]:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -286,9 +288,9 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)      # [q_blk, S_pad]
         pc = p.astype(v.dtype)
-        dv_ref[0, :, sl] += _kdot(pc, do.astype(v.dtype),
+        dv_ref[0, :, sl] += _kdot(pc, do,
                                   (((0,), (0,)), ((), ())), precision)
-        dp = _kdot(do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+        dp = _kdot(do, v, (((1,), (1,)), ((), ())),
                    precision)                           # [q_blk, S_pad]
         dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = (p * (dp - dsum) * scale).astype(q.dtype)
@@ -421,6 +423,13 @@ def make_attn_fn(num_heads: int, policy: DtypePolicy = DtypePolicy(),
     ``differentiable=True`` routes through the custom-VJP variant (training
     steps); the default forward-only form is cheaper to trace.
     """
+    if vv and differentiable:
+        # no vv custom-VJP exists (stage-1 surgery features are grad-free
+        # by design); silently dropping the flag would leave a
+        # non-differentiable pallas_call in a training graph
+        raise ValueError("the V-V Pallas kernel has no differentiable "
+                         "variant — stage-1 feature extraction is "
+                         "gradient-free (reference train.py:75-81)")
 
     def attn_fn(x: jax.Array, p: dict) -> jax.Array:
         B, L, Dm = x.shape

@@ -35,17 +35,6 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
     return out
 
 
-def save_pytree(path: str, tree) -> None:
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **_flatten(tree))
-
-
-def load_pytree(path: str, template):
-    """Restore a pytree with the template's structure from a flat npz."""
-    data = np.load(path)
-    return _restore_subtree_from(data, "", template)
-
-
 def _restore_subtree_from(data, root: str, template):
     prefix = root + "/" if root else ""
     flat, _ = jax.tree_util.tree_flatten_with_path(template)
@@ -59,12 +48,14 @@ def _restore_subtree_from(data, root: str, template):
                 f"different adapter flags (levels/adapt_until)?")
         arr = data[key]
         leaf_np = np.asarray(leaf)
-        if arr.size != leaf_np.size:
+        # exact-shape check: a size-only check would let e.g. a transposed
+        # leaf silently reshape into scrambled weights
+        if arr.shape != leaf_np.shape:
             raise ValueError(
                 f"checkpoint entry '{key}' has shape {arr.shape} but the "
                 f"current config expects {leaf_np.shape} — adapter flags "
                 f"(levels/adapt_until/model) do not match the checkpoint")
-        leaves.append(jnp.asarray(arr, dtype=leaf_np.dtype).reshape(leaf_np.shape))
+        leaves.append(jnp.asarray(arr, dtype=leaf_np.dtype))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves)
 
@@ -104,13 +95,15 @@ def save_adapter_checkpoint(path: str, epoch: int, adapter: dict,
 def load_adapter_checkpoint(path: str, adapter_template,
                             opt_state_template=None) -> Tuple[int, dict, Any, int]:
     """Returns (epoch, adapter, opt_state_or_None, step)."""
-    data = np.load(path, allow_pickle=False)
-    epoch = int(data["__epoch__"])
-    step = int(data["__step__"]) if "__step__" in data else 0
-    adapter = _restore_subtree(data, "adapter", adapter_template)
-    opt_state = None
-    if opt_state_template is not None and any(k.startswith("opt_state/") for k in data.files):
-        opt_state = _restore_subtree(data, "opt_state", opt_state_template)
+    with np.load(path, allow_pickle=False) as data:
+        epoch = int(data["__epoch__"])
+        step = int(data["__step__"]) if "__step__" in data else 0
+        adapter = _restore_subtree(data, "adapter", adapter_template)
+        opt_state = None
+        if opt_state_template is not None and any(
+                k.startswith("opt_state/") for k in data.files):
+            opt_state = _restore_subtree(data, "opt_state",
+                                         opt_state_template)
     return epoch, adapter, opt_state, step
 
 
@@ -167,9 +160,19 @@ def load_adapter_checkpoint_orbax(path: str, adapter_template,
     if opt_state_template is not None:
         template = {"adapter": adapter_template, "epoch": 0, "step": 0,
                     "opt_state": opt_state_template}
-        out = ck.restore(d, args=ocp.args.StandardRestore(template))
-        opt_state = out["opt_state"]
-        adapter = out["adapter"]
+        try:
+            out = ck.restore(d, args=ocp.args.StandardRestore(template))
+            opt_state = out["opt_state"]
+            adapter = out["adapter"]
+        except Exception:
+            # snapshot saved WITHOUT optimizer state (eval-style export):
+            # degrade to opt_state=None like the npz loader instead of a
+            # tree-structure crash.  A genuine adapter mismatch fails this
+            # restore too and surfaces below.
+            out = ck.restore(d, args=ocp.args.StandardRestore(
+                {"adapter": adapter_template, "epoch": 0, "step": 0}))
+            opt_state = None
+            adapter = out["adapter"]
     else:
         # eval-style load: the on-disk tree may carry optimizer state we
         # have no template for; restore raw and re-type the adapter leaves

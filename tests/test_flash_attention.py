@@ -133,6 +133,14 @@ def test_fp32_high_policy_table():
         DtypePolicy.from_name("fp64")
 
 
+def test_make_attn_fn_rejects_vv_differentiable():
+    """No V-V custom VJP exists (stage-1 features are gradient-free);
+    silently dropping the flag would leave a non-differentiable
+    pallas_call in a training graph (round-3 review finding)."""
+    with pytest.raises(ValueError, match="no differentiable"):
+        make_attn_fn(4, vv=True, differentiable=True)
+
+
 def test_pallas_attention_supported_geometry_gate():
     """maybe_make_attn_fn must refuse head geometries whose packed feature
     sections cannot tile the 128-lane registers (e.g. tiny-test's

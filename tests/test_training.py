@@ -180,6 +180,50 @@ def test_checkpoint_mismatch_errors(tmp_path, setup):
         ckpt.load_adapter_checkpoint(path, wrong["image"])
 
 
+def test_checkpoint_rejects_shape_mismatch_same_size(tmp_path, setup):
+    """A size-only check would let a same-size wrong-shape leaf (e.g. a
+    transposed weight) silently reshape into scrambled values; the loader
+    must compare exact shapes (round-3 review finding)."""
+    _, adapters, *_ = setup
+    transposed = dict(adapters["image"])
+    transposed["det_proj"] = {
+        "w": np.asarray(adapters["image"]["det_proj"]["w"]).T.copy()}
+    path = str(tmp_path / "image_adapter.npz")
+    ckpt.save_adapter_checkpoint(path, 1, transposed)
+    with pytest.raises(ValueError, match="adapter flags"):
+        ckpt.load_adapter_checkpoint(path, adapters["image"])
+
+
+def test_orbax_load_without_opt_state_degrades_gracefully(tmp_path):
+    """The npz loader returns opt_state=None when the snapshot lacks it
+    even if a template is passed; the orbax loader must match instead of
+    crashing on a tree-structure mismatch (round-3 review finding)."""
+    import jax
+
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state
+
+    cfg = get_config("tiny-test")
+    acfg = AdapterConfig(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1)
+    adapters = init_adapter_params(jax.random.PRNGKey(5), cfg, acfg)
+    tx = make_image_optimizer(1e-3)
+    state = init_state(adapters["image"], tx)
+    path = str(tmp_path / "image_adapter_4.npz")
+    ckpt.save_adapter_checkpoint_any(path, 4, adapters["image"],
+                                     backend="orbax")  # no opt_state
+    ckpt.wait_for_async_saves()
+    epoch, adapter, opt_state, step = ckpt.load_adapter_checkpoint_any(
+        ckpt.orbax_path(path), adapters["image"],
+        opt_state_template=state.opt_state)
+    assert epoch == 4 and opt_state is None
+    for a, b in zip(jax.tree.leaves(adapter),
+                    jax.tree.leaves(adapters["image"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """Orbax backend: async save -> restore equals the saved state
     (adapter + optimizer + counters), matching the npz loader contract."""
