@@ -103,14 +103,21 @@ def aupro(masks: np.ndarray, preds: np.ndarray, fpr_limit: float = 0.3) -> float
         from scipy import ndimage
         return ndimage.label(m)
 
-    # per-region score arrays across all images
+    # per-region score arrays across all images — grouped with one masked
+    # gather + a sort of only the positive pixels (a per-region full-image
+    # boolean scan would be O(n_regions * H * W) per image)
     regions = []
     for i in range(masks.shape[0]):
         if not masks[i].any():
             continue
         lab, n = _label(masks[i])
-        for r in range(1, n + 1):
-            regions.append(preds[i][lab == r])
+        lab_f = lab.ravel()
+        sel = lab_f > 0
+        labs_sel = lab_f[sel]
+        vals = preds[i].ravel()[sel]
+        order = np.argsort(labs_sel, kind="stable")
+        counts = np.bincount(labs_sel, minlength=n + 1)[1:]
+        regions.extend(np.split(vals[order], np.cumsum(counts)[:-1]))
 
     neg_scores = preds[~masks].ravel()
     n_neg = neg_scores.size
@@ -144,10 +151,15 @@ def aupro(masks: np.ndarray, preds: np.ndarray, fpr_limit: float = 0.3) -> float
     fprs = np.r_[0.0, fpr_c[distinct]]
     pros = np.r_[0.0, pro_c[distinct]]
 
-    # clip at the fpr limit with boundary interpolation, then integrate
+    # clip at the fpr limit with boundary interpolation, then integrate.
+    # idx == 1 (the FIRST distinct threshold already exceeds fpr_limit,
+    # e.g. a saturated plateau covering >limit of the negatives) must take
+    # the same interpolation: the curve is linear from (0,0) to the first
+    # event, so the clipped area is a triangle — returning 0 there would
+    # score a perfect-overlap detector as worthless.
     idx = int(np.searchsorted(fprs, fpr_limit, side="right"))
-    if idx < 2:
-        return 0.0
+    if idx < 1:
+        return 0.0  # unreachable (fprs[0] == 0.0); defensive only
     f, p = fprs[:idx], pros[:idx]
     if f[-1] < fpr_limit and idx < fprs.size:
         w = (fpr_limit - f[-1]) / max(fprs[idx] - f[-1], 1e-12)

@@ -19,7 +19,8 @@ import numpy as np
 
 from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
 from aaclip_tpu.models.vit import adapted_forward
-from aaclip_tpu.ops.similarity import (fused_postproc_matrix, image_score,
+from aaclip_tpu.ops.similarity import (apply_postproc_matrix,
+                                       fused_postproc_matrix, image_score,
                                        level_scores)
 
 
@@ -153,10 +154,7 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         grid = int(round(L ** 0.5))
         q = (scores[..., 1] - scores[..., 0]).sum(axis=0) * 0.5 + n_levels * 0.5
         q = q.reshape(B, grid, grid)
-        pix = jnp.einsum("Ig,bgh->bIh", M, q,
-                         preferred_element_type=jnp.float32, precision=_pp_prec)
-        pix = jnp.einsum("Jh,bIh->bIJ", M, pix,
-                         preferred_element_type=jnp.float32, precision=_pp_prec)
+        pix = apply_postproc_matrix(q, M, precision=_pp_prec)
         return pix, image_score(det, anchors)
 
     if mesh is None:

@@ -178,9 +178,15 @@ def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
     scale = hd ** -0.5
     cd = policy.compute_dtype
     xc = x.astype(cd)
-    w_v = p["w_qkv"][:, 2 * D:]
-    v = jnp.dot(xc, w_v.astype(cd), preferred_element_type=jnp.float32,
-                precision=policy.precision)
+    quantized = p["w_qkv"].dtype == jnp.int8
+    if quantized:  # --precision int8: same dequant contract as attention()
+        from aaclip_tpu.ops.quant import qdot
+
+        v = qdot(x, p["w_qkv"][:, 2 * D:], p["w_qkv_s"][2 * D:])
+    else:
+        w_v = p["w_qkv"][:, 2 * D:]
+        v = jnp.dot(xc, w_v.astype(cd), preferred_element_type=jnp.float32,
+                    precision=policy.precision)
     v = v + p["b_qkv"][2 * D:].astype(jnp.float32)
     v = v.reshape(B, L, num_heads, hd)
     scores = jnp.einsum(
@@ -192,9 +198,12 @@ def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
         "lhab,blhd->alhd", probs.astype(cd), v.astype(cd),
         preferred_element_type=jnp.float32, precision=policy.precision,
     ).reshape(B, L, D)
-    out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
-                  preferred_element_type=jnp.float32,
-                  precision=policy.precision)
+    if quantized:
+        out = qdot(out, p["w_out"], p["w_out_s"])
+    else:
+        out = jnp.dot(out.astype(cd), p["w_out"].astype(cd),
+                      preferred_element_type=jnp.float32,
+                      precision=policy.precision)
     out = out + p["b_out"].astype(jnp.float32)
     return out.astype(x.dtype)
 
@@ -264,9 +273,17 @@ def residual_block(
 
 def norm_matched_blend(x: jax.Array, adapted: jax.Array, weight: float) -> jax.Array:
     """Rescale the adapter output to the residual stream's per-token norm,
-    then convex-blend (reference model/adapter.py:93-99, :130-136)."""
+    then convex-blend (reference model/adapter.py:93-99, :130-136).
+
+    ``a_norm`` is clamped away from exact zero: an all-zero adapter output
+    (e.g. a pipeline bubble tick, or a pathological input) would otherwise
+    NaN the whole stream via 0 * inf — the same guard
+    parallel/pipeline.py's block body uses, so both paths stay
+    bit-identical in the edge too.  Real inputs never produce norms below
+    1e-12, so the clamp is numerics-neutral."""
     x_norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    a_norm = jnp.linalg.norm(adapted, axis=-1, keepdims=True)
+    a_norm = jnp.maximum(
+        jnp.linalg.norm(adapted, axis=-1, keepdims=True), 1e-12)
     matched = adapted * (x_norm / a_norm)
     return weight * matched + (1.0 - weight) * x
 
@@ -299,3 +316,19 @@ def causal_mask(length: int) -> jax.Array:
     (reference model/transformer.py:629-635)."""
     neg = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
     return jnp.triu(neg, k=1)
+
+
+def surgery_vv_start(layers: int, surgery_until_layer: int) -> int:
+    """First V-V block index: the surgery tower replaces the LAST
+    ``surgery_until_layer - 1`` blocks with V-V attention (reference
+    model/clip.py surgery construction); clamped at 0 when the flag
+    exceeds the tower depth.  The ONE definition shared by
+    vit.surgery_patch_features and train/steps.stage1_features_fn — their
+    stage-1 features must stay identical."""
+    return max(0, layers - (surgery_until_layer - 1))
+
+
+def make_batch_vv_attn_fn(num_heads: int, policy: DtypePolicy):
+    """attn_fn closure for the reference-exact batch-coupled V-V form
+    (attention_vv_batch) — shared by both stage-1 entry points."""
+    return lambda h, p: attention_vv_batch(h, p, num_heads, policy=policy)

@@ -36,8 +36,12 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
     t = cfg.text
     x = params["token_embedding"][text]  # [B, ctx, width]
     x = x.astype(policy.compute_dtype)
-    x = x + params["positional_embedding"].astype(x.dtype)[None]
-    mask = L.causal_mask(t.context_length)
+    # follow the INPUT length, not cfg.text.context_length: identical for
+    # the tokenizer's padded-77 batches, and callers that trim padding to
+    # save FLOPs get a correct causal prefix instead of a broadcast crash
+    Lt = text.shape[1]
+    x = x + params["positional_embedding"][:Lt].astype(x.dtype)[None]
+    mask = L.causal_mask(Lt)
     n_adapt = 0
     if adapters is not None:
         n_adapt = jax.tree.leaves(adapters)[0].shape[0]

@@ -182,6 +182,12 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
     n_adapt = 0
     if adapters is not None:
         n_adapt = jax.tree.leaves(adapters)[0].shape[0]
+    if n_adapt > v.layers:
+        # the segment loop below would silently apply only the first
+        # v.layers adapters and train the rest as dead weight
+        raise ValueError(
+            f"{n_adapt} adapters exceed the {v.layers}-layer tower; set "
+            f"image_adapt_until to match the model config")
     bad = [l for l in out_layers if not 0 < l <= v.layers]
     if bad:
         raise ValueError(
@@ -200,7 +206,7 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
         seg = slice_blocks(params["blocks"], start, stop)
         seg_adapters = None
         if adapters is not None and stop <= n_adapt:
-            seg_adapters = jax.tree.map(lambda a: a[start:stop], adapters)
+            seg_adapters = slice_blocks(adapters, start, stop)
         vv = vv_start is not None and start >= vv_start
         staged = stop <= stage_k and not vv
         x = run_block_range(x, seg, v.heads, vv=vv, adapters=seg_adapters,
@@ -286,13 +292,11 @@ def surgery_patch_features(
     # given precision name
     policy = policy.unstaged()
     if vv_mode == "batch":
-        heads = cfg.vision.heads
-        vv_attn_fn = lambda h, p: L.attention_vv_batch(h, p, heads,
-                                                       policy=policy)
+        vv_attn_fn = L.make_batch_vv_attn_fn(cfg.vision.heads, policy)
         vv_block_fn = None
     elif vv_mode != "spatial":
         raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
-    vv_start = cfg.vision.layers - (surgery_until_layer - 1)
+    vv_start = L.surgery_vv_start(cfg.vision.layers, surgery_until_layer)
     _, taps = encode_image(
         params, cfg, images, out_layers, vv_start=vv_start, policy=policy,
         act=act, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,

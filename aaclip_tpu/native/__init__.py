@@ -20,12 +20,15 @@ def auroc_ap(labels: np.ndarray, scores: np.ndarray) -> Optional[Tuple[float, fl
     lib = load()
     if lib is None:
         return None
-    scores = np.ascontiguousarray(scores.reshape(-1), np.float32)
+    # float64 end to end: metrics_eval normalizes in float64, and casting
+    # to float32 here would merge sub-f32-ulp score differences into ties
+    # the numpy/sklearn paths keep distinct
+    scores = np.ascontiguousarray(scores.reshape(-1), np.float64)
     labels = np.ascontiguousarray(labels.reshape(-1) != 0, np.uint8)
     a = ctypes.c_double()
     p = ctypes.c_double()
     rc = lib.auroc_ap(
-        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(scores.size), ctypes.byref(a), ctypes.byref(p))
     if rc != 0:

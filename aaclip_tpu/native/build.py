@@ -71,7 +71,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(path)
         lib.auroc_ap.restype = ctypes.c_int
         lib.auroc_ap.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
         ]

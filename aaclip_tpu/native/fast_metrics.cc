@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <limits>
 #include <numeric>
 #include <vector>
 
@@ -25,7 +26,11 @@ extern "C" {
 
 // Computes ROC AUC and AP for binary labels. Returns 0 on success,
 // 1 if only one class is present (outputs set to NaN).
-int auroc_ap(const float* scores, const uint8_t* labels, int64_t n,
+//
+// Scores are float64: the Python pipeline min-max normalizes in float64,
+// and a float32 cast here would merge sub-f32-ulp score differences into
+// ties, diverging from the numpy/sklearn paths.
+int auroc_ap(const double* scores, const uint8_t* labels, int64_t n,
              double* out_auroc, double* out_ap) {
   std::vector<int64_t> order(n);
   std::iota(order.begin(), order.end(), int64_t{0});

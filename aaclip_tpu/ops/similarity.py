@@ -60,6 +60,21 @@ def fused_postproc_matrix(grid: int, img_size: int, domain: str) -> np.ndarray:
     return (U @ B).astype(np.float32)
 
 
+def apply_postproc_matrix(q: jax.Array, M: jax.Array,
+                          precision="highest") -> jax.Array:
+    """[B, g, h] grid maps -> [B, I, J] pixel maps: the fused two-sided
+    application ``M q Mᵀ`` (blur+upsample folded into ``M`` by
+    ``fused_postproc_matrix`` for eval, plain bilinear upsampling by
+    ``bilinear_matrix`` for the training logit).  The ONE implementation
+    of this parity-critical transform — eval_anomaly_map,
+    train_similarity_logit, eval/predict, and parallel/pipeline all route
+    through it."""
+    out = jnp.einsum("Ig,bgh->bIh", M, q,
+                     preferred_element_type=jnp.float32, precision=precision)
+    return jnp.einsum("Jh,bIh->bIJ", M, out,
+                      preferred_element_type=jnp.float32, precision=precision)
+
+
 def eval_anomaly_map(
     seg_tokens: jax.Array,
     anchors: jax.Array,
@@ -80,9 +95,7 @@ def eval_anomaly_map(
     q = q * 0.5 + (n_levels * 0.5)                      # + n/2 from the +1's
     q = q.reshape(Bsz, grid, grid)
     M = jnp.asarray(fused_postproc_matrix(grid, img_size, domain))
-    out = jnp.einsum("Ig,bgh->bIh", M, q, preferred_element_type=jnp.float32, precision="highest")
-    out = jnp.einsum("Jh,bIh->bIJ", M, out, preferred_element_type=jnp.float32, precision="highest")
-    return out
+    return apply_postproc_matrix(q, M)
 
 
 def image_score(det: jax.Array, anchors: jax.Array) -> jax.Array:
@@ -105,9 +118,7 @@ def train_similarity_logit(level_score: jax.Array, img_size: int) -> jax.Array:
     grid = int(round(L ** 0.5))
     d = (level_score[..., 1] - level_score[..., 0]).reshape(Bsz, grid, grid)
     U = jnp.asarray(bilinear_matrix(grid, img_size, align_corners=True))
-    d = jnp.einsum("Ig,bgh->bIh", U, d, preferred_element_type=jnp.float32, precision="highest")
-    d = jnp.einsum("Jh,bIh->bIJ", U, d, preferred_element_type=jnp.float32, precision="highest")
-    return d
+    return apply_postproc_matrix(d, U)
 
 
 def train_similarity_probs(level_score: jax.Array, img_size: int) -> jax.Array:

@@ -161,7 +161,7 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     """
     from aaclip_tpu.core.params import cast_matmul_weights
     from aaclip_tpu.models.layers import config_act
-    from aaclip_tpu.ops.similarity import image_score
+    from aaclip_tpu.ops.similarity import apply_postproc_matrix, image_score
 
     if policy.bf16_until:
         raise ValueError("pipeline parallelism does not support the "
@@ -342,12 +342,7 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                          visual_rest["ln_post"], emb_mb, anchors_mb)
         q = q.reshape(B, grid, grid)
         det = det.reshape(B, -1)
-        pix = jnp.einsum("Ig,bgh->bIh", M, q,
-                         preferred_element_type=jnp.float32,
-                         precision=_pp_prec)
-        pix = jnp.einsum("Jh,bIh->bIJ", M, pix,
-                         preferred_element_type=jnp.float32,
-                         precision=_pp_prec)
+        pix = apply_postproc_matrix(q, M, precision=_pp_prec)
         return pix, image_score(det, anchors)
 
     _predict = jax.jit(_predict_impl)
@@ -420,6 +415,7 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
     from aaclip_tpu.models.layers import config_act
     from aaclip_tpu.ops import losses as LL
     from aaclip_tpu.ops.resize import bilinear_matrix
+    from aaclip_tpu.ops.similarity import apply_postproc_matrix
     from aaclip_tpu.train.steps import TrainState
 
     import optax
@@ -534,12 +530,7 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                                        preferred_element_type=jnp.float32,
                                        precision="highest")
                 d = (s[..., 1] - s[..., 0]).reshape(B_m, grid, grid)
-                d = jnp.einsum("Ig,bgh->bIh", U, d,
-                               preferred_element_type=jnp.float32,
-                               precision="highest")
-                d = jnp.einsum("Jh,bIh->bIJ", U, d,
-                               preferred_element_type=jnp.float32,
-                               precision="highest")
+                d = apply_postproc_matrix(d, U)
                 loss_t = loss_t + seg_loss_psummed(d, msk, val, nv)
             # detection CE: global last level = last tap of the last stage
             det = proj_norm(tok, det_w).mean(axis=1)

@@ -107,11 +107,10 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     layers = cfg.vision.layers
     heads = cfg.vision.heads
     if vv_mode == "batch":
-        vv_attn_fn = lambda h, p: Lyr.attention_vv_batch(h, p, heads,
-                                                         policy=policy)
+        vv_attn_fn = Lyr.make_batch_vv_attn_fn(heads, policy)
     elif vv_mode != "spatial":
         raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
-    vv_start = max(0, layers - (surgery_until_layer - 1))
+    vv_start = Lyr.surgery_vv_start(layers, surgery_until_layer)
     cd_prec = dict(preferred_element_type=jnp.float32,
                    precision=policy.precision)
 

@@ -178,6 +178,17 @@ def test_norm_matched_blend():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_norm_matched_blend_zero_adapter_no_nan():
+    """An exactly-zero adapter output must not NaN the stream via 0 * inf
+    (the pipeline-bubble NaN class, guarded at the primitive)."""
+    x = _rand((2, 4, 8), 22)
+    zero = np.zeros_like(x)
+    got = np.asarray(L.norm_matched_blend(jnp.asarray(x), jnp.asarray(zero),
+                                          0.1))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, 0.9 * x, atol=1e-6)
+
+
 def test_quick_gelu_config_wiring():
     """A config with quick_gelu=True must actually run QuickGELU
     (reference model/model.py:84 selects the act class from the config) —

@@ -7,6 +7,7 @@ from sklearn.metrics import average_precision_score, roc_auc_score
 from aaclip_tpu.eval.metrics import (
     aupro,
     auroc,
+    auroc_ap,
     average_precision,
     metrics_eval,
 )
@@ -184,6 +185,38 @@ def test_aupro_matches_naive_oracle(seed):
     got = aupro(masks, preds)
     want = _naive_aupro(masks, preds)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_auroc_ap_preserves_sub_float32_differences():
+    """All auroc_ap paths (native C++ included) must rank at float64: a
+    float32 cast would merge sub-f32-ulp score differences into ties and
+    diverge from the numpy/sklearn paths (round-3 review finding)."""
+    n = 10000
+    labels = np.tile([False, True], n // 2)
+    scores = np.full(n, 0.5)
+    scores[labels] += 1e-9
+    auc, ap = auroc_ap(labels, scores)
+    assert auc == 1.0 and ap == 1.0
+
+
+def test_aupro_plateau_boundary_interpolation():
+    """A saturated top-score plateau covering more than fpr_limit of the
+    negatives leaves only ONE distinct-threshold curve point past the
+    limit: the clipped area must interpolate from (0, 0) toward that first
+    event like every other boundary crossing — not score a perfect-overlap
+    detector 0 (round-3 review finding, verified against the oracle)."""
+    masks = np.zeros((1, 24, 24), bool)
+    masks[0, 8:16, 8:16] = True            # defect inside the plateau
+    preds = np.zeros(masks.shape)
+    preds[0, 4:20, 4:20] = 1.0             # plateau: 192/512 negatives (>0.3)
+    got = aupro(masks, preds)
+    want = _naive_aupro(masks, preds)
+    assert got > 0.0
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # a constant map interpolates the same way
+    const = np.full(masks.shape, 0.7)
+    np.testing.assert_allclose(aupro(masks, const),
+                               _naive_aupro(masks, const), atol=1e-12)
 
 
 def test_aupro_analytic_value():

@@ -181,6 +181,33 @@ def test_surgery_parity(setup, vv_mode):
         np.testing.assert_allclose(np.asarray(g), w, atol=1e-4)
 
 
+def test_encode_text_trimmed_padding_matches(setup):
+    """Causal attention means trailing pad tokens never influence the EOT
+    position: encode_text on tokens trimmed past the EOT must equal the
+    padded-to-context-length result (the mask/pos-emb now follow the input
+    length instead of crashing on non-77 inputs)."""
+    _, params, _ = setup
+    text = np.zeros((2, CFG.text.context_length), np.int64)
+    text[0, :4] = [99, 5, 7, 98]
+    text[1, :3] = [99, 3, 98]
+    full = encode_text(params["text"], CFG, jnp.asarray(text))
+    trimmed = encode_text(params["text"], CFG, jnp.asarray(text[:, :6]))
+    np.testing.assert_allclose(np.asarray(trimmed), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_adapted_forward_rejects_oversized_adapter_stack(setup):
+    """More adapters than tower layers would silently train dead weight;
+    the trunk must reject it like it rejects bad tap depths."""
+    _, params, images = setup
+    acfg = AdapterConfig(levels=(1, 2), image_adapt_until=CFG.vision.layers + 2,
+                         text_adapt_until=1)
+    adapters = init_adapter_params(jax.random.PRNGKey(3), CFG, acfg)
+    with pytest.raises(ValueError, match="adapters exceed"):
+        adapted_forward(params["visual"], adapters["image"], CFG,
+                        jnp.asarray(images.numpy()), levels=(1, 2))
+
+
 def test_surgery_features_ignore_staging(setup):
     """Staging (bf16_until) is inference-only: stage-1 surgery features are
     training supervision, so surgery_patch_features must produce bitwise

@@ -88,6 +88,12 @@ def test_linear_and_attention_int8_branches():
         out = np.asarray(L.attention(x, qp, H, vv=vv))
         assert np.abs(out - ref).max() < 3e-2 * np.abs(ref).max(), vv
 
+    # the batch-coupled V-V form takes the same quantized path (it used to
+    # consume raw int8 codes as floats — round-3 review finding)
+    ref = np.asarray(L.attention_vv_batch(x, pj, H))
+    out = np.asarray(L.attention_vv_batch(x, qp, H))
+    assert np.abs(out - ref).max() < 3e-2 * np.abs(ref).max()
+
 
 def test_quantize_block_weights_structure():
     clip = create_clip_params(CFG, seed=0)
