@@ -166,22 +166,40 @@ class BatchLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = max(1, num_workers)
-        self.prefetch = prefetch
+        # queue.Queue(maxsize=0) would mean UNBOUNDED — the producer could
+        # decode a whole epoch ahead of the consumer
+        self.prefetch = max(1, prefetch)
         self.pad_final = pad_final
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.epoch = 0
 
-    def _indices(self) -> np.ndarray:
+    def _indices(self) -> tuple:
+        """(this host's indices, count of REAL ones among them).
+
+        Multi-host shards are equalized: every host gets exactly
+        ceil(n / num_hosts) indices — an unequal split would have hosts
+        running different numbers of batches, desyncing the collective
+        training steps (the short host's peers hang in their psum).  The
+        at-most-one wrap-around pad index lands at the tail and is
+        reported INVALID through the final batch's n_valid, so it never
+        contributes to losses or metrics.
+        """
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch]))
             rng.shuffle(idx)
-        return idx[self.host_id::self.num_hosts]
+        mine = idx[self.host_id::self.num_hosts]
+        n_real = mine.size
+        if self.num_hosts > 1:
+            per = -(-idx.size // self.num_hosts)  # ceil
+            if mine.size < per:
+                mine = np.concatenate([mine, idx[:per - mine.size]])
+        return mine, n_real
 
     def __len__(self) -> int:
-        n = len(self._indices())
+        n = self._indices()[0].size
         if self.pad_final:
             return (n + self.batch_size - 1) // self.batch_size
         return n // self.batch_size
@@ -199,12 +217,14 @@ class BatchLoader:
         }
 
     def __iter__(self) -> Iterator[dict]:
-        indices = self._indices()
+        indices, n_real = self._indices()
         epoch = self.epoch
-        batches = [indices[i:i + self.batch_size]
+        batches = [(indices[i:i + self.batch_size],
+                    max(0, min(self.batch_size, n_real - i)))
                    for i in range(0, len(indices), self.batch_size)]
         if not self.pad_final:
-            batches = [b for b in batches if len(b) == self.batch_size]
+            batches = [bv for bv in batches
+                       if len(bv[0]) == self.batch_size]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -222,12 +242,12 @@ class BatchLoader:
         def producer():
             try:
                 with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in batches:
+                    for b, n_valid in batches:
                         if stop.is_set():
                             return
                         samples = list(pool.map(
                             lambda i: self.dataset.get(int(i), epoch), b))
-                        if not _put(self._assemble(samples, len(b))):
+                        if not _put(self._assemble(samples, n_valid)):
                             return
                 _put(None)
             except BaseException as e:  # propagate to the consumer
@@ -245,4 +265,8 @@ class BatchLoader:
                 yield batch
         finally:
             stop.set()
-        self.epoch += 1
+            # in the finally: a consumer that breaks out early (or aborts
+            # on a worker exception) must still advance the epoch, or the
+            # next pass replays the identical shuffle order and per-sample
+            # augmentation streams
+            self.epoch += 1

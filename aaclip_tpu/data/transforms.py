@@ -159,16 +159,29 @@ def load_mask_binarized(path: str, size: int) -> np.ndarray:
     return binarize_mask(resize_mask(load_mask(path), size))
 
 
+def _mask_for(mask_path: Optional[str], img_size: int, label: int,
+              dtype=np.float32) -> np.ndarray:
+    """Ground-truth mask: binarized file for anomalous samples, zeros for
+    normal ones.  An anomalous record WITHOUT a mask_path is malformed
+    metadata and raises — the reference indexes ``meta['mask_path']``
+    unconditionally and would crash too; a silent all-zero mask would
+    instead corrupt the seg loss and pixel metrics (all benchmark jsonl
+    records carry masks for label=1)."""
+    if label:
+        if not mask_path:
+            raise ValueError(
+                "anomalous sample (label=1) without a mask_path — "
+                "malformed metadata record")
+        return load_mask_binarized(mask_path, img_size).astype(dtype)
+    return np.zeros((1, img_size, img_size), dtype)
+
+
 def preprocess_test(img_path: str, mask_path: Optional[str], img_size: int,
                     label: int, uint8: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic test-time transform (dataset/__init__.py:127-142).
     ``uint8=True`` skips host normalization (fused on device)."""
     img = load_rgb_chw(img_path, img_size, uint8=uint8)
-    if label and mask_path:
-        mask = load_mask_binarized(mask_path, img_size)
-    else:
-        mask = np.zeros((1, img_size, img_size), np.float32)
-    return img, mask
+    return img, _mask_for(mask_path, img_size, label)
 
 
 def preprocess_train(img_path: str, mask_path: Optional[str], img_size: int,
@@ -188,16 +201,9 @@ def preprocess_train(img_path: str, mask_path: Optional[str], img_size: int,
     if uint8:
         assert not geometric, "uint8 mode defers augmentation to the device"
         img = to_uint8_chw(resize_image(pil, img_size))
-        if label and mask_path:
-            mask = load_mask_binarized(mask_path, img_size).astype(np.uint8)
-        else:
-            mask = np.zeros((1, img_size, img_size), np.uint8)
-        return img, mask
+        return img, _mask_for(mask_path, img_size, label, np.uint8)
     img = to_normalized_chw(resize_image(pil, img_size))
-    if label and mask_path:
-        mask = load_mask_binarized(mask_path, img_size)
-    else:
-        mask = np.zeros((1, img_size, img_size), np.float32)
+    mask = _mask_for(mask_path, img_size, label)
     if not geometric:
         return img, mask
     return joint_geometric_augment(img, mask, rng)

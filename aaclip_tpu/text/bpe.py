@@ -82,8 +82,19 @@ class ClipTokenizer:
         self.eot_token = self.encoder["<|endoftext|>"]
         self.vocab_size = len(vocab)
 
-        self._word_re = _re.compile(_WORD_PATTERN, _re.IGNORECASE)
-        self._cache: dict = {}
+        try:
+            self._word_re = _re.compile(_WORD_PATTERN, _re.IGNORECASE)
+        except Exception as e:  # pragma: no cover — stdlib `re` fallback
+            raise ImportError(
+                "CLIP BPE tokenization requires the 'regex' package: the "
+                "stdlib 're' module cannot compile the unicode "
+                "\\p{L}/\\p{N} word pattern") from e
+        # special tokens pass through BPE unsplit (the reference tokenizer
+        # pre-seeds its cache the same way, model/tokenizer.py:87); the
+        # cache key is the byte-encoded word, which for these pure-ASCII
+        # literals is the literal itself
+        self._cache: dict = {tok: [tok]
+                             for tok in ("<|startoftext|>", "<|endoftext|>")}
 
     # -- core BPE -----------------------------------------------------------
 

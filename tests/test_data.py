@@ -132,6 +132,51 @@ def test_loader_host_sharding(synth):
     assert len(f0) + len(f1) == 12
 
 
+def test_loader_multihost_equal_batch_counts(synth):
+    """Hosts must run the SAME number of batches (collective training steps
+    desync otherwise): shards are equalized with at most one wrap-around
+    pad index per host, reported invalid via n_valid — the union of VALID
+    samples is still exactly the dataset (round-3 review finding)."""
+    _, image_ds = get_train_datasets("MVTec", img_size=56)  # 12 samples
+    loaders = [BatchLoader(image_ds, 2, shuffle=False, host_id=h,
+                           num_hosts=5) for h in range(5)]
+    lens = [len(l) for l in loaders]
+    assert len(set(lens)) == 1
+    valid_files = []
+    for l in loaders:
+        batches = list(l)
+        assert len(batches) == lens[0]
+        valid_files += [f for b in batches
+                        for f in b["file_name"][:b["n_valid"]]]
+    assert len(valid_files) == 12 and len(set(valid_files)) == 12
+
+
+def test_loader_early_break_advances_epoch(synth):
+    """A consumer that stops early must still advance the epoch, or the
+    next pass replays the identical shuffle order and augmentation
+    streams (round-3 review finding)."""
+    _, image_ds = get_train_datasets("MVTec", img_size=56)
+    loader = BatchLoader(image_ds, 2, shuffle=True, num_workers=2)
+    it = iter(loader)
+    next(it)
+    it.close()
+    assert loader.epoch == 1
+
+
+def test_anomalous_sample_without_mask_raises(synth, tmp_path):
+    """label=1 with no mask_path is malformed metadata: fail loudly like
+    the reference (which indexes meta['mask_path'] unconditionally) —
+    a silent zero mask would corrupt the seg loss and pixel metrics."""
+    img = tmp_path / "x.png"
+    Image.new("RGB", (8, 8)).save(img)
+    with pytest.raises(ValueError, match="mask_path"):
+        T.preprocess_test(str(img), None, 56, label=1)
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="mask_path"):
+        T.preprocess_train(str(img), None, 56, label=1, rng=rng,
+                           text_stage=True)
+
+
 def test_shipped_metadata_loads():
     """The packaged full-shot.jsonl files parse and cover all registries."""
     import aaclip_tpu.data as data_pkg

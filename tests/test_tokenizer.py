@@ -24,6 +24,16 @@ def test_golden_ids_canonical_clip():
     assert (ids[eot_pos + 1:] == 0).all()
 
 
+def test_special_token_literals_map_to_special_ids():
+    """The reference tokenizer pre-seeds its BPE cache so the special-token
+    literals encode to their reserved ids instead of being greedy-merged
+    into subwords (model/tokenizer.py:87) — round-3 parity fix."""
+    tok = default_tokenizer()
+    assert tok.encode("<|startoftext|>") == [tok.sot_token]
+    assert tok.encode("<|endoftext|>") == [tok.eot_token]
+    assert tok.encode("a <|endoftext|> b")[1] == tok.eot_token
+
+
 def test_round_trip():
     tok = default_tokenizer()
     s = "a damaged dark bottle with flaw."
