@@ -73,6 +73,12 @@ class CLIPConfig:
     quick_gelu: bool = False
 
     def with_image_size(self, image_size: int) -> "CLIPConfig":
+        if image_size % self.vision.patch_size:
+            # patchify reshapes H into (grid, patch); a non-multiple would
+            # die in an opaque reshape deep inside the jitted trace
+            raise ValueError(
+                f"img_size {image_size} is not a multiple of the "
+                f"{self.vision.patch_size}px patch size")
         return dataclasses.replace(
             self, vision=dataclasses.replace(self.vision, image_size=image_size)
         )
@@ -128,17 +134,15 @@ class DtypePolicy:
     def prefix_policy(self) -> "DtypePolicy":
         """Policy for the bf16-staged leading trunk blocks: single-pass
         bf16 matmul inputs, same activation function, staging cleared."""
-        import dataclasses as _dc
-        return _dc.replace(self, compute_dtype=jnp.bfloat16, precision=None,
-                           bf16_until=0)
+        return dataclasses.replace(self, compute_dtype=jnp.bfloat16,
+                                   precision=None, bf16_until=0)
 
     def unstaged(self) -> "DtypePolicy":
         """This policy with trunk staging disabled (training steps and
         parity checks use this)."""
         if not self.bf16_until:
             return self
-        import dataclasses as _dc
-        return _dc.replace(self, bf16_until=0)
+        return dataclasses.replace(self, bf16_until=0)
 
     @classmethod
     def fp32(cls) -> "DtypePolicy":
@@ -262,17 +266,34 @@ def _scan_json_configs() -> None:
     import json
     import os
 
-    dirs = [os.path.join(os.path.dirname(__file__), "model_configs")]
+    # user dirs are scanned LAST and allowed to override: AACLIP_MODEL_CONFIGS
+    # is an explicit request, so a same-named JSON there replaces the
+    # built-in registration instead of being silently dropped
+    dirs = [(os.path.join(os.path.dirname(__file__), "model_configs"), False)]
     extra = os.environ.get("AACLIP_MODEL_CONFIGS")
     if extra:
-        dirs += extra.split(os.pathsep)
-    for d in dirs:
+        dirs += [(d, True) for d in extra.split(os.pathsep)]
+    for d, override in dirs:
         for path in sorted(glob.glob(os.path.join(d, "*.json"))):
             name = os.path.splitext(os.path.basename(path))[0]
-            if name in MODEL_CONFIGS:
+            if name in MODEL_CONFIGS and not override:
                 continue
-            with open(path) as f:
-                payload = json.load(f)
+            try:
+                with open(path) as f:
+                    payload = json.load(f)
+            except (OSError, json.JSONDecodeError) as e:
+                if override:
+                    # a malformed file in a USER config dir (editor swap
+                    # file, half-written experiment) must not brick every
+                    # import; warn with the culprit's name and skip it
+                    import warnings
+                    warnings.warn(
+                        f"skipping unreadable model config {path!r}: {e}")
+                    continue
+                # a corrupt BUILT-IN config is a broken install: fail, but
+                # name the file instead of an opaque import traceback
+                raise RuntimeError(
+                    f"could not load model config {path!r}: {e}") from e
             if all(k in payload for k in ("embed_dim", "vision_cfg", "text_cfg")):
                 MODEL_CONFIGS[name] = config_from_json(payload)
 

@@ -264,13 +264,16 @@ DEFAULT_CKPT_PATHS = (
 
 
 def find_default_checkpoint() -> Optional[str]:
+    # the env var is an explicit user OVERRIDE: it must win over any
+    # bundled default, or exporting AACLIP_CKPT would be silently ignored
+    # whenever a checkpoint exists under aaclip_tpu/weights/
+    env = os.environ.get("AACLIP_CKPT")
+    if env and os.path.isfile(env):
+        return env
     for p in DEFAULT_CKPT_PATHS:
         p = os.path.abspath(p)
         if os.path.isfile(p):
             return p
-    env = os.environ.get("AACLIP_CKPT")
-    if env and os.path.isfile(env):
-        return env
     return None
 
 

@@ -45,6 +45,12 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
     n_adapt = 0
     if adapters is not None:
         n_adapt = jax.tree.leaves(adapters)[0].shape[0]
+    if n_adapt > t.layers:
+        # mirrors vit._trunk_with_taps: silently slicing would apply only
+        # the first t.layers adapters and train the rest as dead weight
+        raise ValueError(
+            f"{n_adapt} text adapters exceed the {t.layers}-layer tower; "
+            f"set text_adapt_until to match the model config")
     if n_adapt:
         x = run_block_range(
             x, slice_blocks(params["blocks"], 0, n_adapt), t.heads,

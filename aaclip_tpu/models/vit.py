@@ -119,10 +119,9 @@ def patchify(x: jax.Array, conv_w: jax.Array, patch: int,
     ``conv_w`` is the flattened patch-embedding kernel
     [3*patch*patch, width] with (c, ky, kx) input ordering.
     """
-    B, C, H, W = x.shape
-    gy, gx = H // patch, W // patch
-    x = x.reshape(B, C, gy, patch, gx, patch)
-    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, gy * gx, C * patch * patch)
+    from aaclip_tpu.ops.preprocess import extract_patches
+
+    x = extract_patches(x, patch)
     cd = policy.compute_dtype
     return jnp.dot(x.astype(cd), conv_w.astype(cd),
                    preferred_element_type=jnp.float32,

@@ -40,17 +40,26 @@ def fold_normalization_into_conv1(conv_w, patch_size: int,
     return jnp.asarray(w_folded), jnp.asarray(b_folded)
 
 
+def extract_patches(x: jax.Array, patch: int) -> jax.Array:
+    """[B, C, H, W] -> [B, (H/p)*(W/p), C*p*p] with (c, ky, kx) ordering
+    per patch.  The ONE implementation of the patch-flattening layout —
+    it must agree with the checkpoint converter's conv-kernel reshape
+    (core/params.py) and the normalization fold above, so both the float
+    (models/vit.patchify) and uint8-fused paths route through it."""
+    B, C, H, W = x.shape
+    gy, gx = H // patch, W // patch
+    x = x.reshape(B, C, gy, patch, gx, patch)
+    return x.transpose(0, 2, 4, 1, 3, 5).reshape(B, gy * gx,
+                                                 C * patch * patch)
+
+
 def patchify_uint8(images_u8: jax.Array, w_folded: jax.Array,
                    b_folded: jax.Array, patch: int,
                    compute_dtype=jnp.bfloat16,
                    precision=None) -> jax.Array:
     """[B, 3, H, W] uint8 -> [B, (H/p)*(W/p), width] normalized patch
     embeddings, normalization fused into the matmul."""
-    B, C, H, W = images_u8.shape
-    gy, gx = H // patch, W // patch
-    x = images_u8.reshape(B, C, gy, patch, gx, patch)
-    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B, gy * gx, C * patch * patch)
-    x = x.astype(compute_dtype)
+    x = extract_patches(images_u8, patch).astype(compute_dtype)
     y = jnp.dot(x, w_folded.astype(compute_dtype),
                 preferred_element_type=jnp.float32, precision=precision)
     return y + b_folded.astype(jnp.float32)

@@ -30,6 +30,59 @@ def test_all_registered_configs_are_consistent():
             assert pallas_attention_supported(v.heads, v.head_dim), name
 
 
+def test_img_size_must_divide_patch_size():
+    """A non-multiple img_size would die in an opaque reshape inside the
+    jitted trace; the config rejects it up front."""
+    import pytest
+
+    with pytest.raises(ValueError, match="not a multiple"):
+        get_config("ViT-L-14-336", img_size=520)
+
+
+def test_user_config_dir_overrides_builtin(tmp_path, monkeypatch):
+    """AACLIP_MODEL_CONFIGS entries are explicit user requests: a
+    same-named JSON there replaces the built-in registration instead of
+    being silently dropped; malformed files there warn and skip."""
+    import json
+    import os
+    import warnings
+
+    from aaclip_tpu.core import config as C
+
+    src = os.path.join(os.path.dirname(C.__file__), "model_configs",
+                       "ViT-B-16.json")
+    payload = json.load(open(src))
+    payload["embed_dim"] = 123
+    (tmp_path / "ViT-B-16.json").write_text(json.dumps(payload))
+    (tmp_path / "broken.json").write_text("{not json")
+    saved = C.MODEL_CONFIGS["ViT-B-16"]
+    monkeypatch.setenv("AACLIP_MODEL_CONFIGS", str(tmp_path))
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            C._scan_json_configs()
+        assert C.MODEL_CONFIGS["ViT-B-16"].embed_dim == 123
+        assert any("broken.json" in str(x.message) for x in w)
+    finally:
+        C.MODEL_CONFIGS["ViT-B-16"] = saved
+
+
+def test_env_checkpoint_overrides_bundled(tmp_path, monkeypatch):
+    """AACLIP_CKPT is an explicit override: it must win over any bundled
+    default checkpoint."""
+    from aaclip_tpu.core import params as P
+
+    bundled = tmp_path / "bundled.pt"
+    bundled.write_bytes(b"x")
+    override = tmp_path / "override.pt"
+    override.write_bytes(b"y")
+    monkeypatch.setattr(P, "DEFAULT_CKPT_PATHS", [str(bundled)])
+    monkeypatch.setenv("AACLIP_CKPT", str(override))
+    assert P.find_default_checkpoint() == str(override)
+    monkeypatch.delenv("AACLIP_CKPT")
+    assert P.find_default_checkpoint() == str(bundled)
+
+
 def test_quickgelu_variant_differs_only_in_activation():
     a = get_config("ViT-B-16")
     b = get_config("ViT-B-16-quickgelu")

@@ -79,8 +79,15 @@ def main(argv=None):
 
     policy = DtypePolicy.from_name(args.precision)
     cfg = get_config(args.model_name, args.img_size)
-    acfg = AdapterConfig(**({"levels": tuple(args.levels)}
-                            if args.levels else {}))
+    kw = {"levels": tuple(args.levels)} if args.levels else {}
+    acfg = AdapterConfig(**kw)
+    # shallow towers (tiny/test configs): clamp the default adapt depths
+    # to the tower — the trunk rejects adapter stacks deeper than it
+    if acfg.image_adapt_until > cfg.vision.layers:
+        kw["image_adapt_until"] = cfg.vision.layers
+    if acfg.text_adapt_until > cfg.text.layers:
+        kw["text_adapt_until"] = cfg.text.layers
+    acfg = AdapterConfig(**kw)
     clip = create_clip_params(cfg, seed=args.seed, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(args.seed), cfg, acfg)
 
