@@ -39,6 +39,7 @@ def visualize(pixel_label: np.ndarray, pixel_preds: np.ndarray,
     os.makedirs(out_dir, exist_ok=True)
     data_path = DATASETS[dataset_name].data_path
     size = preds_u8.shape[-2:]
+    used: set = set()
     for idx, rel in enumerate(file_names):
         img = cv2.imread(os.path.join(data_path, rel))
         if img is None:
@@ -49,4 +50,14 @@ def visualize(pixel_label: np.ndarray, pixel_preds: np.ndarray,
         pr = cv2.cvtColor(preds_u8[idx], cv2.COLOR_GRAY2RGB)
         panel = np.vstack([img, apply_scoremap(img, gt), apply_scoremap(img, pr)])
         fname = rel.replace("/", "_")
+        if fname in used:
+            # two rel paths can flatten to the same name (slash vs
+            # underscore placement); never silently overwrite a panel
+            # from THIS run (re-runs still replace previous outputs)
+            stem, ext = os.path.splitext(fname)
+            k = 1
+            while f"{stem}.{k}{ext}" in used:
+                k += 1
+            fname = f"{stem}.{k}{ext}"
+        used.add(fname)
         cv2.imwrite(os.path.join(out_dir, fname), panel)

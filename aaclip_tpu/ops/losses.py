@@ -40,12 +40,8 @@ def focal_loss_probs(probs: jax.Array, target: jax.Array) -> jax.Array:
 
 def dice_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
     """pred/target: [B, ...spatial] soft masks."""
-    B = pred.shape[0]
-    p = pred.reshape(B, -1).astype(jnp.float32)
-    t = target.reshape(B, -1).astype(jnp.float32)
-    inter = jnp.sum(p * t, axis=1)
-    eff = (2.0 * inter + _DICE_SMOOTH) / (jnp.sum(p, axis=1) + jnp.sum(t, axis=1) + _DICE_SMOOTH)
-    return 1.0 - jnp.mean(eff)
+    return 1.0 - jnp.mean(_dice_eff(pred.astype(jnp.float32),
+                                    target.astype(jnp.float32)))
 
 
 def seg_loss_probs(probs: jax.Array, mask: jax.Array) -> jax.Array:
@@ -67,12 +63,8 @@ def seg_loss_from_logit(d: jax.Array, mask: jax.Array) -> jax.Array:
     d = d.astype(jnp.float32)
     m = mask.reshape(d.shape).astype(jnp.float32)
     p1 = jax.nn.sigmoid(d)
-    p0 = 1.0 - p1
-    # focal: one_hot clamped to [smooth, 1-smooth] for C=2
-    p_t = jnp.where(m > 0.5, p1, p0)
-    pt = (1.0 - 2.0 * _FOCAL_SMOOTH) * p_t + _FOCAL_SMOOTH + _FOCAL_SMOOTH
-    focal = jnp.mean(-((1.0 - pt) ** _FOCAL_GAMMA) * jnp.log(pt))
-    return focal + dice_loss(p0, 1.0 - m) + dice_loss(p1, m)
+    focal = jnp.mean(_focal_terms_from_logit(d, m))
+    return focal + dice_loss(1.0 - p1, 1.0 - m) + dice_loss(p1, m)
 
 
 def _focal_terms_from_logit(d: jax.Array, m: jax.Array) -> jax.Array:

@@ -55,29 +55,43 @@ def _cubic_weight(x: float, a: float) -> float:
 def bicubic_matrix(in_size: int, out_size: int, *,
                    antialias: bool = True) -> np.ndarray:
     """[out_size, in_size] 1-D bicubic matrix matching torch
-    ``F.interpolate(mode='bicubic', align_corners=False)`` for *upsampling*.
+    ``F.interpolate(mode='bicubic', align_corners=False)``.
 
     torch's two bicubic flavors differ even when upscaling:
     ``antialias=True`` (what the reference's pos-embed resize uses,
-    model/model.py:414-420) applies an a=-0.5 kernel whose out-of-bounds
-    taps are DISCARDED and the remaining weights renormalized;
-    ``antialias=False`` uses a=-0.75 with edge-clamped taps.
+    model/model.py:414-420) is the PIL-style a=-0.5 kernel — out-of-range
+    taps are DISCARDED and the remaining weights renormalized, and when
+    DOWNSCALING the kernel support widens by the scale factor (the
+    anti-aliasing itself; a fixed 4-tap window here would silently
+    diverge from the reference for img_size below the native grid);
+    ``antialias=False`` uses a=-0.75 with edge-clamped taps and a fixed
+    4-tap window in both directions.  Both parity-tested vs torch in
+    tests/test_model_parity.py.
     """
-    a = -0.5 if antialias else -0.75
     A = np.zeros((out_size, in_size), dtype=np.float64)
-    for i in range(out_size):
-        src = (i + 0.5) * in_size / out_size - 0.5
-        i0 = int(np.floor(src))
-        frac = src - i0
-        taps = [(i0 + t, _cubic_weight(t - frac, a)) for t in range(-1, 3)]
-        if antialias:
-            kept = [(j, w) for j, w in taps if 0 <= j < in_size]
-            total = sum(w for _, w in kept)
-            for j, w in kept:
-                A[i, j] += w / total
-        else:
-            for j, w in taps:
-                A[i, min(max(j, 0), in_size - 1)] += w
+    if antialias:
+        a = -0.5
+        scale = max(in_size / out_size, 1.0)
+        support = 2.0 * scale
+        invscale = 1.0 / scale
+        for i in range(out_size):
+            center = (i + 0.5) * in_size / out_size
+            lo = max(0, int(center - support + 0.5))
+            hi = min(in_size, int(center + support + 0.5))
+            w = [_cubic_weight((j - center + 0.5) * invscale, a)
+                 for j in range(lo, hi)]
+            total = sum(w)
+            for j, wj in zip(range(lo, hi), w):
+                A[i, j] += wj / total
+    else:
+        a = -0.75
+        for i in range(out_size):
+            src = (i + 0.5) * in_size / out_size - 0.5
+            i0 = int(np.floor(src))
+            frac = src - i0
+            for t in range(-1, 3):
+                A[i, min(max(i0 + t, 0), in_size - 1)] += \
+                    _cubic_weight(t - frac, a)
     return A.astype(np.float32)
 
 

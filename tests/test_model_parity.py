@@ -320,6 +320,37 @@ def test_resize_pos_embed_matches_torch_bicubic():
     np.testing.assert_allclose(got[1:], want, atol=1e-5, rtol=1e-5)
 
 
+def test_resize_pos_embed_downscale_matches_torch():
+    """DOWNSCALING parity (24 -> 16 grid, i.e. loading ViT-L-336 weights at
+    img_size 224): torch's antialiased bicubic widens the kernel support
+    by the scale factor — a fixed 4-tap window silently diverges here
+    (round-3 review finding)."""
+    rng = np.random.default_rng(2)
+    pos = rng.standard_normal((1 + 24 * 24, 16)).astype(np.float32)
+    grid = torch.from_numpy(
+        pos[1:].reshape(1, 24, 24, 16).transpose(0, 3, 1, 2))
+    want = F.interpolate(grid, size=(16, 16), mode="bicubic",
+                         antialias=True, align_corners=False)
+    want = want.permute(0, 2, 3, 1).reshape(16 * 16, 16).numpy()
+    got = resize_pos_embed(pos, 16)
+    np.testing.assert_allclose(got[1:], want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("out_size", [9, 4])
+def test_bicubic_no_antialias_matches_torch(out_size):
+    """The antialias=False flavor (a=-0.75, edge-clamped taps) tracks
+    torch in both directions too."""
+    from aaclip_tpu.ops.resize import resize_bicubic_2d
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3, 6, 6)).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x), size=(out_size, out_size),
+                         mode="bicubic", antialias=False,
+                         align_corners=False).numpy()
+    got = resize_bicubic_2d(x, (out_size, out_size), antialias=False)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_resize_pos_embed_24_to_37_matches_torch():
     """The exact production resize: 24x24 -> 37x37 grid."""
     rng = np.random.default_rng(1)
