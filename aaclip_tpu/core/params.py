@@ -242,9 +242,9 @@ def convert_openai_state_dict(sd: dict, cfg: CLIPConfig) -> dict:
     }
 
 
-def load_openai_checkpoint(path: str, cfg: CLIPConfig) -> dict:
-    """Load an OpenAI ViT checkpoint (.pt TorchScript archive or raw state
-    dict, reference model/openai.py:17-136) and convert it."""
+def _load_state_dict(path: str) -> dict:
+    """Read a .pt TorchScript archive or raw state dict into a tensor-only
+    dict (reference model/openai.py:17-136)."""
     import torch  # host-side only
 
     try:
@@ -253,7 +253,20 @@ def load_openai_checkpoint(path: str, cfg: CLIPConfig) -> dict:
     except RuntimeError:
         obj = torch.load(path, map_location="cpu", weights_only=False)
         sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj.state_dict()
-    sd = {k: v for k, v in sd.items() if isinstance(v, torch.Tensor)}
+    return {k: v for k, v in sd.items() if isinstance(v, torch.Tensor)}
+
+
+def load_openai_checkpoint(path: str, cfg: CLIPConfig) -> dict:
+    """Load an OpenAI ViT checkpoint (.pt TorchScript archive or raw state
+    dict, reference model/openai.py:17-136) and convert it."""
+    sd = _load_state_dict(path)
+    if not checkpoint_matches_config(sd, cfg):
+        # the conv reshape can succeed numerically on mismatched widths,
+        # silently producing garbage weights — fail with the reason
+        raise ValueError(
+            f"checkpoint {path!r} does not match the requested config "
+            f"(vision width {cfg.vision.width}, {cfg.vision.layers} "
+            f"layers, text width {cfg.text.width})")
     return convert_openai_state_dict(sd, cfg)
 
 
@@ -277,12 +290,46 @@ def find_default_checkpoint() -> Optional[str]:
     return None
 
 
+def checkpoint_matches_config(sd: dict, cfg: CLIPConfig) -> bool:
+    """Cheap architecture compatibility check between a torch state dict
+    and a config (vision width/depth, text width) — used to decide
+    whether an implicitly DISCOVERED checkpoint applies to this config."""
+    try:
+        v, t = cfg.vision, cfg.text
+        return (sd["visual.conv1.weight"].shape[0] == v.width
+                and f"visual.transformer.resblocks.{v.layers - 1}"
+                    ".ln_1.weight" in sd
+                and f"visual.transformer.resblocks.{v.layers}"
+                    ".ln_1.weight" not in sd
+                and sd["token_embedding.weight"].shape[1] == t.width)
+    except (KeyError, AttributeError, IndexError):
+        return False
+
+
 def create_clip_params(cfg: CLIPConfig, *, checkpoint: Optional[str] = None,
                        seed: int = 0, require_pretrained: bool = False,
                        policy: DtypePolicy = DtypePolicy()) -> dict:
     """Build the frozen CLIP pytree: from a checkpoint when available,
-    otherwise randomly initialized (tests / benchmarking without weights)."""
+    otherwise randomly initialized (tests / benchmarking without weights).
+
+    An EXPLICIT ``checkpoint`` (or ``require_pretrained``) must load or
+    fail.  An implicitly discovered default (AACLIP_CKPT / bundled paths)
+    is used only when its architecture matches ``cfg`` — otherwise e.g.
+    every tiny-test construction (tests, the multichip dryrun) would
+    crash on a rig that happens to carry the real ViT-L weights."""
     path = checkpoint or find_default_checkpoint()
+    if path is not None and checkpoint is None and not require_pretrained:
+        sd = _load_state_dict(path)
+        if not checkpoint_matches_config(sd, cfg):
+            import logging
+            logging.getLogger("aaclip").info(
+                "default checkpoint %s does not match config (width %d, "
+                "%d layers) — using random init", path, cfg.vision.width,
+                cfg.vision.layers)
+            path = None
+        else:
+            return jax.tree.map(jnp.asarray,
+                                convert_openai_state_dict(sd, cfg))
     if path is not None:
         return jax.tree.map(jnp.asarray, load_openai_checkpoint(path, cfg))
     if require_pretrained:

@@ -155,7 +155,9 @@ def main(argv=None):
     files = sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.npz")))
     files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.orbax")))
     files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")))
-    assert len(files) > 0, "image adapter checkpoint not found"
+    if not files:  # not an assert: python -O would silently skip the loop
+        raise SystemExit(
+            f"image adapter checkpoint not found under {args.save_path!r}")
 
     from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
     attn_fn = maybe_make_attn_fn(cfg, policy)
@@ -177,6 +179,10 @@ def main(argv=None):
         uint8_inputs = False  # pipeline embeds normalized float pixels
         from aaclip_tpu.parallel.pipeline import make_pipeline_predict_fn
         import jax as _jax
+        if args.pipeline_parallel > len(_jax.devices()):
+            raise SystemExit(
+                f"--pipeline_parallel {args.pipeline_parallel} exceeds the "
+                f"{len(_jax.devices())} available devices")
         pp_dp = (len(_jax.devices()) // args.pipeline_parallel
                  if args.data_parallel else 1)
         predict_fn = make_pipeline_predict_fn(
@@ -217,6 +223,16 @@ def main(argv=None):
                                      sequence_parallel=args.sequence_parallel)
     domain = DOMAINS[args.dataset]
 
+    # loop-invariant across image-adapter snapshots: the datasets and the
+    # text anchors depend only on the (fixed) text adapter — re-encoding
+    # all classes' prompts per snapshot is a real text-tower forward per
+    # iteration on the TPU
+    image_datasets = get_test_datasets(args.dataset, args.img_size,
+                                       uint8=uint8_inputs)
+    enc = make_anchor_encoder(clip_params, cfg, acfg, text_adapter,
+                              policy=policy)
+    text_embeddings = encode_dataset_anchors(enc, args.dataset)
+
     for file in files:
         if file.endswith(".npz") or file.endswith(".orbax"):
             test_epoch, image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
@@ -229,12 +245,6 @@ def main(argv=None):
         logger.info("-----------------------------------------------")
         logger.info("load model from epoch %d", test_epoch)
         logger.info("-----------------------------------------------")
-
-        image_datasets = get_test_datasets(args.dataset, args.img_size,
-                                           uint8=uint8_inputs)
-        enc = make_anchor_encoder(clip_params, cfg, acfg, text_adapter,
-                                  policy=policy)
-        text_embeddings = encode_dataset_anchors(enc, args.dataset)
 
         columns = ["class name", "pixel AUC", "pixel AP", "image AUC", "image AP"]
         if args.aupro:
@@ -262,6 +272,9 @@ def main(argv=None):
             row = metrics_eval(masks, labels, preds, preds_image, class_name,
                                domain, compute_aupro=args.aupro)
             df.loc[len(df)] = Series(row)
+        if timer.rate():
+            # rate excludes the first class (its window absorbs compiles)
+            logger.info("eval throughput: %.2f maps/s", timer.rate())
         for col in df.columns:
             if col != "class name":
                 df[col] = df[col].astype(float)

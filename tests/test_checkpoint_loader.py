@@ -75,6 +75,38 @@ def sd():
     return _make_state_dict(CFG, seed=3)
 
 
+def test_discovered_checkpoint_arch_mismatch_falls_back(sd, tmp_path_factory,
+                                                        monkeypatch):
+    """An implicitly DISCOVERED default checkpoint (AACLIP_CKPT / bundled)
+    is used only when its architecture matches the config: e.g. the
+    multichip dryrun builds tiny-test and must not crash converting real
+    ViT-L weights on a rig that has them (round-3 review finding).
+    Explicit checkpoint= still loads-or-fails."""
+    import dataclasses
+
+    from aaclip_tpu.core.params import checkpoint_matches_config
+
+    assert checkpoint_matches_config(sd, CFG)
+    other = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, width=32, layers=2))
+    assert not checkpoint_matches_config(sd, other)
+
+    path = str(tmp_path_factory.mktemp("ckpt") / "weights.pt")
+    torch.save(sd, path)
+    monkeypatch.setenv("AACLIP_CKPT", path)
+    # mismatched config: silently random-inits instead of crashing
+    params = create_clip_params(other, seed=0)
+    assert params["visual"]["conv1"]["w"].shape[-1] == 32
+    # matching config: the discovered checkpoint IS loaded
+    params = create_clip_params(CFG, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(params["visual"]["class_embedding"]),
+        sd["visual.class_embedding"].numpy(), atol=1e-6)
+    # explicit checkpoint with a mismatched config still fails loudly
+    with pytest.raises(Exception):
+        create_clip_params(other, checkpoint=path)
+
+
 def test_torchscript_archive_branch(sd, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ckpt") / "model_jit.pt")
     _build_jit_archive(sd, path)

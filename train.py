@@ -264,6 +264,20 @@ def main(argv=None):
         raise SystemExit("--sequence_parallel requires --tensor_parallel "
                          "and does not compose with --pipeline_parallel")
     if args.pipeline_parallel > 1:
+        if args.pipeline_parallel > len(jax.devices()):
+            raise SystemExit(
+                f"--pipeline_parallel {args.pipeline_parallel} exceeds the "
+                f"{len(jax.devices())} available devices")
+        if args.grad_accum > 1:
+            raise SystemExit(
+                "--grad_accum does not compose with --pipeline_parallel "
+                "(the GPipe schedule already microbatches; raise "
+                "--pp_microbatches instead)")
+        if args.remat == "selective":
+            raise SystemExit(
+                "--remat selective is not supported with "
+                "--pipeline_parallel (the pipeline trainer supports "
+                "full/off only)")
         # pp composes with --data_parallel on a ('stage','data') mesh for
         # stage 2; stage 1 (text) runs unsharded either way
         pp_dp = (len(jax.devices()) // args.pipeline_parallel
@@ -377,6 +391,8 @@ def main(argv=None):
             clip_params, cfg, acfg, image_tx, anchors_table,
             pp=args.pipeline_parallel, n_micro=args.pp_microbatches,
             dp=pp_dp, img_size=args.img_size, policy=policy,
+            # pp supports full/off remat only (--remat selective is
+            # rejected above; 'auto' resolves to full here)
             attn_fn=s2_attn_fn, remat=bool(s2_remat))
     else:
         step_fn = make_stage2_step(clip_params, cfg, acfg, image_tx,
