@@ -19,8 +19,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
-    n = num_devices or len(devices)
-    return Mesh(np.asarray(devices[:n]), ("data",))
+    if num_devices is None:
+        num_devices = len(devices)
+    if not 1 <= num_devices <= len(devices):
+        # silent truncation would desync shard-count math computed from
+        # the REQUESTED size against the actual mesh
+        raise ValueError(
+            f"num_devices={num_devices} outside 1..{len(devices)} "
+            f"available devices")
+    return Mesh(np.asarray(devices[:num_devices]), ("data",))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -32,7 +39,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place batch-leading arrays sharded over the data axis."""
+    """Place batch-leading arrays sharded over the data axis.
+
+    Returns a tuple for 2+ arrays, the bare array for exactly one (the
+    dominant call shape); at least one array is required."""
+    if not arrays:
+        raise ValueError("shard_batch needs at least one array")
     s = batch_sharding(mesh)
     out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]
@@ -49,6 +61,16 @@ def pad_batch_to_devices(arrays: Iterable[np.ndarray], valid: np.ndarray,
     validity mask with zeros so losses/metrics ignore padding."""
     arrays = list(arrays)
     b = arrays[0].shape[0]
+    for a in arrays[1:]:
+        if a.shape[0] != b:
+            raise ValueError(
+                f"pad_batch_to_devices: leading dims differ "
+                f"({a.shape[0]} vs {b}) — padding from arrays[0] would "
+                f"produce inconsistent batches")
+    if len(valid) != b:
+        raise ValueError(
+            f"pad_batch_to_devices: valid mask length {len(valid)} != "
+            f"batch {b}")
     target = ((b + n_devices - 1) // n_devices) * n_devices
     if target == b:
         return arrays, valid
@@ -76,9 +98,17 @@ def initialize_multihost() -> None:
     if not addr:
         return
     kwargs = {"coordinator_address": addr}
-    if os.environ.get("JAX_NUM_PROCESSES"):
-        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
-        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    n_proc = os.environ.get("JAX_NUM_PROCESSES")
+    proc_id = os.environ.get("JAX_PROCESS_ID")
+    if bool(n_proc) != bool(proc_id):
+        # one without the other either KeyErrors or silently falls back
+        # to auto-detection that hangs on the coordinator
+        raise RuntimeError(
+            "set BOTH JAX_NUM_PROCESSES and JAX_PROCESS_ID (or neither, "
+            "under a cluster manager jax auto-detects)")
+    if n_proc:
+        kwargs["num_processes"] = int(n_proc)
+        kwargs["process_id"] = int(proc_id)
     jax.distributed.initialize(**kwargs)
 
 

@@ -54,7 +54,13 @@ def make_mesh_2d(tp: int, num_devices: Optional[int] = None) -> Mesh:
     in training) crosses the outer axis.
     """
     devices = jax.devices()
-    n = num_devices or len(devices)
+    if num_devices is None:
+        num_devices = len(devices)
+    if not 1 <= num_devices <= len(devices):
+        raise ValueError(
+            f"num_devices={num_devices} outside 1..{len(devices)} "
+            f"available devices")
+    n = num_devices
     if tp < 1 or n % tp:
         raise ValueError(f"tensor_parallel={tp} must divide device count {n}")
     return Mesh(np.asarray(devices[:n]).reshape(n // tp, tp),

@@ -16,9 +16,19 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     path = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or os.path.expanduser("~/.cache/aaclip_tpu/xla"))
     os.makedirs(path, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # older jax without these flags
-        pass
+    # attempt each flag independently and WARN on failure: one blanket
+    # except would silently disable the cache and every invocation then
+    # pays the tens-of-seconds remote recompile this module exists to
+    # avoid (the first flag is the essential one; the tuning flags are
+    # best-effort)
+    for flag, value in (
+        ("jax_compilation_cache_dir", path),
+        ("jax_persistent_cache_min_compile_time_secs", 1.0),
+        ("jax_persistent_cache_min_entry_size_bytes", 0),
+    ):
+        try:
+            jax.config.update(flag, value)
+        except Exception as e:  # older jax without this flag
+            import logging
+            logging.getLogger("aaclip").warning(
+                "compile cache: could not set %s (%s)", flag, e)

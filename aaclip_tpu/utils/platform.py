@@ -28,4 +28,17 @@ def honor_env_platform() -> None:
     try:
         jax.config.update("jax_platforms", plat)
     except RuntimeError:
-        pass  # backend already initialized; env selection already applied
+        # backend already initialized (some import touched jax.devices()
+        # before this shim ran).  That is NOT harmless here: the axon
+        # plugin wins selection over the env var, so the run may be on
+        # TPU despite JAX_PLATFORMS=cpu — say so instead of silence.
+        try:
+            actual = jax.devices()[0].platform
+        except Exception:
+            actual = "unknown"
+        if actual != plat.split(",")[0]:
+            import logging
+            logging.getLogger("aaclip").warning(
+                "JAX_PLATFORMS=%s requested but the %s backend is already "
+                "initialized — call honor_env_platform() before anything "
+                "that touches jax.devices()", plat, actual)

@@ -15,4 +15,7 @@ import numpy as np
 def setup_seed(seed: int) -> None:
     random.seed(seed)
     np.random.seed(seed)
+    # CPython reads PYTHONHASHSEED only at interpreter startup, so this
+    # affects CHILD processes only (e.g. re-exec'd workers) — in-process
+    # str/bytes hash order is already fixed for this run
     os.environ["PYTHONHASHSEED"] = str(seed)
