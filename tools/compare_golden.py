@@ -7,7 +7,9 @@ when any Average-row metric differs by more than --tolerance.
 
 Usage:
     python tools/compare_golden.py --ours ckpt/run/test.log \
-        --golden /root/reference/results/test.log --dataset MVTec
+        --golden /root/reference/results/test.log --golden_index 0
+(``--golden_index`` selects the dataset: golden tables appear in the
+reference run's dataset order.)
 """
 
 from __future__ import annotations
@@ -67,14 +69,24 @@ def main(argv=None):
     g = golden[args.golden_index]
 
     shared = [c for c in g if c in o]
-    print(f"{'class':20s} " + " ".join(f"{m:>12s}" for m in METRICS))
+    if "Average" not in shared:
+        # a regression oracle must not pass vacuously: a truncated log
+        # (run killed mid-eval) has class rows but no Average entry
+        print("no shared 'Average' row — truncated or mismatched tables",
+              file=sys.stderr)
+        return 2
+    # compare AUPRO too when both tables carry it (--aupro runs)
+    metrics = METRICS + (["pixel AUPRO"]
+                         if all("pixel AUPRO" in t["Average"]
+                                for t in (o, g)) else [])
+    print(f"{'class':20s} " + " ".join(f"{m:>12s}" for m in metrics))
     worst = 0.0
     avg_worst = 0.0
     for cls in shared:
         deltas = [o[cls].get(m, float('nan')) - g[cls].get(m, float('nan'))
-                  for m in METRICS]
+                  for m in metrics]
         print(f"{cls:20s} " + " ".join(f"{d:>+12.2f}" for d in deltas))
-        for m, d in zip(METRICS, deltas):
+        for m, d in zip(metrics, deltas):
             if d == d:
                 worst = max(worst, abs(d))
                 if cls == "Average":

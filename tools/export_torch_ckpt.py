@@ -48,7 +48,7 @@ def main(argv=None):
             os.path.join(args.save_path, "image_adapter_*.npz"))):
         epoch, adapters["image"], _, _ = ckpt.load_adapter_checkpoint(
             snap, template["image"])
-        text_sd, image_sd = ckpt.adapters_to_torch_state_dicts(
+        _, image_sd = ckpt.adapters_to_torch_state_dicts(
             adapters, proj_relu=args.relu)
         out = snap.replace(".npz", ".pth")
         torch.save({"epoch": epoch, "image_adapter": image_sd}, out)
@@ -57,7 +57,21 @@ def main(argv=None):
         text_sd, _ = ckpt.adapters_to_torch_state_dicts(adapters,
                                                         proj_relu=args.relu)
         out = text_npz.replace(".npz", ".pth")
-        torch.save({"epoch": text_epoch, "text_adapter": text_sd}, out)
+        # the reference's resume loads checkpoint['text_optimizer']
+        # UNCONDITIONALLY whenever text_adapter.pth exists
+        # (reference train.py:281) — ship a fresh-Adam-compatible state
+        # (empty per-param state, one group over all tensors) so resume
+        # proceeds with a re-initialized optimizer instead of a KeyError
+        opt_sd = {"state": {}, "param_groups": [{
+            # reference defaults (train.py:202,263-267): load_state_dict
+            # overwrites the live optimizer's hyperparams with these
+            "lr": 1e-5, "betas": (0.5, 0.999), "eps": 1e-8,
+            "weight_decay": 0, "amsgrad": False, "maximize": False,
+            "foreach": None, "capturable": False, "differentiable": False,
+            "fused": None, "params": list(range(len(text_sd))),
+        }]}
+        torch.save({"epoch": text_epoch, "text_adapter": text_sd,
+                    "text_optimizer": opt_sd}, out)
         print(f"wrote {out}")
 
 

@@ -45,8 +45,11 @@ def main(argv=None):
         for cls, recs in by_class.items():
             normal = [r for r in recs if not r["label"]]
             anomalous = [r for r in recs if r["label"]]
-            pool = normal + anomalous if not args.include_anomalous else recs
             if args.include_anomalous:
+                # copy: shuffling by_class's list in place would make each
+                # K-shot file depend on which OTHER --shots ran before it,
+                # breaking per-shot seeded reproducibility
+                pool = list(recs)
                 rng.shuffle(pool)
                 picked = pool[:shot]
             else:

@@ -31,7 +31,7 @@ D, F, HEADS, LAYERS = 1024, 4096, 16, 24
 
 
 def make_inputs(policy):
-    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    ks = jax.random.split(jax.random.PRNGKey(0), 13)
 
     def n(k, shape, s=0.02):
         return jax.random.normal(k, shape, jnp.float32) * s
@@ -42,7 +42,7 @@ def make_inputs(policy):
         "attn": {"w_qkv": n(ks[4], (D, 3 * D)), "b_qkv": n(ks[5], (3 * D,)),
                  "w_out": n(ks[6], (D, D)), "b_out": n(ks[7], (D,))},
         "mlp": {"w_fc": n(ks[8], (D, F)), "b_fc": n(ks[9], (F,)),
-                "w_proj": n(ks[10], (F, D)), "b_proj": n(ks[0], (D,))},
+                "w_proj": n(ks[10], (F, D)), "b_proj": n(ks[12], (D,))},
     }
     cd = policy.compute_dtype
     p = jax.tree.map(lambda a: a.astype(cd) if a.ndim >= 2 else a, p)
@@ -82,14 +82,14 @@ def main():
                     choices=["both", "ref", "fused", "ops"])
     args = ap.parse_args()
     enable_compilation_cache()
-    policy = DtypePolicy.from_name(args.precision)
-    act = L.policy_act(policy)
-    x, p = make_inputs(policy)
     if jax.devices()[0].platform != "tpu":
         sys.exit("microbench_block measures Mosaic-vs-XLA on real TPUs; "
                  "interpret-mode CPU runs of these shapes take hours "
                  "(correctness on CPU is covered by tests/test_fused_block"
                  ".py).")
+    policy = DtypePolicy.from_name(args.precision)
+    act = L.policy_act(policy)
+    x, p = make_inputs(policy)
     interp = False
 
     if args.mode == "ops":

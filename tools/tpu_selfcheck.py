@@ -66,14 +66,17 @@ def main(argv=None):
         "b_out": jnp.asarray(rng.standard_normal(D) * 0.02, jnp.float32),
     }
     x = jnp.asarray(rng.standard_normal((2, S, D)), jnp.float32)
+    # the fp32 XLA reference depends only on vv — compute each ONCE, not
+    # once per precision (each recompute is a compile + run over the relay)
+    wants = {vv: np.asarray(jax.jit(
+        lambda x, p, vv=vv: L.attention(x, p, H, vv=vv,
+                                        policy=DtypePolicy.fp32())
+    )(x, p)) for vv in (False, True)}
     for prec_name, policy, tol in [("fp32", DtypePolicy.fp32(), 5e-5),
                                    ("fp32_high", DtypePolicy.fp32_high(), 5e-4),
                                    ("bf16", DtypePolicy.bf16(), 3e-2)]:
         for vv in (False, True):
-            want = np.asarray(jax.jit(
-                lambda x, p: L.attention(x, p, H, vv=vv,
-                                         policy=DtypePolicy.fp32())
-            )(x, p))
+            want = wants[vv]
             fn = make_attn_fn(H, policy, vv=vv)
             got = np.asarray(jax.jit(fn)(x, p))
             d = np.abs(got.astype(np.float64) - want).max()
