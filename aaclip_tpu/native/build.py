@@ -26,26 +26,39 @@ _img_tried = False
 
 
 def _compile(src: str, out: str, libs=(), force: bool = False) -> Optional[str]:
-    if os.path.isfile(out) and not force \
-            and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out
+    if os.path.isfile(out) and not force:
+        if not os.path.isfile(src):
+            return out  # prebuilt artifact shipped without sources
+        if os.path.getmtime(out) >= os.path.getmtime(src):
+            return out
+    if not os.path.isfile(src):
+        return None
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    # compile to a temp name and rename into place: a g++ killed mid-link
+    # (timeout, Ctrl-C, concurrent build) must never leave a truncated .so
+    # whose fresh mtime caches it as valid forever
+    tmp = f"{out}.tmp-{os.getpid()}"
     libflags = [f"-l{l}" for l in libs]
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-        "-D_GLIBCXX_PARALLEL", "-march=native", src, "-o", out, *libflags,
+        "-D_GLIBCXX_PARALLEL", "-march=native", src, "-o", tmp, *libflags,
     ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError):
-        # retry without native arch / openmp for maximal portability
         try:
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
-                 "-o", out, *libflags],
-                check=True, capture_output=True, timeout=120)
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except (subprocess.SubprocessError, FileNotFoundError):
-            return None
+            # retry without native arch / openmp for maximal portability
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
+                     "-o", tmp, *libflags],
+                    check=True, capture_output=True, timeout=120)
+            except (subprocess.SubprocessError, FileNotFoundError):
+                return None
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 
@@ -68,7 +81,10 @@ def load() -> Optional[ctypes.CDLL]:
         path = build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:  # corrupt/foreign cached artifact: numpy fallback
+            return None
         lib.auroc_ap.restype = ctypes.c_int
         lib.auroc_ap.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),

@@ -33,6 +33,11 @@
 
 namespace {
 
+// Largest accepted decoded image (pixels): generous for any benchmark
+// image, small enough that forged headers cannot drive multi-GB
+// allocations (268 MP ~= 0.8 GB RGB).
+constexpr size_t kMaxPixels = size_t{1} << 28;
+
 constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow's PRECISION_BITS
 
 inline uint8_t clip8(int64_t v) {
@@ -187,6 +192,12 @@ int decode_jpeg(FILE* f, DecodeResult& res) {
   res.w = cinfo.output_width;
   res.h = cinfo.output_height;
   res.ch = 3;
+  // cap dimensions BEFORE allocating: a forged header claiming absurd
+  // sizes must fall back to PIL, not bad_alloc across the FFI boundary
+  if (static_cast<size_t>(res.w) * res.h > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return 5;
+  }
   res.pixels.resize(static_cast<size_t>(res.w) * res.h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row =
@@ -236,6 +247,10 @@ int decode_png(FILE* f, DecodeResult& res) {
     return 4;
   }
   res.ch = ch;
+  if (static_cast<size_t>(res.w) * res.h > kMaxPixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 5;
+  }
   res.pixels.resize(static_cast<size_t>(res.w) * res.h * ch);
   std::vector<png_bytep> rows(res.h);
   for (int y = 0; y < res.h; ++y)
@@ -294,7 +309,7 @@ extern "C" {
 // Decode `path`, convert to RGB, bicubic-resize to out_size x out_size, and
 // write uint8 CHW planes into `out` (3 * out_size * out_size bytes).
 // Returns 0 on success; nonzero = caller must fall back to PIL.
-int load_rgb_resize_chw(const char* path, int out_size, uint8_t* out) {
+int load_rgb_resize_chw(const char* path, int out_size, uint8_t* out) try {
   DecodeResult res;
   const int rc = decode_file(path, res);
   if (rc != 0) return rc;
@@ -311,11 +326,15 @@ int load_rgb_resize_chw(const char* path, int out_size, uint8_t* out) {
     out[2 * plane + i] = hw[3 * i + 2];
   }
   return 0;
+} catch (...) {
+  // a C++ exception (e.g. bad_alloc) must never unwind through the
+  // ctypes FFI boundary — report failure and let the caller use PIL
+  return 100;
 }
 
 // Decode `path`, convert to grayscale (PIL "L"), nearest-resize to
 // out_size x out_size, write raw uint8 values (out_size * out_size bytes).
-int load_gray_resize_nearest(const char* path, int out_size, uint8_t* out) {
+int load_gray_resize_nearest(const char* path, int out_size, uint8_t* out) try {
   DecodeResult res;
   const int rc = decode_file(path, res);
   if (rc != 0) return rc;
@@ -329,6 +348,8 @@ int load_gray_resize_nearest(const char* path, int out_size, uint8_t* out) {
     for (int x = 0; x < out_size; ++x) orow[x] = row[xs[x]];
   }
   return 0;
+} catch (...) {
+  return 100;  // see load_rgb_resize_chw: no unwind across the FFI
 }
 
 }  // extern "C"

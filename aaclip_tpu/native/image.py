@@ -10,6 +10,7 @@ BatchLoader workers decode truly in parallel.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Optional
 
 import numpy as np
@@ -29,7 +30,7 @@ def load_rgb_resize_chw(path: str, size: int) -> Optional[np.ndarray]:
         return None
     out = np.empty((3, size, size), np.uint8)
     rc = lib.load_rgb_resize_chw(
-        path.encode(), ctypes.c_int(size),
+        os.fsencode(path), ctypes.c_int(size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
 
@@ -42,6 +43,6 @@ def load_gray_resize_nearest(path: str, size: int) -> Optional[np.ndarray]:
         return None
     out = np.empty((size, size), np.uint8)
     rc = lib.load_gray_resize_nearest(
-        path.encode(), ctypes.c_int(size),
+        os.fsencode(path), ctypes.c_int(size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None

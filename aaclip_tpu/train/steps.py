@@ -106,7 +106,14 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     act = Lyr.config_act(cfg, policy)
     layers = cfg.vision.layers
     heads = cfg.vision.heads
+    if chunk is not None and chunk < 1:
+        raise ValueError(f"feature chunk must be >= 1, got {chunk}")
     if vv_mode == "batch":
+        if vv_attn_fn is not None:
+            raise ValueError(
+                "a custom vv_attn_fn requires vv_mode='spatial': the "
+                "default batch mode installs the reference-exact "
+                "batch-coupled kernel and would silently replace yours")
         vv_attn_fn = Lyr.make_batch_vv_attn_fn(heads, policy)
     elif vv_mode != "spatial":
         raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")

@@ -414,6 +414,12 @@ def test_stage1_feature_chunking_exact_in_spatial_mode(setup):
     with pytest.raises(ValueError, match="batch-coupled"):
         stage1_features_fn(clip, CFG, surgery_until_layer=2,
                            vv_mode="batch", chunk=2)
+    with pytest.raises(ValueError, match="chunk must be"):
+        stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                           vv_mode="spatial", chunk=-4)
+    with pytest.raises(ValueError, match="custom vv_attn_fn"):
+        stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                           vv_attn_fn=lambda h, p: h)
 
 
 def test_stage1_grads_identical_across_remat_modes(setup):
