@@ -281,7 +281,14 @@ def _scan_json_configs() -> None:
             try:
                 with open(path) as f:
                     payload = json.load(f)
-            except (OSError, json.JSONDecodeError) as e:
+                if not all(k in payload
+                           for k in ("embed_dim", "vision_cfg", "text_cfg")):
+                    continue
+                # schema conversion stays inside the guard: a user file
+                # with the right top-level keys but bad inner fields must
+                # not brick imports either
+                parsed = config_from_json(payload)
+            except Exception as e:
                 if override:
                     # a malformed file in a USER config dir (editor swap
                     # file, half-written experiment) must not brick every
@@ -294,8 +301,7 @@ def _scan_json_configs() -> None:
                 # name the file instead of an opaque import traceback
                 raise RuntimeError(
                     f"could not load model config {path!r}: {e}") from e
-            if all(k in payload for k in ("embed_dim", "vision_cfg", "text_cfg")):
-                MODEL_CONFIGS[name] = config_from_json(payload)
+            MODEL_CONFIGS[name] = parsed
 
 
 _scan_json_configs()

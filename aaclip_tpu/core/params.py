@@ -275,6 +275,9 @@ DEFAULT_CKPT_PATHS = (
     "/root/reference/model/ViT-L-14-336px.pt",
 )
 
+# (path, mtime, arch dims) -> bool; see create_clip_params
+_MATCH_CACHE: dict = {}
+
 
 def find_default_checkpoint() -> Optional[str]:
     # the env var is an explicit user OVERRIDE: it must win over any
@@ -319,17 +322,23 @@ def create_clip_params(cfg: CLIPConfig, *, checkpoint: Optional[str] = None,
     crash on a rig that happens to carry the real ViT-L weights."""
     path = checkpoint or find_default_checkpoint()
     if path is not None and checkpoint is None and not require_pretrained:
-        sd = _load_state_dict(path)
-        if not checkpoint_matches_config(sd, cfg):
+        # cache the match DECISION per (path, mtime, arch): probing needs
+        # a full torch.load, and on a rig that carries the real weights
+        # every tiny-config construction (tests, dryrun) would otherwise
+        # re-deserialize ~1.7 GB just to learn "mismatch, random init"
+        key = (path, os.path.getmtime(path), cfg.vision.width,
+               cfg.vision.layers, cfg.text.width)
+        matches = _MATCH_CACHE.get(key)
+        if matches is None:
+            matches = checkpoint_matches_config(_load_state_dict(path), cfg)
+            _MATCH_CACHE[key] = matches
+        if not matches:
             import logging
             logging.getLogger("aaclip").info(
                 "default checkpoint %s does not match config (width %d, "
                 "%d layers) — using random init", path, cfg.vision.width,
                 cfg.vision.layers)
             path = None
-        else:
-            return jax.tree.map(jnp.asarray,
-                                convert_openai_state_dict(sd, cfg))
     if path is not None:
         return jax.tree.map(jnp.asarray, load_openai_checkpoint(path, cfg))
     if require_pretrained:

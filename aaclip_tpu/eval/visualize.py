@@ -50,14 +50,22 @@ def visualize(pixel_label: np.ndarray, pixel_preds: np.ndarray,
         pr = cv2.cvtColor(preds_u8[idx], cv2.COLOR_GRAY2RGB)
         panel = np.vstack([img, apply_scoremap(img, gt), apply_scoremap(img, pr)])
         fname = rel.replace("/", "_")
+        stem, ext = os.path.splitext(fname)
         if fname in used:
             # two rel paths can flatten to the same name (slash vs
             # underscore placement); never silently overwrite a panel
             # from THIS run (re-runs still replace previous outputs)
-            stem, ext = os.path.splitext(fname)
             k = 1
             while f"{stem}.{k}{ext}" in used:
                 k += 1
             fname = f"{stem}.{k}{ext}"
+        else:
+            # first writer of this stem: drop numbered variants left by a
+            # PREVIOUS run whose collisions no longer exist, so stale
+            # panels cannot masquerade as current output
+            import glob as _glob
+            for old in _glob.glob(os.path.join(
+                    out_dir, _glob.escape(stem) + ".[0-9]*" + ext)):
+                os.unlink(old)
         used.add(fname)
         cv2.imwrite(os.path.join(out_dir, fname), panel)

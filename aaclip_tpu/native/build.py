@@ -15,9 +15,13 @@ from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fast_metrics.cc")
-_OUT = os.path.join(_DIR, "_build", "libfast_metrics.so")
+# ABI-versioned artifact names: bump the suffix whenever a C signature
+# changes (v2 = auroc_ap takes double* scores) so a stale cached .so from
+# an older tree can never be loaded and fed mismatched buffers (mtime
+# checks alone are defeated by rsync -t / tar extraction)
+_OUT = os.path.join(_DIR, "_build", "libfast_metrics_v2.so")
 _IMG_SRC = os.path.join(_DIR, "fast_image.cc")
-_IMG_OUT = os.path.join(_DIR, "_build", "libfast_image.so")
+_IMG_OUT = os.path.join(_DIR, "_build", "libfast_image_v2.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False

@@ -198,7 +198,12 @@ int decode_jpeg(FILE* f, DecodeResult& res) {
     jpeg_destroy_decompress(&cinfo);
     return 5;
   }
-  res.pixels.resize(static_cast<size_t>(res.w) * res.h * 3);
+  try {
+    res.pixels.resize(static_cast<size_t>(res.w) * res.h * 3);
+  } catch (...) {  // bad_alloc under the cap: clean up libjpeg pools first
+    jpeg_destroy_decompress(&cinfo);
+    return 6;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row =
         res.pixels.data() + static_cast<size_t>(cinfo.output_scanline) * res.w * 3;
@@ -251,8 +256,14 @@ int decode_png(FILE* f, DecodeResult& res) {
     png_destroy_read_struct(&png, &info, nullptr);
     return 5;
   }
-  res.pixels.resize(static_cast<size_t>(res.w) * res.h * ch);
-  std::vector<png_bytep> rows(res.h);
+  std::vector<png_bytep> rows;
+  try {
+    res.pixels.resize(static_cast<size_t>(res.w) * res.h * ch);
+    rows.resize(res.h);
+  } catch (...) {  // bad_alloc under the cap: clean up libpng structs first
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 6;
+  }
   for (int y = 0; y < res.h; ++y)
     rows[y] = res.pixels.data() + static_cast<size_t>(y) * res.w * ch;
   png_read_image(png, rows.data());
