@@ -364,6 +364,11 @@ def maybe_make_block_fn(cfg, policy, *, vv: bool = False):
         return None
     if policy.compute_dtype != jnp.bfloat16:
         return None
+    if policy.quant_int8:
+        # int8 also rides bf16 compute, but the fused kernels read weight
+        # refs raw — quantized int8 codes without their dequant scales
+        # would compute garbage
+        return None
     from aaclip_tpu.models import layers as L
 
     return make_block_fn(cfg.vision.heads, policy,

@@ -143,6 +143,16 @@ def main(argv=None):
                      "steps never quantize, so an int8-labeled train bench "
                      "would silently measure the bf16 path (train.py "
                      "rejects int8 for the same reason)")
+    # reject mode-mismatched perf levers instead of silently ignoring them
+    # (the user would believe they measured the flagged configuration)
+    if args.grad_accum > 1 and args.mode != "train":
+        parser.error("--grad_accum applies to --mode train only")
+    if args.feature_chunk and args.mode != "train_stage1":
+        parser.error("--feature_chunk applies to --mode train_stage1 only")
+    if args.remat != "full" and args.mode not in ("train", "train_stage1"):
+        parser.error("--remat applies to the train modes only")
+    if args.vv_mode != "batch" and args.mode != "train_stage1":
+        parser.error("--vv_mode applies to --mode train_stage1 only")
     if args.mode == "train":
         return bench_train(args, cfg, acfg, policy, clip, adapters)
     if args.mode == "train_stage1":
@@ -197,7 +207,8 @@ def main(argv=None):
 
     for _ in range(args.warmup):
         pix, score = predict(image_adapter, images, anchors, M)
-    _sync(pix, score)
+    if args.warmup:
+        _sync(pix, score)
 
     from aaclip_tpu.utils.profiling import profile_trace
 
@@ -208,7 +219,10 @@ def main(argv=None):
         _sync(pix, score)
     elapsed = time.perf_counter() - start
 
-    n_chips = mesh.devices.size if mesh is not None else jax.local_device_count()
+    # without --data_parallel the jitted predict runs on ONE device —
+    # dividing by local_device_count() would misreport per-chip throughput
+    # N-fold on multi-device hosts
+    n_chips = mesh.devices.size if mesh is not None else 1
     maps_per_sec = batch * args.steps / elapsed
     per_chip = maps_per_sec / n_chips
     if args.verbose:
@@ -399,13 +413,20 @@ def bench_train(args, cfg, acfg, policy, clip, adapters):
         state, loss = step(state, images, mask, label, cidx, valid)
         float(loss)
     start = time.perf_counter()
+    prev = None
     for _ in range(args.steps):
         state, loss = step(state, images, mask, label, cidx, valid)
-        float(loss)  # forces completion (the relay's block_until_ready lies)
+        # one-step-late fetch (the production train-loop pattern): the
+        # host fetch of step k-1's loss overlaps step k's device work;
+        # the final fetch below forces completion of the last step
+        # (block_until_ready lies through the relay)
+        if prev is not None:
+            float(prev)
+        prev = loss
+    float(prev)
     elapsed = time.perf_counter() - start
 
-    import jax as _jax
-    per_chip = args.batch_size * args.steps / elapsed / _jax.local_device_count()
+    per_chip = args.batch_size * args.steps / elapsed  # single-device step
     print(json.dumps({
         "metric": "stage2_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -463,14 +484,17 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
         state, loss = step(state, feats, mask, cidx, valid)
         float(loss)
     start = time.perf_counter()
+    prev = None
     for _ in range(args.steps):
         feats = feats_fn(images)
         state, loss = step(state, feats, mask, cidx, valid)
-        float(loss)
+        if prev is not None:  # one-step-late fetch, see bench_train
+            float(prev)
+        prev = loss
+    float(prev)
     elapsed = time.perf_counter() - start
 
-    import jax as _jax
-    per_chip = args.batch_size * args.steps / elapsed / _jax.local_device_count()
+    per_chip = args.batch_size * args.steps / elapsed  # single-device step
     print(json.dumps({
         "metric": "stage1_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),

@@ -60,6 +60,25 @@ def test_bench_infer_int8_precision():
     assert payload["value"] > 0
 
 
+def test_bench_warmup_zero_and_mode_mismatched_flags():
+    """--warmup 0 must measure cold-start instead of NameError'ing, and
+    mode-mismatched perf levers are rejected rather than silently ignored
+    (round-3 review findings)."""
+    base = [a for a in COMMON if a not in ("--warmup", "1")]
+    payload = _run(base + ["--warmup", "0"])
+    assert payload["value"] > 0
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.argv = ['bench.py'] + {COMMON!r} + "
+        "['--mode', 'infer', '--grad_accum', '4']\n"
+        "import bench; bench.main()\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO, env=env, timeout=120)
+    assert r.returncode != 0 and "train only" in r.stderr
+
+
 def test_bench_train_rejects_int8():
     """int8 is inference-only: an int8-labeled train bench would silently
     measure the bf16 path, so bench.py must refuse (round-3 review
