@@ -25,20 +25,28 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default=None,
                    help="where data + checkpoints go (default: a temp dir)")
-    p.add_argument("--model_name", default="tiny-test")
+    p.add_argument("--model_name", default="tiny-test",
+                   help="tiny-test only: the demo hardcodes shallow-tower "
+                        "adapter flags (levels 1 2, adapt_until 1, surgery "
+                        "2) that would silently cripple a real backbone")
     p.add_argument("--img_size", type=int, default=70)
     p.add_argument("--epochs", type=int, default=2,
                    help="image-adapter epochs (each snapshot is evaluated)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
+    if args.model_name != "tiny-test":
+        raise SystemExit(
+            "this zero-asset demo supports --model_name tiny-test only "
+            "(its adapter/surgery flags assume the 3-layer tower); use "
+            "train.py/test.py directly for real backbones")
 
     from aaclip_tpu.data.synthetic import make_synthetic_dataset
 
     root = args.workdir or tempfile.mkdtemp(prefix="aaclip_demo_")
-    data_root, meta_root = make_synthetic_dataset(root, img_px=64)
+    data_root, meta_root = make_synthetic_dataset(root, img_px=args.img_size)
     os.environ["AACLIP_DATA"] = data_root
     os.environ["AACLIP_METADATA"] = meta_root
     save = os.path.join(root, "ckpt")

@@ -152,9 +152,21 @@ def main(argv=None):
             pths[0], "text", n_adapt=args.text_adapt_until)
 
     # ---- image adapter snapshots (reference test.py:172-177) -------------
-    files = sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.npz")))
-    files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.orbax")))
-    files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")))
+    def _snap_epoch(path):
+        # snapshots are image_adapter_{epoch}.{ext} with NO zero padding:
+        # lexicographic order puts 10 before 2, so 10+-epoch runs would
+        # log epoch 9's table LAST (tools read the final table as "the
+        # final epoch") — sort by parsed epoch within each format
+        import re
+        m = re.search(r"image_adapter_(\d+)\.\w+$", path)
+        return int(m.group(1)) if m else -1
+
+    files = sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.npz")),
+                   key=_snap_epoch)
+    files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.orbax")),
+                    key=_snap_epoch)
+    files += sorted(glob.glob(os.path.join(args.save_path, "image_adapter_*.pth")),
+                    key=_snap_epoch)
     if not files:  # not an assert: python -O would silently skip the loop
         raise SystemExit(
             f"image adapter checkpoint not found under {args.save_path!r}")

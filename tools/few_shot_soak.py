@@ -67,6 +67,11 @@ def main(argv=None):
 
     from aaclip_tpu.data.synthetic import make_synthetic_dataset
 
+    if max(args.shots) > 12:
+        raise SystemExit(
+            f"--shots {args.shots}: the synthetic dataset has 12 images "
+            f"per class, so K > 12 would silently truncate to the same "
+            f"12-image support set while reporting a larger shot count")
     root = args.workdir or tempfile.mkdtemp(prefix="aaclip_fewshot_")
     data_root, meta_root = make_synthetic_dataset(
         root, img_px=args.img_size, n_normal=6, n_anomalous=6)

@@ -59,6 +59,9 @@ def main(argv=None):
                     rng.shuffle(anomalous)
                     picked += anomalous[:shot - len(picked)]
             out.extend(picked)
+            if len(picked) < shot:
+                print(f"WARNING: class {cls!r} has only {len(picked)} "
+                      f"records for {shot}-shot (truncated support set)")
         path = os.path.join(meta_dir, f"{shot}-shot.jsonl")
         with open(path, "w") as f:
             for r in out:

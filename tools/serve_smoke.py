@@ -52,6 +52,22 @@ def main(argv=None):
     if args.tiny_adapters:
         cmd += ["--levels", "1", "2", "--image_adapt_until", "1",
                 "--text_adapt_until", "1"]
+    # refuse to run against a STALE server: if something already answers
+    # on the port, the healthz poll below would validate the wrong process
+    # (previous smoke's survivor) while the new child dies unnoticed
+    base_probe = f"http://127.0.0.1:{args.port}"
+    try:
+        urllib.request.urlopen(base_probe + "/healthz", timeout=2)
+        live = True
+    except urllib.error.HTTPError:
+        live = True  # an HTTP error is still something ANSWERING
+    except (urllib.error.URLError, ConnectionError, OSError):
+        live = False  # nothing listening: good
+    if live:
+        raise SystemExit(
+            f"something is already serving on port {args.port} — kill it "
+            f"or pass a different --port")
+
     # child output goes to a FILE, never a PIPE: this loop does not drain
     # the pipe while polling healthz, so a chatty startup (e.g. XLA's
     # per-executable AOT cache-mismatch warnings, ~3KB each) would fill
@@ -102,7 +118,10 @@ def main(argv=None):
 
         stats = json.load(urllib.request.urlopen(base + "/statz", timeout=10))
         print("statz:", stats, flush=True)
-        assert stats["requests"] >= args.requests and stats["errors"] == 0
+        # explicit raises, not asserts: python -O must not turn a failing
+        # smoke into SERVE HTTP SMOKE OK
+        if stats["requests"] < args.requests or stats["errors"] != 0:
+            raise SystemExit(f"statz inconsistent: {stats}")
 
         try:
             urllib.request.urlopen(urllib.request.Request(
@@ -110,11 +129,18 @@ def main(argv=None):
                 data=b"xx", method="POST"), timeout=30)
             raise SystemExit("expected an HTTP error for an unknown class")
         except urllib.error.HTTPError as e:
-            assert 400 <= e.code < 500, e.code
+            if not 400 <= e.code < 500:
+                raise SystemExit(
+                    f"unknown class returned HTTP {e.code}, expected 4xx")
             print(f"unknown class -> HTTP {e.code} (expected 4xx)", flush=True)
         print("SERVE HTTP SMOKE OK")
     finally:
         proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=15)
 
 
 if __name__ == "__main__":
