@@ -11,6 +11,7 @@ documented.
 from __future__ import annotations
 
 import os
+import sys
 
 
 def honor_env_platform() -> None:
@@ -42,3 +43,64 @@ def honor_env_platform() -> None:
                 "JAX_PLATFORMS=%s requested but the %s backend is already "
                 "initialized — call honor_env_platform() before anything "
                 "that touches jax.devices()", plat, actual)
+
+
+def wait_for_devices(timeout_s: float, probe=None) -> bool:
+    """Return True once the JAX backend answers, False on timeout.
+
+    On this rig the axon TPU plugin dials a relay during backend init, and
+    a dead relay makes ``jax.devices()`` hang FOREVER rather than raise
+    (observed during round-3 outages).  Driver-facing entry points (bench)
+    call this with a bound so a dead relay becomes a fast, diagnosable
+    failure instead of an indefinite hang.
+
+    The probe runs in a daemon thread; on timeout the thread is abandoned
+    (it is blocked in native code and cannot be cancelled), so a caller
+    that intends to keep running must treat the backend as poisoned —
+    the CLI wrapper below exits the process instead.
+    """
+    import threading
+
+    if probe is None:
+        def probe():
+            import jax
+            jax.devices()
+
+    done = threading.Event()
+
+    def _run():
+        try:
+            probe()
+        except Exception:
+            pass  # raised-promptly still means "answered"; callers see the
+            # real failure when they touch jax themselves
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_run, daemon=True, name="device-probe")
+    t.start()
+    return done.wait(timeout_s)
+
+
+def probe_devices_or_exit(timeout_s: float | None = None) -> None:
+    """Bound the first backend contact; exit(17) with a diagnostic on hang.
+
+    No-op when the environment pins a CPU platform (tests, virtual meshes)
+    — a CPU backend cannot hang on the relay and probing it would burn a
+    thread for nothing.  Timeout defaults to ``AACLIP_DEVICE_PROBE_TIMEOUT``
+    (seconds, default 900 — a healthy relay answers jax.devices() well
+    under 90 s, so 900 distinguishes "slow" from "down" conservatively).
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and all(p in ("cpu", "") for p in plat.split(",")):
+        return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("AACLIP_DEVICE_PROBE_TIMEOUT", "900"))
+    if not wait_for_devices(timeout_s):
+        sys.stderr.write(
+            f"FATAL: jax.devices() did not answer within {timeout_s:.0f}s — "
+            "the TPU relay is unreachable (a dead relay hangs backend init "
+            "rather than raising). Set JAX_PLATFORMS=cpu to run on CPU, or "
+            "raise AACLIP_DEVICE_PROBE_TIMEOUT if the relay is just slow.\n")
+        sys.stderr.flush()
+        os._exit(17)

@@ -105,8 +105,12 @@ def main(argv=None):
         # inference-only; train/serve modes keep the bf16 fast path)
         args.precision = "int8" if args.mode == "infer" else "bf16"
 
-    from aaclip_tpu.utils.platform import honor_env_platform
+    from aaclip_tpu.utils.platform import (honor_env_platform,
+                                           probe_devices_or_exit)
     honor_env_platform()
+    # Bound the first relay contact: a dead axon relay hangs jax.devices()
+    # forever, and the round driver runs this script unattended.
+    probe_devices_or_exit()
     import jax
     import jax.numpy as jnp
     import numpy as np
