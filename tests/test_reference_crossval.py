@@ -434,3 +434,84 @@ def test_stage1_features_match_reference(crossval):
         policy=cv.policy)
     ours = feats_fn(cv.images)
     assert _maxdiff(ours, cv.ref["stage1"]) < 4e-4  # sum of two unit vectors
+
+
+VIT_B_IMG = 48  # 3x3 grid at patch 16 — smallest ViT-B-16 image size
+
+
+def test_quickgelu_towers_match_reference(tmp_path):
+    """Second-architecture cross-validation: the reference's torch ``CLIP``
+    built with ``quick_gelu=True`` at ViT-B-16 geometry (model/model.py:84,
+    129 — QuickGELU activation in BOTH towers) vs our ``ViT-B-16-quickgelu``
+    zoo config, weights carried through the same public checkpoint interop.
+
+    The main crossval fixture covers the production erf-GELU ViT-L path;
+    this one exercises everything that differs by architecture: the
+    quick_gelu activation wiring (core/config.py::config_act), the
+    shape-sniffing converter on a second geometry (12-layer width-768
+    vision tower, width-512 8-head text tower), the non-square vision
+    projection 768->512, and derived vision heads (width/64 = 12, the
+    reference's CLIPVisionCfg.head_width rule)."""
+    import torch
+
+    cleanup = _stub_modules({"ipdb": {}})
+    sys.path.insert(0, REF)
+    try:
+        from model.model import CLIP
+    finally:
+        sys.path.remove(REF)
+        cleanup()
+
+    from aaclip_tpu.core.config import DtypePolicy, get_config
+
+    cfg = get_config("ViT-B-16-quickgelu", VIT_B_IMG)
+    assert cfg.quick_gelu, "zoo config must carry the quick_gelu flag"
+    policy = DtypePolicy.from_name("fp32")
+
+    torch.manual_seed(21)
+    clip_t = CLIP(
+        embed_dim=cfg.embed_dim,
+        vision_cfg=dict(image_size=VIT_B_IMG, layers=cfg.vision.layers,
+                        width=cfg.vision.width,
+                        patch_size=cfg.vision.patch_size),
+        text_cfg=dict(context_length=cfg.text.context_length,
+                      vocab_size=cfg.text.vocab_size, width=cfg.text.width,
+                      heads=cfg.text.heads, layers=cfg.text.layers),
+        quick_gelu=True,
+    ).eval()
+    mlp_mods = [m.__class__.__name__
+                for m in clip_t.visual.transformer.resblocks[0].mlp]
+    assert "QuickGELU" in mlp_mods, mlp_mods  # really on the quick-gelu path
+
+    from aaclip_tpu.text.bpe import tokenize
+    tokens_np = np.asarray(tokenize(PROMPTS))
+    gen = torch.Generator().manual_seed(22)
+    images_t = torch.randn(BATCH, 3, VIT_B_IMG, VIT_B_IMG, generator=gen)
+
+    taps = (6, 12)
+    with torch.no_grad():
+        pooled_t, taps_t = clip_t.encode_image(images_t, list(taps))
+        text_t = clip_t.encode_text(torch.from_numpy(tokens_np).long())
+
+    ckpt = os.path.join(tmp_path, "vitb16_quickgelu_random.pt")
+    torch.save(clip_t.state_dict(), ckpt)
+    del clip_t
+
+    from aaclip_tpu.core.params import create_clip_params
+    from aaclip_tpu.models.text_model import encode_text
+    from aaclip_tpu.models.vit import encode_image
+
+    clip_params = create_clip_params(cfg, checkpoint=ckpt, policy=policy)
+    pooled, tap_list = encode_image(
+        clip_params["visual"], cfg, np.asarray(images_t.numpy()),
+        out_layers=taps, policy=policy)
+    ours_text = encode_text(clip_params["text"], cfg, tokens_np,
+                            policy=policy)
+
+    scale = float(np.max(np.abs(pooled_t.numpy())))
+    assert _maxdiff(pooled, pooled_t.numpy()) < 5e-4 * max(scale, 1.0)
+    for ours, theirs in zip(tap_list, taps_t):
+        s = float(np.max(np.abs(theirs.numpy())))
+        assert _maxdiff(ours, theirs.numpy()) < 5e-4 * max(s, 1.0)
+    s = float(np.max(np.abs(text_t.numpy())))
+    assert _maxdiff(ours_text, text_t.numpy()) < 5e-4 * max(s, 1.0)
