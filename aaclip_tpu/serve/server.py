@@ -559,6 +559,12 @@ def main(argv=None):
     parser.add_argument("--relu", action="store_true")
     args = parser.parse_args(argv)
 
+    # Engine startup alone takes minutes on the TPU (params + anchors +
+    # bucket precompiles) — bound the FIRST backend contact so a dead
+    # relay is a fast diagnosable exit, not an apparent engine hang.
+    from aaclip_tpu.utils.platform import probe_devices_or_exit
+    probe_devices_or_exit()
+
     engine = InferenceEngine(
         model_name=args.model_name, img_size=args.img_size,
         datasets=tuple(args.datasets), save_path=args.save_path,

@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     args = parser.parse_args(argv)
 
+    from aaclip_tpu.utils.platform import probe_devices_or_exit
+    probe_devices_or_exit()  # dead TPU relay: fast exit, not a silent hang
+
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -156,8 +156,10 @@ def main(argv=None):
     logger = setup_logger("aaclip.train", os.path.join(args.save_path, "train.log"))
     logger.info("args: %s", vars(args))
 
-    from aaclip_tpu.utils.platform import honor_env_platform
+    from aaclip_tpu.utils.platform import (honor_env_platform,
+                                           probe_devices_or_exit)
     honor_env_platform()
+    probe_devices_or_exit()  # dead TPU relay: fast exit, not a silent hang
     import jax
     import jax.numpy as jnp
 
