@@ -116,7 +116,7 @@ class DtypePolicy:
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
     precision: str | None = "highest"
-    fast_act: bool = False  # tanh-approx GELU (saves ~20%% of trunk VPU time)
+    fast_act: bool = False  # tanh-approx GELU (saves ~20% of trunk VPU time)
     # Staged-precision vision trunk (INFERENCE path only — training steps
     # neutralize it to keep the uniform training numerics): the first
     # ``bf16_until`` vision blocks run single-pass bf16 matmuls while the

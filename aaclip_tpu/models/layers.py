@@ -156,7 +156,8 @@ def attention(
 
 
 def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
-                       policy: DtypePolicy = DtypePolicy()) -> jax.Array:
+                       policy: DtypePolicy = DtypePolicy(),
+                       valid=None) -> jax.Array:
     """Reference-exact CLIP-Surgery V-V attention: attends across the BATCH
     at each spatial position.
 
@@ -165,7 +166,7 @@ def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
     tower feeds it seq-first LND tensors (model/transformer.py:528), so in
     the reference the "V-V attention" softmax actually runs over the batch
     samples at each position — stage-1 supervision features mix across the
-    batch and depend on its composition (measured: ~10%% relative feature
+    batch and depend on its composition (measured: ~10% relative feature
     shift from swapping one batchmate; see docs/PARITY.md "V-V attention
     layout quirk").  This function reproduces that behavior exactly; the
     (arguably intended) spatial form is ``attention(vv=True)``.
@@ -193,6 +194,14 @@ def attention_vv_batch(x: jax.Array, p: dict, num_heads: int, *,
         "alhd,blhd->lhab", v.astype(cd), v.astype(cd),
         preferred_element_type=jnp.float32, precision=policy.precision,
     ) * scale
+    if valid is not None:
+        # padded final batch: the reference runs the SMALLER unpadded batch,
+        # i.e. its cross-batch softmax sees only the real samples — mask the
+        # pad rows out of the key axis so valid samples' features match the
+        # reference's tail-batch semantics (pad queries produce garbage and
+        # are excluded from the loss by the same validity mask)
+        scores = jnp.where(valid.astype(bool)[None, None, None, :],
+                           scores, jnp.float32(-1e30))
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "lhab,blhd->alhd", probs.astype(cd), v.astype(cd),
@@ -285,6 +294,14 @@ def norm_matched_blend(x: jax.Array, adapted: jax.Array, weight: float) -> jax.A
     a_norm = jnp.maximum(
         jnp.linalg.norm(adapted, axis=-1, keepdims=True), 1e-12)
     matched = adapted * (x_norm / a_norm)
+    if isinstance(weight, jax.Array):
+        # traced per-layer weight (parallel/pipeline.py): cast the
+        # coefficients to the stream dtype BEFORE blending so the bf16
+        # path arithmetic matches the python-float path above (a traced
+        # f32 weight would otherwise promote the whole blend to f32 and
+        # round once at the end — one-ulp-per-block divergence)
+        one_minus = (1.0 - weight).astype(x.dtype)
+        return weight.astype(x.dtype) * matched + one_minus * x
     return weight * matched + (1.0 - weight) * x
 
 
@@ -328,7 +345,12 @@ def surgery_vv_start(layers: int, surgery_until_layer: int) -> int:
     return max(0, layers - (surgery_until_layer - 1))
 
 
-def make_batch_vv_attn_fn(num_heads: int, policy: DtypePolicy):
+def make_batch_vv_attn_fn(num_heads: int, policy: DtypePolicy, valid=None):
     """attn_fn closure for the reference-exact batch-coupled V-V form
-    (attention_vv_batch) — shared by both stage-1 entry points."""
-    return lambda h, p: attention_vv_batch(h, p, num_heads, policy=policy)
+    (attention_vv_batch) — shared by both stage-1 entry points.
+
+    ``valid`` ([B] 0/1, optional) masks pad rows out of the cross-batch
+    softmax so a padded final batch reproduces the reference's smaller
+    unpadded tail batch for every real sample."""
+    return lambda h, p: attention_vv_batch(h, p, num_heads, policy=policy,
+                                           valid=valid)

@@ -58,7 +58,7 @@ def run_block_range(x: jax.Array, stacked: dict, num_heads: int, *,
     ``remat=True`` wraps each block in jax.checkpoint — REQUIRED for
     training at real sizes: without it the backward pass stores every
     layer's [B, H, S, S] attention probabilities (tens of GB at ViT-L
-    1370-token shapes), blowing HBM.  Rematerialization trades ~33%% extra
+    1370-token shapes), blowing HBM.  Rematerialization trades ~33% extra
     forward FLOPs for O(residual-stream) memory.
 
     ``remat="selective"`` additionally SAVES the named per-block tensors

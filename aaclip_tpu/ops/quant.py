@@ -1,7 +1,7 @@
 """Int8 quantized inference matmuls (``--precision int8``).
 
 The v5e MXU runs int8 x int8 -> int32 at twice the bf16 rate, and the
-non-attention trunk is measured compute-bound at 70-87%% of bf16 peak
+non-attention trunk is measured compute-bound at 70-87% of bf16 peak
 (docs/PERFORMANCE.md), so quantizing the big frozen matmuls buys real
 throughput (measured: the full MLP with dynamic activation quantization
 runs 1.22x its bf16 form at production shapes; model-level numbers in
@@ -12,7 +12,7 @@ Scheme — the standard w8a8 dynamic recipe:
 * **Weights**: symmetric per-output-channel int8 at load time
   (``quantize_block_weights``).  Only the trunk's big matmuls are
   quantized — packed QKV, attention out-projection, both MLP weights
-  (~95%% of trunk matmul FLOPs).  The patch embedding, LayerNorms,
+  (~95% of trunk matmul FLOPs).  The patch embedding, LayerNorms,
   adapters, and the seg/det heads that feed the 100x similarity scores
   stay in the policy dtype: they are cheap and accuracy-critical.
 * **Activations**: symmetric per-token int8 computed on the fly
@@ -23,7 +23,7 @@ Scheme — the standard w8a8 dynamic recipe:
   matmul epilogue.
 
 This is an INFERENCE-ONLY opt-in quality/speed trade (rounding noise is
-~0.4%% per matmul): the reference has no quantized path, training always
+~0.4% per matmul): the reference has no quantized path, training always
 uses the float families, and the task-level quality gate mirrors the
 bf16 fast path's (tests/test_fast_path_quality.py).
 """

@@ -50,10 +50,16 @@ def make_pp_mesh(pp: int, dp: int = 1,
                  num_devices: Optional[int] = None) -> Mesh:
     """``('stage', 'data')`` mesh over the first ``pp * dp`` devices.
 
-    The stage axis is the pipeline ring (laid out first so the per-tick
-    ``ppermute`` hop rides neighbouring ICI links); the data axis
-    (default size 1) replicates the pipeline and shards the batch —
-    ``test.py --pipeline_parallel N --data_parallel``."""
+    The stage axis is the pipeline ring: devices are laid out so that
+    stage-adjacent devices (the per-tick ``ppermute`` hop, which moves the
+    [B_micro, S, D] residual every tick) are NEIGHBOURS in device order
+    for every data-parallel replica — ``mesh.devices[s, d] =
+    devices[d * pp + s]``, i.e. each replica owns a contiguous run of
+    ``pp`` devices.  (A plain ``reshape(pp, dp)`` would place stage
+    neighbours ``dp`` apart, routing every tick across non-adjacent ICI
+    links on real hardware.)  The data axis (default size 1) replicates
+    the pipeline and shards the batch — ``test.py --pipeline_parallel N
+    --data_parallel``."""
     devices = jax.devices()
     n = num_devices or len(devices)
     if pp < 2 or pp > n:
@@ -62,7 +68,7 @@ def make_pp_mesh(pp: int, dp: int = 1,
         raise ValueError(
             f"pipeline dp={dp} needs pp*dp <= {n} devices (pp={pp})")
     return Mesh(
-        np.asarray(devices[:pp * dp]).reshape(pp, dp), ("stage", "data"))
+        np.asarray(devices[:pp * dp]).reshape(dp, pp).T, ("stage", "data"))
 
 
 def _validate(cfg: CLIPConfig, acfg: AdapterConfig, pp: int) -> int:
@@ -123,10 +129,10 @@ def _make_block_body(cfg: CLIPConfig, policy: DtypePolicy, act, attn_fn):
         hh = L.residual_block(hh, b, heads, act=act, policy=policy,
                               attn_fn=attn_fn)
         a = L.simple_adapter(hh, ad, policy)
-        x_norm = jnp.linalg.norm(hh, axis=-1, keepdims=True)
-        a_norm = jnp.maximum(
-            jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
-        blended = wl * (a * (x_norm / a_norm)) + (1.0 - wl) * hh
+        # the shared helper keeps the bf16 blend arithmetic identical to
+        # the single-device path (its traced-weight branch casts the
+        # coefficients to the stream dtype before blending)
+        blended = L.norm_matched_blend(hh, a, wl)
         hh = jnp.where(wl > 0, blended.astype(hh.dtype), hh)
         return hh, None
 
@@ -357,8 +363,18 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
                         jnp.asarray(images), jnp.asarray(anchors),
                         jnp.asarray(M))
 
-    predict.raw = _predict
-    predict.visual = visual_rest
+    def _raw(visual, image_adapter, images, anchors, M):
+        # eval.predict's .raw contract: (visual, adapter, images, anchors,
+        # M) with the FULL visual tree — stage-split the blocks in-trace (a
+        # reshape, free under jit) so the drop-in claim holds for callers
+        # that re-jit the all-arguments form themselves
+        rest = {k: v for k, v in visual.items() if k != "blocks"}
+        return _predict_impl(rest, _stage_split(visual["blocks"], pp, Ls),
+                             image_adapter, images, anchors, M)
+
+    predict.raw = jax.jit(_raw)
+    predict.visual = visual  # full cast tree, like eval.predict's .visual
+    predict.raw_parts = _predict  # pre-staged form predict() itself uses
     predict.blocks_staged = blocks_staged
     predict.mesh = None          # inputs are replicated; jit places them
     predict.pp = pp
@@ -442,6 +458,15 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
                    if k != "blocks"}
     _act = config_act(cfg, policy)
     _body = _make_block_body(cfg, policy, _act, attn_fn)
+    if isinstance(remat, str):
+        # make_stage2_step accepts remat='selective'; silently treating the
+        # string as truthy here would hand a porting caller FULL remat (a
+        # ~35% step-time regression) with no signal — reject like the other
+        # unsupported combinations in this file
+        raise ValueError(
+            f"make_pp_stage2_step supports remat=True/False only, got "
+            f"{remat!r} (selective remat is a make_stage2_step feature; "
+            "the pipeline trainer recomputes whole blocks)")
     if remat:
         _body = jax.checkpoint(_body)
     w_layers = _adapt_weight_vector(cfg, acfg)

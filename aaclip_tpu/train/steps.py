@@ -121,8 +121,7 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     cd_prec = dict(preferred_element_type=jnp.float32,
                    precision=policy.precision)
 
-    @jax.jit
-    def _features(visual, images: jax.Array) -> jax.Array:
+    def _features_impl(visual, images: jax.Array, vv_fn) -> jax.Array:
         cd = policy.compute_dtype
         x = embed(visual, cfg, images, policy)
         # shared prefix: blocks [0, vv_start) are the same in both towers
@@ -133,7 +132,7 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
         xs = run_block_range(
             x, slice_blocks(visual["blocks"], vv_start, layers), heads,
             vv=True, act=act, policy=policy, attn_fn=attn_fn,
-            vv_attn_fn=vv_attn_fn)
+            vv_attn_fn=vv_fn)
         feats = Lyr.layer_norm(xs[:, 1:, :], visual["ln_post"])
         feats = jnp.dot(feats.astype(cd), visual["proj"].astype(cd), **cd_prec)
         # standard tail -> frozen CLS embedding
@@ -145,15 +144,32 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
         cls = Lyr.l2_normalize(cls)
         return Lyr.l2_normalize(feats) + cls[:, None, :]
 
+    _features = jax.jit(
+        lambda visual, images: _features_impl(visual, images, vv_attn_fn))
+    # batch mode only: the cross-batch softmax must see the reference's
+    # SMALLER unpadded tail batch, so a padded final batch masks the pad
+    # rows out of the key axis (valid samples' features then match the
+    # reference's ragged-batch run; spatial features are per-sample and
+    # never need this)
+    _features_masked = jax.jit(
+        lambda visual, images, valid: _features_impl(
+            visual, images, Lyr.make_batch_vv_attn_fn(heads, policy, valid)))
+
     if not chunk:
-        return lambda images: _features(visual, images)
+        def features(images, valid=None):
+            if valid is None or vv_mode != "batch":
+                return _features(visual, images)
+            return _features_masked(visual, images,
+                                    jnp.asarray(valid, jnp.float32))
+        return features
     if vv_mode != "spatial":
         raise ValueError(
             "feature chunking requires vv_mode='spatial': batch-mode "
             "surgery features are batch-coupled (the reference's V-V "
             "layout quirk), so chunked extraction would change them")
 
-    def chunked(images):
+    def chunked(images, valid=None):
+        # spatial mode: features are per-sample, valid is irrelevant
         B = images.shape[0]
         if B <= chunk:
             return _features(visual, images)
@@ -193,9 +209,13 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         )
         anchors = reduce_to_anchors(embeds.reshape(C, S, -1))  # [C, D, 2]
         banchors = anchors[class_idx]                          # [B, D, 2]
+        # precision pinned like every other 100x anchor-score site
+        # (similarity.level_scores, pipeline.py): fp32 feats x fp32 anchors
+        # must not run as single-pass bf16 under the fast policy — the
+        # amplified logits feed the focal/dice losses directly
         scores = 100.0 * jnp.einsum(
             "bld,bdk->blk", feats, banchors,
-            preferred_element_type=jnp.float32, precision=policy.precision)
+            preferred_element_type=jnp.float32, precision="highest")
         d = train_similarity_logit(scores, img)
         seg = LL.seg_loss_from_logit_masked(d, mask, valid)
         orth = LL.orthogonality_loss_masked(banchors, valid)

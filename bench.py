@@ -484,13 +484,13 @@ def bench_train_stage1(args, cfg, acfg, policy, clip, adapters):
                                    "off": False}[args.remat])
     state = init_state(adapters["text"], tx)
     for _ in range(args.warmup):
-        feats = feats_fn(images)
+        feats = feats_fn(images, valid)  # production passes valid (train.py)
         state, loss = step(state, feats, mask, cidx, valid)
         float(loss)
     start = time.perf_counter()
     prev = None
     for _ in range(args.steps):
-        feats = feats_fn(images)
+        feats = feats_fn(images, valid)
         state, loss = step(state, feats, mask, cidx, valid)
         if prev is not None:  # one-step-late fetch, see bench_train
             float(prev)

@@ -134,6 +134,64 @@ def test_pp_blocks_stage_sharded_at_build():
         assert {s.data.shape[0] for s in leaf.addressable_shards} == {1}
 
 
+def test_pp_eval_bf16_no_systematic_excess_error():
+    """The bf16 fast path: the pipeline block body shares
+    layers.norm_matched_blend, whose traced-weight branch casts the blend
+    coefficients to the stream dtype — a traced f32 weight would otherwise
+    promote the blend to f32 and round differently from the single-device
+    path, adding a SYSTEMATIC one-bf16-ulp-per-adapted-block bias on top
+    of ordinary rounding noise.
+
+    Bitwise bf16 equality across the two program structures is not
+    attainable (XLA fuses/reassociates the shard_map and plain-jit
+    programs differently, and every intermediate rounds to bf16), so the
+    contract is: the pipeline's distance to the fp32 reference stays
+    within the single-device bf16 path's own noise band — no extra bias."""
+    clip, image_adapter, images, anchors, M = _setup(CFG, ACFG, batch=4)
+    args = (image_adapter, jnp.asarray(images), jnp.asarray(anchors),
+            jnp.asarray(M))
+    pix_ref, score_ref = make_predict_fn(
+        clip, CFG, ACFG, policy=DtypePolicy.from_name("fp32"))(*args)
+    pix_b, score_b = make_predict_fn(
+        clip, CFG, ACFG, policy=DtypePolicy.bf16())(*args)
+    pp_fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2, n_micro=2,
+                                         policy=DtypePolicy.bf16())
+    pix_p, score_p = pp_fn(image_adapter, images, anchors, M)
+
+    band = np.abs(np.asarray(pix_b) - np.asarray(pix_ref)).max()
+    excess = np.abs(np.asarray(pix_p) - np.asarray(pix_ref)).max()
+    assert excess <= 1.5 * band + 1e-4, (excess, band)
+    sband = np.abs(np.asarray(score_b) - np.asarray(score_ref)).max()
+    sexcess = np.abs(np.asarray(score_p) - np.asarray(score_ref)).max()
+    assert sexcess <= 1.5 * sband + 1e-5, (sexcess, sband)
+
+
+def test_pp_mesh_stage_neighbours_adjacent():
+    """Stage-adjacent devices must be neighbours in device order for every
+    data replica (the per-tick ppermute hop carries the full residual;
+    reshape(pp, dp) would put stage neighbours dp apart on the ring)."""
+    devices = jax.devices()
+    mesh = ppl.make_pp_mesh(2, dp=4)
+    for d in range(4):
+        for s in range(2):
+            assert mesh.devices[s, d] == devices[d * 2 + s]
+
+
+def test_pp_predict_raw_matches_eval_contract():
+    """predict.raw must honor eval.predict's documented all-arguments form
+    (visual, adapter, images, anchors, M) — the drop-in claim includes the
+    re-jit escape hatch, not just the wrapper call."""
+    clip, image_adapter, images, anchors, M = _setup(CFG, ACFG, batch=4)
+    pp_fn = ppl.make_pipeline_predict_fn(clip, CFG, ACFG, pp=2, n_micro=2)
+    pix0, score0 = pp_fn(image_adapter, images, anchors, M)
+    pix1, score1 = pp_fn.raw(pp_fn.visual, image_adapter,
+                             jnp.asarray(images), jnp.asarray(anchors),
+                             jnp.asarray(M))
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(score1), np.asarray(score0),
+                               atol=1e-6)
+
+
 def test_pp_validation():
     clip = create_clip_params(CFG, seed=0)
     with pytest.raises(ValueError, match="must divide the level count"):
@@ -271,6 +329,11 @@ def test_pp_stage2_validation():
     with pytest.raises(ValueError, match="must divide the level count"):
         ppl.make_pp_stage2_step(clip, CFG, ACFG, optax.sgd(1e-3), table,
                                 pp=3)
+    with pytest.raises(ValueError, match="remat=True/False only"):
+        # make_stage2_step accepts 'selective'; treating it as truthy here
+        # would silently hand a porting caller full remat instead
+        ppl.make_pp_stage2_step(clip, CFG, ACFG, optax.sgd(1e-3), table,
+                                pp=2, remat="selective")
     step = ppl.make_pp_stage2_step(clip, CFG, ACFG, optax.sgd(1e-3), table,
                                    pp=2, n_micro=4)
     from aaclip_tpu.train.steps import init_state

@@ -302,6 +302,33 @@ def test_stage1_vv_batch_mode_couples_the_batch(setup):
             assert delta < 1e-5, f"spatial mode must not couple: {delta}"
 
 
+def test_stage1_vv_batch_masked_pad_equals_unpadded_tail(setup):
+    """A padded final stage-1 batch must reproduce the reference's SMALLER
+    unpadded tail batch: the batch-coupled V-V softmax sees only the real
+    samples when the validity mask is passed (without it, pad rows leak
+    into every valid sample's features — the pre-fix behavior)."""
+    clip, _, images, *_ = setup
+    tail = images[:3]                                 # the "real" tail batch
+    padded = jnp.concatenate([tail, images[3:4]])     # + one pad row
+    valid = jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32)
+
+    fn = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                            vv_mode="batch")
+    want = np.asarray(fn(tail))                       # reference semantics
+    got = np.asarray(fn(padded, valid))[:3]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # and the pre-fix failure mode is real: unmasked padded != tail
+    leaky = np.asarray(fn(padded))[:3]
+    assert np.abs(leaky - want).max() > 1e-4
+
+    # spatial mode is per-sample: valid is accepted and irrelevant
+    fs = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                            vv_mode="spatial")
+    np.testing.assert_allclose(np.asarray(fs(padded, valid))[:3],
+                               np.asarray(fs(tail)), atol=1e-5)
+
+
 def test_stage2_grads_identical_across_remat_modes(setup):
     """Rematerialization must not change the math: stage-2 loss and updated
     parameters are identical (recomputed values are deterministic) for

@@ -355,7 +355,10 @@ def main(argv=None):
             for it, batch in enumerate(loader):
                 images, mask, label, class_idx, valid = device_batch(batch)
                 images, mask = maybe_augment(images, mask, 1, epoch, it)
-                feats = feats_fn(images)
+                # valid: a padded final batch must not leak pad rows into
+                # the batch-coupled V-V softmax (reference runs the smaller
+                # unpadded tail batch); spatial mode ignores it
+                feats = feats_fn(images, valid)
                 text_state, loss = step_fn(text_state, feats, mask,
                                            class_idx, valid)
                 if pending is not None:
