@@ -20,6 +20,7 @@ import numpy as np
 from aaclip_tpu.core.config import AdapterConfig, CLIPConfig, DtypePolicy
 from aaclip_tpu.models.vit import adapted_forward
 from aaclip_tpu.ops.similarity import (apply_postproc_matrix,
+                                       collapse_level_scores,
                                        fused_postproc_matrix, image_score,
                                        level_scores)
 
@@ -150,10 +151,9 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         )
         stacked = jnp.stack(seg_tokens)                     # [n, B, L, D]
         scores = level_scores(stacked, anchors)             # [n, B, L, 2]
-        n_levels, B, L, _ = scores.shape
+        _, B, L, _ = scores.shape
         grid = int(round(L ** 0.5))
-        q = (scores[..., 1] - scores[..., 0]).sum(axis=0) * 0.5 + n_levels * 0.5
-        q = q.reshape(B, grid, grid)
+        q = collapse_level_scores(scores).reshape(B, grid, grid)
         pix = apply_postproc_matrix(q, M, precision=_pp_prec)
         return pix, image_score(det, anchors)
 

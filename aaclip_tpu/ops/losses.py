@@ -56,7 +56,10 @@ def seg_loss_probs(probs: jax.Array, mask: jax.Array) -> jax.Array:
 
 def seg_loss_from_logit(d: jax.Array, mask: jax.Array) -> jax.Array:
     """Fused seg loss from the logit-difference map d = logit(abnormal) -
-    logit(normal), [B, H, W]; mask in {0,1} with any broadcastable shape.
+    logit(normal), [B, H, W]; mask must be reshapeable to d.shape (same
+    element count), values in [0, 1] — the focal target follows the
+    reference's int truncation (``target.long()``), so only an exact 1.0
+    counts as anomalous.
 
     Exactly equals ``seg_loss_probs(stack([1-sigmoid(d), sigmoid(d)]), mask)``.
     """
@@ -69,7 +72,9 @@ def seg_loss_from_logit(d: jax.Array, mask: jax.Array) -> jax.Array:
 
 def _focal_terms_from_logit(d: jax.Array, m: jax.Array) -> jax.Array:
     p1 = jax.nn.sigmoid(d)
-    p_t = jnp.where(m > 0.5, p1, 1.0 - p1)
+    # m >= 1.0 mirrors focal_loss_probs's int truncation (the reference's
+    # target.long()): a soft mask value below 1.0 is class 0 in both paths
+    p_t = jnp.where(m >= 1.0, p1, 1.0 - p1)
     pt = (1.0 - 2.0 * _FOCAL_SMOOTH) * p_t + 2.0 * _FOCAL_SMOOTH
     return -((1.0 - pt) ** _FOCAL_GAMMA) * jnp.log(pt)
 

@@ -91,20 +91,36 @@ def eval_anomaly_map(
     n_levels, Bsz, L, _ = seg_tokens.shape
     grid = int(round(L ** 0.5))
     scores = level_scores(seg_tokens, anchors)          # [n, B, L, 2]
-    q = (scores[..., 1] - scores[..., 0]).sum(axis=0)   # [B, L]
-    q = q * 0.5 + (n_levels * 0.5)                      # + n/2 from the +1's
-    q = q.reshape(Bsz, grid, grid)
+    q = collapse_level_scores(scores).reshape(Bsz, grid, grid)
     M = jnp.asarray(fused_postproc_matrix(grid, img_size, domain))
     return apply_postproc_matrix(q, M)
 
 
+def collapse_level_scores(scores: jax.Array) -> jax.Array:
+    """[n_levels, B, L, 2] per-level scores -> [B, L] grid map: the sum over
+    levels of the reference's per-level ``(abnormal + 1 - normal) / 2``
+    (test.py:87-93) — the ``+ n/2`` constant folds out of the per-level
+    ``+1``s because the blur+upsample matrix rows sum to 1.  The ONE
+    definition of this parity-critical collapse; eval/predict routes
+    through it (parallel/pipeline computes the same identity as per-stage
+    partial sums inside shard_map — pinned by its equality tests)."""
+    n_levels = scores.shape[0]
+    return (scores[..., 1] - scores[..., 0]).sum(axis=0) * 0.5 + n_levels * 0.5
+
+
 def image_score(det: jax.Array, anchors: jax.Array) -> jax.Array:
     """Test-time image-level score ``(det . abnormal_anchor + 1) / 2``
-    (reference test.py:83-84)."""
+    (reference test.py:83-84).  Precision pinned like level_scores: under
+    the fp32 parity policy this dot must not run as a default-precision
+    (bf16-pass) TPU matmul."""
     if anchors.ndim == 2:
-        s = det @ anchors[:, 1]
+        s = jnp.einsum("bc,c->b", det, anchors[:, 1],
+                       preferred_element_type=jnp.float32,
+                       precision="highest")
     else:
-        s = jnp.einsum("bc,bc->b", det, anchors[:, :, 1])
+        s = jnp.einsum("bc,bc->b", det, anchors[:, :, 1],
+                       preferred_element_type=jnp.float32,
+                       precision="highest")
     return (s + 1.0) / 2.0
 
 

@@ -41,6 +41,13 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+import os as _os
+
+# request-body allocation cap (bytes): a PNG/JPEG of any sane camera frame
+# is far below this; override via AACLIP_SERVE_MAX_BODY_MB for exotic inputs
+MAX_BODY_BYTES = int(float(_os.environ.get(
+    "AACLIP_SERVE_MAX_BODY_MB", "64")) * 1024 * 1024)
+
 
 class EngineOverloadedError(RuntimeError):
     """Raised by ``submit`` when the request queue is at ``max_queue``:
@@ -137,6 +144,27 @@ class InferenceEngine:
                 _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
                     snaps[-1], adapters["image"])
                 self.untrained = False
+            else:
+                # no per-epoch snapshots: fall back to the rolling
+                # image_adapter.npz/orbax — the file train.py itself treats
+                # as the canonical resume checkpoint (a deployment dir often
+                # carries only the final rolling copy)
+                rolling = ckpt.find_adapter_checkpoint(
+                    os.path.join(save_path, "image_adapter.npz"))
+                if rolling:
+                    _, self.image_adapter, _, _ = \
+                        ckpt.load_adapter_checkpoint_any(
+                            rolling, adapters["image"])
+                    self.untrained = False
+            if not self.untrained and text_adapter is None:
+                # trained image adapters were optimized against ADAPTED-text
+                # anchors (unless --text_epoch 0); serving them with frozen-
+                # text anchors silently degrades quality — say so
+                logging.getLogger("aaclip.serve").warning(
+                    "image adapter loaded but no text_adapter checkpoint "
+                    "under save_path=%r — anchors come from the FROZEN text "
+                    "encoder (only correct for --text_epoch 0 runs)",
+                    save_path)
         if self.untrained:
             # random-init adapters produce syntactically valid but
             # meaningless maps; refuse to pretend otherwise silently
@@ -483,6 +511,14 @@ def make_handler(engine: InferenceEngine):
                 return
             if length <= 0:
                 self._json(400, {"error": "empty body (expected image bytes)"})
+                return
+            if length > MAX_BODY_BYTES:
+                # cap the allocation BEFORE reading: a client-declared
+                # Content-Length otherwise buys an arbitrary buffer per
+                # handler thread — a cheaper DoS than the queue overload
+                # the 429 admission control sheds
+                self._json(413, {"error": f"body {length} bytes exceeds "
+                                          f"the {MAX_BODY_BYTES} limit"})
                 return
             body = self.rfile.read(length)
             try:

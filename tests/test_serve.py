@@ -430,3 +430,66 @@ def test_engine_loads_adapter_checkpoints(tmp_path):
     np.testing.assert_allclose(m3, m2, atol=1e-6)
     ob.shutdown()
     assert not np.allclose(m1, m2)  # different adapters -> different maps
+
+
+def test_engine_falls_back_to_rolling_checkpoint(tmp_path, caplog):
+    """A deployment dir with only the rolling image_adapter.npz (no
+    per-epoch snapshots) must serve the trained adapter, not random init —
+    train.py treats that file as the canonical resume checkpoint.  A
+    trained image adapter WITHOUT a text_adapter checkpoint also warns:
+    the anchors then come from the frozen text encoder."""
+    import logging as _logging
+
+    import jax
+
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    acfg = dict(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    cfg = get_config("tiny-test")
+    trained = init_adapter_params(jax.random.PRNGKey(21), cfg,
+                                  AdapterConfig(**acfg))
+    save_adapter_checkpoint(str(tmp_path / "image_adapter.npz"), 5,
+                            trained["image"])
+    with caplog.at_level(_logging.WARNING, logger="aaclip.serve"):
+        eng = InferenceEngine(model_name="tiny-test", img_size=70,
+                              datasets=("MVTec",), precision="fp32",
+                              max_batch=2, save_path=str(tmp_path),
+                              adapter_cfg=acfg)
+    try:
+        assert not eng.untrained
+        for got, want in zip(jax.tree.leaves(eng.image_adapter),
+                             jax.tree.leaves(trained["image"])):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert any("FROZEN text encoder" in r.message for r in caplog.records)
+    finally:
+        eng.shutdown()
+
+
+def test_http_413_on_oversized_body(server, monkeypatch):
+    """A client-declared Content-Length past the cap is rejected BEFORE
+    the body buffer is allocated (413), so a handful of handler threads
+    cannot exhaust host RAM."""
+    import urllib.error
+    import urllib.request
+
+    import aaclip_tpu.serve.server as srv
+
+    monkeypatch.setattr(srv, "MAX_BODY_BYTES", 100_000)
+    body = b"x" * 200_000
+    req = urllib.request.Request(
+        f"{server}/predict?dataset=MVTec&class_name=bottle", data=body,
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
+    payload = json.loads(e.value.read())
+    assert "exceeds" in payload["error"]
+    # and a normal-sized request still works after the rejection
+    png = _png_bytes(3)
+    req = urllib.request.Request(
+        f"{server}/predict?dataset=MVTec&class_name=bottle&map_stride=10",
+        data=png, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert json.loads(r.read())["image_score"] is not None
