@@ -88,7 +88,7 @@ def eval_anomaly_map(
     Returns [B, img_size, img_size] = the sum over levels of the reference's
     per-level blurred+upsampled ``(abnormal + 1 - normal)/2`` maps.
     """
-    n_levels, Bsz, L, _ = seg_tokens.shape
+    _, Bsz, L, _ = seg_tokens.shape
     grid = int(round(L ** 0.5))
     scores = level_scores(seg_tokens, anchors)          # [n, B, L, 2]
     q = collapse_level_scores(scores).reshape(Bsz, grid, grid)

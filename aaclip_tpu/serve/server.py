@@ -136,9 +136,15 @@ class InferenceEngine:
                 m = re.search(r"image_adapter_(\d+)\.(npz|orbax)$", path)
                 return int(m.group(1)) if m else -1
 
+            # filter, don't just sort: a crash-leftover tmp file
+            # (image_adapter_1.npz.tmp-<pid>.npz) matches the glob but not
+            # the epoch pattern — keeping it would defeat the rolling
+            # fallback below AND feed a truncated file to the loader
             snaps = sorted(
-                glob.glob(os.path.join(save_path, "image_adapter_*.npz"))
-                + glob.glob(os.path.join(save_path, "image_adapter_*.orbax")),
+                (p for p in
+                 glob.glob(os.path.join(save_path, "image_adapter_*.npz"))
+                 + glob.glob(os.path.join(save_path, "image_adapter_*.orbax"))
+                 if _snap_epoch(p) >= 0),
                 key=_snap_epoch)
             if snaps:
                 _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
@@ -519,6 +525,18 @@ def make_handler(engine: InferenceEngine):
                 # the 429 admission control sheds
                 self._json(413, {"error": f"body {length} bytes exceeds "
                                           f"the {MAX_BODY_BYTES} limit"})
+                # drain the in-flight body AFTER responding: closing with
+                # unread data in the receive queue RSTs the socket and the
+                # client sees a connection reset instead of the 413; bound
+                # the drain so an abusive Content-Length cannot hold the
+                # handler thread forever
+                remaining = min(length, 4 * MAX_BODY_BYTES)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(65536, remaining))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self.close_connection = True
                 return
             body = self.rfile.read(length)
             try:

@@ -71,6 +71,32 @@ def test_seg_loss_probs_and_fused_logit_agree():
     np.testing.assert_allclose(via_probs, want, rtol=1e-5)
 
 
+def test_seg_loss_fused_logit_agrees_on_soft_masks():
+    """Non-binary masks: the fused focal target must follow the same int
+    truncation (the reference's ``target.long()``) as the probs path, so a
+    soft mask value in (0.5, 1.0) is class 0 in BOTH — a ``> 0.5`` fused
+    threshold would silently diverge here while staying green on the
+    binary masks every other test uses."""
+    d, probs, mask = _probs_and_mask(seed=5)
+    rng = np.random.default_rng(6)
+    soft = np.where(mask > 0, 1.0,
+                    rng.uniform(0.0, 0.999, mask.shape)).astype(np.float32)
+    assert ((soft > 0.5) & (soft < 1.0)).any()  # the distinguishing band
+    via_probs = float(LL.seg_loss_probs(jnp.asarray(probs), jnp.asarray(soft)))
+    via_logit = float(LL.seg_loss_from_logit(jnp.asarray(d), jnp.asarray(soft)))
+    np.testing.assert_allclose(via_logit, via_probs, rtol=1e-5)
+    # and against the reference torch composition, whose focal target goes
+    # through .long() while dice consumes the soft mask as-is
+    pt = torch.from_numpy(np.moveaxis(probs, 1, -1).reshape(-1, 2))
+    tt = torch.from_numpy(soft.reshape(-1))
+    want = (
+        _torch_focal(pt, tt)
+        + _torch_dice(torch.from_numpy(probs[:, 0]), torch.from_numpy(1 - soft))
+        + _torch_dice(torch.from_numpy(probs[:, 1]), torch.from_numpy(soft))
+    ).item()
+    np.testing.assert_allclose(via_probs, want, rtol=1e-5)
+
+
 def test_cross_entropy_matches_torch():
     rng = np.random.default_rng(3)
     logits = rng.standard_normal((4, 2)).astype(np.float32)

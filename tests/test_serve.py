@@ -467,17 +467,51 @@ def test_engine_falls_back_to_rolling_checkpoint(tmp_path, caplog):
         eng.shutdown()
 
 
+def test_engine_ignores_crash_leftover_tmp_snapshots(tmp_path):
+    """A crash between the rolling save and the snapshot os.replace leaves
+    a truncated image_adapter_1.npz.tmp-<pid>.npz next to a VALID rolling
+    image_adapter.npz.  The tmp name matches the snapshot glob but not the
+    epoch pattern — it must be filtered out (not fed to the loader, and
+    not allowed to defeat the rolling fallback)."""
+    import jax
+
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    acfg = dict(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    cfg = get_config("tiny-test")
+    trained = init_adapter_params(jax.random.PRNGKey(23), cfg,
+                                  AdapterConfig(**acfg))
+    save_adapter_checkpoint(str(tmp_path / "image_adapter.npz"), 7,
+                            trained["image"])
+    (tmp_path / "image_adapter_1.npz.tmp-999.npz").write_bytes(b"trunc")
+    eng = InferenceEngine(model_name="tiny-test", img_size=70,
+                          datasets=("MVTec",), precision="fp32",
+                          max_batch=2, save_path=str(tmp_path),
+                          adapter_cfg=acfg)
+    try:
+        assert not eng.untrained
+        for got, want in zip(jax.tree.leaves(eng.image_adapter),
+                             jax.tree.leaves(trained["image"])):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        eng.shutdown()
+
+
 def test_http_413_on_oversized_body(server, monkeypatch):
     """A client-declared Content-Length past the cap is rejected BEFORE
     the body buffer is allocated (413), so a handful of handler threads
-    cannot exhaust host RAM."""
+    cannot exhaust host RAM.  The body here exceeds kernel socket buffers
+    so the bounded post-response drain is what lets the client read the
+    413 (closing with unread data would RST the socket)."""
     import urllib.error
     import urllib.request
 
     import aaclip_tpu.serve.server as srv
 
-    monkeypatch.setattr(srv, "MAX_BODY_BYTES", 100_000)
-    body = b"x" * 200_000
+    monkeypatch.setattr(srv, "MAX_BODY_BYTES", 1_000_000)
+    body = b"x" * 3_000_000
     req = urllib.request.Request(
         f"{server}/predict?dataset=MVTec&class_name=bottle", data=body,
         method="POST")
