@@ -32,6 +32,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import os
 import queue
 import threading
 import time
@@ -41,12 +42,37 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-import os as _os
-
 # request-body allocation cap (bytes): a PNG/JPEG of any sane camera frame
 # is far below this; override via AACLIP_SERVE_MAX_BODY_MB for exotic inputs
-MAX_BODY_BYTES = int(float(_os.environ.get(
+MAX_BODY_BYTES = int(float(os.environ.get(
     "AACLIP_SERVE_MAX_BODY_MB", "64")) * 1024 * 1024)
+
+
+def _path_digest(path: str, content: bool = True) -> str:
+    """Identity string for a checkpoint path, for anchor-cache keys.
+
+    Small files (adapter npz) hash by content; large ones (the ~900MB CLIP
+    .pt — ``content=False``) and orbax directories key on (path, size,
+    mtime) per entry, the ccache-style compromise.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}|".encode())
+    elif content and os.path.getsize(path) <= 256 * 1024 * 1024:
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+    else:
+        st = os.stat(path)
+        h.update(f"{os.path.abspath(path)}|{st.st_size}|"
+                 f"{st.st_mtime_ns}|".encode())
+    return h.hexdigest()[:24]
 
 
 class EngineOverloadedError(RuntimeError):
@@ -68,7 +94,8 @@ class InferenceEngine:
                  adapter_cfg: Optional[dict] = None,
                  data_parallel: bool = False,
                  precompile: bool = True,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 anchor_cache: Optional[str] = None):
         from aaclip_tpu.utils.platform import honor_env_platform
         honor_env_platform()
         import jax
@@ -113,6 +140,7 @@ class InferenceEngine:
         adapters = init_adapter_params(jax.random.PRNGKey(seed), cfg, acfg,
                                        policy)
         text_adapter = None
+        text_adapter_id = "none"
         self.image_adapter = adapters["image"]
         self.untrained = True  # until a real image-adapter checkpoint loads
         if save_path:
@@ -126,6 +154,7 @@ class InferenceEngine:
             if found:
                 _, text_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
                     found, adapters["text"])
+                text_adapter_id = _path_digest(found)
             import re
 
             def _snap_epoch(path):
@@ -187,17 +216,34 @@ class InferenceEngine:
             clip, cfg, acfg, img_size=img_size, policy=policy,
             attn_fn=attn_fn, uint8_inputs=True, mesh=mesh)
 
-        # anchors + postproc matrices per dataset/class
+        # anchors + postproc matrices per dataset/class.  With anchor_cache
+        # set, anchors load from disk keyed by everything that determines
+        # them (prompts via the token bytes; params provenance, adapter
+        # digest, adapter config, precision, backend here) — on a slow
+        # device link the text tower is minutes of serving cold-start for
+        # a result that is a pure function of those inputs.
         enc = make_anchor_encoder(clip, cfg, acfg, text_adapter, policy=policy)
         from aaclip_tpu.data.registry import DOMAINS
 
+        if anchor_cache:
+            from aaclip_tpu.text.anchors import encode_dataset_anchors_cached
+            clip_id = (_path_digest(clip_checkpoint, content=False)
+                       if clip_checkpoint else f"seed{seed}")
+            identity = "|".join([
+                model_name, f"clip={clip_id}", f"text_ad={text_adapter_id}",
+                f"acfg={acfg!r}", f"policy={policy!r}",
+                f"backend={jax.default_backend()}"])
         self.anchors: Dict[str, Dict[str, np.ndarray]] = {}
         self.postproc: Dict[str, np.ndarray] = {}
         for ds in datasets:
-            self.anchors[ds] = {
-                k: np.asarray(v)
-                for k, v in encode_dataset_anchors(enc, ds).items()
-            }
+            if anchor_cache:
+                self.anchors[ds] = encode_dataset_anchors_cached(
+                    enc, ds, identity, anchor_cache)
+            else:
+                self.anchors[ds] = {
+                    k: np.asarray(v)
+                    for k, v in encode_dataset_anchors(enc, ds).items()
+                }
             self.postproc[ds] = np.asarray(
                 fused_postproc_matrix(cfg.vision.grid, img_size, DOMAINS[ds]))
 
@@ -606,6 +652,14 @@ def main(argv=None):
                              "fail with a 500 timeout (the compile exceeds "
                              "the 30s submit window) and only retries "
                              "succeed — use with a warm persistent cache")
+    parser.add_argument("--anchor_cache", default=os.environ.get(
+                            "AACLIP_ANCHOR_CACHE",
+                            os.path.expanduser("~/.cache/aaclip_tpu/anchors")),
+                        help="disk cache dir for text anchors (content-"
+                             "keyed; cuts minutes of text-tower cold-start "
+                             "on a slow device link). Default from "
+                             "AACLIP_ANCHOR_CACHE; --anchor_cache '' "
+                             "disables")
     parser.add_argument("--levels", type=int, nargs="+",
                         default=[6, 12, 18, 24])
     parser.add_argument("--image_adapt_until", type=int, default=6)
@@ -627,6 +681,7 @@ def main(argv=None):
         clip_checkpoint=args.clip_checkpoint,
         data_parallel=args.data_parallel,
         precompile=not args.no_precompile,
+        anchor_cache=args.anchor_cache or None,
         adapter_cfg=dict(levels=tuple(args.levels),
                          image_adapt_until=args.image_adapt_until,
                          text_adapt_until=args.text_adapt_until,

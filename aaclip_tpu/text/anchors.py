@@ -71,3 +71,58 @@ def encode_dataset_anchors(encode_fn, dataset_name: str,
     embeds = embeds.reshape(C, SENTENCES_PER_CLASS, -1)
     anchors = reduce_to_anchors(embeds)  # [C, D, 2]
     return {name: anchors[i] for i, name in enumerate(names)}
+
+
+# bump when anchor math or the token layout changes in a way the key's
+# inputs cannot see
+_ANCHOR_CACHE_VERSION = 1
+
+
+def encode_dataset_anchors_cached(encode_fn, dataset_name: str,
+                                  identity: str, cache_dir: str,
+                                  class_names: Optional[List[str]] = None
+                                  ) -> Dict[str, np.ndarray]:
+    """Disk-cached :func:`encode_dataset_anchors` (host numpy values).
+
+    Serving cold-start through a slow device link spends minutes in the
+    text tower re-deriving anchors that are a pure function of (prompts,
+    text params, adapter, precision).  The prompts / class list / tokenizer
+    side is captured by hashing the token array itself; everything else
+    must be captured by ``identity`` — the caller is responsible for
+    folding in the text params' provenance (checkpoint file identity or
+    init seed), the adapter checkpoint digest, the adapter config, the
+    precision policy, and the backend platform.  A wrong-identity hit is
+    silent, so over-key rather than under-key.
+
+    Writes are atomic (tmp + os.replace); concurrent engines may race but
+    both write identical bytes.
+    """
+    import hashlib
+    import os
+
+    names = class_names if class_names is not None else CLASS_NAMES[dataset_name]
+    tokens = dataset_prompt_tokens(dataset_name, names)
+    h = hashlib.sha256()
+    h.update(f"v{_ANCHOR_CACHE_VERSION}|{identity}|{dataset_name}|"
+             f"{','.join(names)}|".encode())
+    h.update(np.ascontiguousarray(tokens).tobytes())
+    path = os.path.join(cache_dir, f"anchors_{h.hexdigest()[:32]}.npz")
+    if os.path.exists(path):
+        try:
+            with np.load(path) as z:
+                arr = np.asarray(z["anchors"])
+            if arr.shape[0] == len(names):
+                return {n: arr[i] for i, n in enumerate(names)}
+        except Exception:
+            pass  # corrupt/partial entry: fall through and rebuild it
+    out = encode_dataset_anchors(encode_fn, dataset_name, names)
+    arr = np.stack([np.asarray(out[n]) for n in names])
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}.npz"
+    try:
+        np.savez(tmp, anchors=arr)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return {n: arr[i] for i, n in enumerate(names)}

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 
@@ -273,6 +274,9 @@ def bench_serve(args):
         datasets=("MVTec",), precision=args.precision,
         max_batch=args.batch_size, precompile=True,
         data_parallel=args.data_parallel,
+        # anchors don't affect steady-state throughput; reuse them across
+        # runs to cut relay cold-start when the operator opts in via env
+        anchor_cache=os.environ.get("AACLIP_ANCHOR_CACHE") or None,
         adapter_cfg=(dict(levels=(1, 2), image_adapt_until=1,
                           text_adapt_until=1) if tiny else None))
     rng = np.random.default_rng(0)
