@@ -309,17 +309,18 @@ def checkpoint_matches_config(sd: dict, cfg: CLIPConfig) -> bool:
         return False
 
 
-def create_clip_params(cfg: CLIPConfig, *, checkpoint: Optional[str] = None,
-                       seed: int = 0, require_pretrained: bool = False,
-                       policy: DtypePolicy = DtypePolicy()) -> dict:
-    """Build the frozen CLIP pytree: from a checkpoint when available,
-    otherwise randomly initialized (tests / benchmarking without weights).
+def resolve_clip_checkpoint(cfg: CLIPConfig, checkpoint: Optional[str] = None,
+                            require_pretrained: bool = False
+                            ) -> Optional[str]:
+    """The checkpoint path :func:`create_clip_params` will actually load,
+    or None for random init.
 
-    An EXPLICIT ``checkpoint`` (or ``require_pretrained``) must load or
-    fail.  An implicitly discovered default (AACLIP_CKPT / bundled paths)
-    is used only when its architecture matches ``cfg`` — otherwise e.g.
-    every tiny-test construction (tests, the multichip dryrun) would
-    crash on a rig that happens to carry the real ViT-L weights."""
+    An explicit ``checkpoint`` (or ``require_pretrained``) is returned
+    as-is; an implicitly discovered default (AACLIP_CKPT / bundled paths)
+    only when its architecture matches ``cfg``.  Callers that key derived
+    state on the params' provenance (e.g. the serving anchor cache) MUST
+    use this, not the raw argument — the raw argument being None does not
+    mean random init on a rig that carries discoverable weights."""
     path = checkpoint or find_default_checkpoint()
     if path is not None and checkpoint is None and not require_pretrained:
         # cache the match DECISION per (path, mtime, arch): probing needs
@@ -339,6 +340,21 @@ def create_clip_params(cfg: CLIPConfig, *, checkpoint: Optional[str] = None,
                 "%d layers) — using random init", path, cfg.vision.width,
                 cfg.vision.layers)
             path = None
+    return path
+
+
+def create_clip_params(cfg: CLIPConfig, *, checkpoint: Optional[str] = None,
+                       seed: int = 0, require_pretrained: bool = False,
+                       policy: DtypePolicy = DtypePolicy()) -> dict:
+    """Build the frozen CLIP pytree: from a checkpoint when available,
+    otherwise randomly initialized (tests / benchmarking without weights).
+
+    An EXPLICIT ``checkpoint`` (or ``require_pretrained``) must load or
+    fail.  An implicitly discovered default (AACLIP_CKPT / bundled paths)
+    is used only when its architecture matches ``cfg`` — otherwise e.g.
+    every tiny-test construction (tests, the multichip dryrun) would
+    crash on a rig that happens to carry the real ViT-L weights."""
+    path = resolve_clip_checkpoint(cfg, checkpoint, require_pretrained)
     if path is not None:
         return jax.tree.map(jnp.asarray, load_openai_checkpoint(path, cfg))
     if require_pretrained:

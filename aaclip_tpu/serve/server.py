@@ -58,6 +58,7 @@ def _path_digest(path: str, content: bool = True) -> str:
     import hashlib
 
     h = hashlib.sha256()
+    path = os.path.abspath(path)
     if os.path.isdir(path):
         for root, _, files in sorted(os.walk(path)):
             for f in sorted(files):
@@ -226,13 +227,23 @@ class InferenceEngine:
         from aaclip_tpu.data.registry import DOMAINS
 
         if anchor_cache:
+            from aaclip_tpu.core.params import resolve_clip_checkpoint
             from aaclip_tpu.text.anchors import encode_dataset_anchors_cached
-            clip_id = (_path_digest(clip_checkpoint, content=False)
-                       if clip_checkpoint else f"seed{seed}")
+            # key on the checkpoint create_clip_params actually LOADED —
+            # with no explicit --clip_checkpoint it may have discovered
+            # one (AACLIP_CKPT / bundled weights), and installing or
+            # removing weights between runs must change the key
+            effective_ckpt = resolve_clip_checkpoint(cfg, clip_checkpoint)
+            clip_id = (_path_digest(effective_ckpt, content=False)
+                       if effective_ckpt else f"seed{seed}")
             identity = "|".join([
                 model_name, f"clip={clip_id}", f"text_ad={text_adapter_id}",
                 f"acfg={acfg!r}", f"policy={policy!r}",
-                f"backend={jax.default_backend()}"])
+                # anchors are device-computed numerics: both the library
+                # version and the hardware generation can shift them
+                f"jax={jax.__version__}",
+                f"backend={jax.default_backend()}",
+                f"device={jax.devices()[0].device_kind}"])
         self.anchors: Dict[str, Dict[str, np.ndarray]] = {}
         self.postproc: Dict[str, np.ndarray] = {}
         for ds in datasets:

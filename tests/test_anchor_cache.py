@@ -120,11 +120,13 @@ def test_engine_anchor_cache_roundtrip(tmp_path):
 
 def test_serve_cli_anchor_cache_flag():
     """The flag exists on the real CLI (main() maps '' -> disabled)."""
+    import os
     import subprocess
     import sys
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
-        [sys.executable, "serve.py", "--help"], cwd="/root/repo",
+        [sys.executable, "serve.py", "--help"], cwd=repo,
         capture_output=True, text=True, timeout=120)
     assert out.returncode == 0
     assert "--anchor_cache" in out.stdout

@@ -155,3 +155,29 @@ def test_pos_embed_resized_on_load(sd, tmp_path_factory):
     grid = cfg_big.vision.grid
     assert got["visual"]["positional_embedding"].shape == (
         grid * grid + 1, CFG.vision.width)
+
+
+def test_resolve_clip_checkpoint_reports_effective_path(sd, tmp_path_factory,
+                                                        monkeypatch):
+    """resolve_clip_checkpoint returns what create_clip_params will load —
+    including an implicitly DISCOVERED checkpoint — so provenance-keyed
+    caches (the serving anchor cache) cannot key 'random init' while real
+    weights are silently in use (round-3 review finding)."""
+    import dataclasses
+
+    from aaclip_tpu.core.params import resolve_clip_checkpoint
+
+    monkeypatch.delenv("AACLIP_CKPT", raising=False)
+    path = str(tmp_path_factory.mktemp("ckpt") / "weights.pt")
+    torch.save(sd, path)
+
+    # explicit checkpoint: returned as-is, no arch gate
+    assert resolve_clip_checkpoint(CFG, path) == path
+    other = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, width=32, layers=2))
+    assert resolve_clip_checkpoint(other, path) == path
+
+    # discovery: matching arch resolves, mismatched falls back to None
+    monkeypatch.setenv("AACLIP_CKPT", path)
+    assert resolve_clip_checkpoint(CFG) == path
+    assert resolve_clip_checkpoint(other) is None
