@@ -145,53 +145,16 @@ class InferenceEngine:
         self.image_adapter = adapters["image"]
         self.untrained = True  # until a real image-adapter checkpoint loads
         if save_path:
-            import glob
-            import os
-
             from aaclip_tpu.train import checkpoint as ckpt
 
-            found = ckpt.find_adapter_checkpoint(
-                os.path.join(save_path, "text_adapter.npz"))
-            if found:
-                _, text_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
-                    found, adapters["text"])
-                text_adapter_id = _path_digest(found)
-            import re
-
-            def _snap_epoch(path):
-                # train.py names snapshots image_adapter_{epoch}.npz with
-                # NO zero padding — lexicographic order puts 10 before 2,
-                # which would silently serve a stale adapter on 10+-epoch
-                # runs; sort by the parsed epoch
-                m = re.search(r"image_adapter_(\d+)\.(npz|orbax)$", path)
-                return int(m.group(1)) if m else -1
-
-            # filter, don't just sort: a crash-leftover tmp file
-            # (image_adapter_1.npz.tmp-<pid>.npz) matches the glob but not
-            # the epoch pattern — keeping it would defeat the rolling
-            # fallback below AND feed a truncated file to the loader
-            snaps = sorted(
-                (p for p in
-                 glob.glob(os.path.join(save_path, "image_adapter_*.npz"))
-                 + glob.glob(os.path.join(save_path, "image_adapter_*.orbax"))
-                 if _snap_epoch(p) >= 0),
-                key=_snap_epoch)
-            if snaps:
-                _, self.image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
-                    snaps[-1], adapters["image"])
-                self.untrained = False
+            self.image_adapter, text_adapter, img_path, text_path = \
+                ckpt.discover_serving_adapters(save_path, adapters["image"],
+                                               adapters["text"])
+            if text_path:
+                text_adapter_id = _path_digest(text_path)
             else:
-                # no per-epoch snapshots: fall back to the rolling
-                # image_adapter.npz/orbax — the file train.py itself treats
-                # as the canonical resume checkpoint (a deployment dir often
-                # carries only the final rolling copy)
-                rolling = ckpt.find_adapter_checkpoint(
-                    os.path.join(save_path, "image_adapter.npz"))
-                if rolling:
-                    _, self.image_adapter, _, _ = \
-                        ckpt.load_adapter_checkpoint_any(
-                            rolling, adapters["image"])
-                    self.untrained = False
+                text_adapter = None
+            self.untrained = img_path is None
             if not self.untrained and text_adapter is None:
                 # trained image adapters were optimized against ADAPTED-text
                 # anchors (unless --text_epoch 0); serving them with frozen-

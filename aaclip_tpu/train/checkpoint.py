@@ -222,6 +222,59 @@ def load_adapter_checkpoint_any(path: str, adapter_template,
     return load_adapter_checkpoint(path, adapter_template, opt_state_template)
 
 
+def discover_serving_adapters(save_path: str, image_template, text_template):
+    """Resolve the adapter checkpoints a serving process should load from a
+    training output directory (the reference loads the single epoch named on
+    the CLI, reference test.py:29-37; a deployment dir is resolved instead).
+
+    Returns ``(image_adapter, text_adapter, image_path, text_path)`` where
+    the adapters are the loaded pytrees or the given templates when nothing
+    was found (``image_path``/``text_path`` None in that case — callers use
+    that to flag untrained serving).  Selection rules, shared by the HTTP
+    engine and the artifact exporter:
+
+    * text: the rolling ``text_adapter.npz``/orbax dir.
+    * image: the highest-EPOCH ``image_adapter_{e}`` snapshot — parsed, not
+      lexicographic (10 sorts before 2), skipping crash-leftover tmp files —
+      falling back to the rolling ``image_adapter.npz``/orbax, the canonical
+      resume file (a deployment dir often carries only the final copy).
+    """
+    import glob
+    import re
+
+    text_adapter, text_path = text_template, None
+    found = find_adapter_checkpoint(os.path.join(save_path,
+                                                 "text_adapter.npz"))
+    if found:
+        _, text_adapter, _, _ = load_adapter_checkpoint_any(found,
+                                                            text_template)
+        text_path = found
+
+    def _snap_epoch(path):
+        m = re.search(r"image_adapter_(\d+)\.(npz|orbax)$", path)
+        return int(m.group(1)) if m else -1
+
+    snaps = sorted(
+        (p for p in
+         glob.glob(os.path.join(save_path, "image_adapter_*.npz"))
+         + glob.glob(os.path.join(save_path, "image_adapter_*.orbax"))
+         if _snap_epoch(p) >= 0),
+        key=_snap_epoch)
+    image_adapter, image_path = image_template, None
+    if snaps:
+        _, image_adapter, _, _ = load_adapter_checkpoint_any(snaps[-1],
+                                                             image_template)
+        image_path = snaps[-1]
+    else:
+        rolling = find_adapter_checkpoint(os.path.join(save_path,
+                                                       "image_adapter.npz"))
+        if rolling:
+            _, image_adapter, _, _ = load_adapter_checkpoint_any(
+                rolling, image_template)
+            image_path = rolling
+    return image_adapter, text_adapter, image_path, text_path
+
+
 # ---------------------------------------------------------------------------
 # Reference .pth interop (host-side, uses torch)
 

@@ -1,0 +1,212 @@
+"""Serving-artifact export/load (aaclip_tpu/deploy.py): bit-exact parity
+with the live prediction path, bucket padding, precision-leaf survival,
+trained-adapter wiring, and load-time validation.  The reference has no
+deployment story (each start rebuilds the torch model + prompts, reference
+test.py:29-49); the artifact is the TPU production equivalent."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from aaclip_tpu.deploy import (ARTIFACT_VERSION, export_serving_artifact,
+                               load_serving_artifact)
+
+ACFG = dict(levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+IMG = 70
+SEED = 7
+
+
+def _export(tmp_path, **kw):
+    kw.setdefault("model_name", "tiny-test")
+    kw.setdefault("img_size", IMG)
+    kw.setdefault("precision", "fp32")
+    kw.setdefault("adapter_cfg", ACFG)
+    kw.setdefault("seed", SEED)
+    kw.setdefault("datasets", ("MVTec",))
+    kw.setdefault("batch_sizes", (2, 4))
+    out = str(tmp_path / "artifact")
+    manifest = export_serving_artifact(out, **kw)
+    return out, manifest
+
+
+def _imgs(n, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 255, (n, 3, IMG, IMG), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def exported(tmp_path_factory):
+    out, manifest = _export(tmp_path_factory.mktemp("deploy"))
+    return out, manifest
+
+
+def _live_predict(imgs, class_name="bottle"):
+    """The non-exported path the artifact must reproduce, built exactly as
+    the exporter builds it."""
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+    from aaclip_tpu.data.registry import DOMAINS
+    from aaclip_tpu.eval.predict import make_anchor_encoder, make_predict_fn
+    from aaclip_tpu.ops.similarity import fused_postproc_matrix
+    from aaclip_tpu.text.anchors import encode_dataset_anchors
+
+    policy = DtypePolicy.from_name("fp32")
+    cfg = get_config("tiny-test", IMG)
+    acfg = AdapterConfig(**ACFG)
+    clip = create_clip_params(cfg, seed=SEED, policy=policy)
+    adapters = init_adapter_params(jax.random.PRNGKey(SEED), cfg, acfg,
+                                   policy)
+    pred = make_predict_fn(clip, cfg, acfg, img_size=IMG, policy=policy,
+                           uint8_inputs=True)
+    enc = make_anchor_encoder(clip, cfg, acfg, None, policy=policy)
+    anchors = np.asarray(encode_dataset_anchors(enc, "MVTec")[class_name])
+    M = np.asarray(fused_postproc_matrix(cfg.vision.grid, IMG,
+                                         DOMAINS["MVTec"]))
+    anc = np.broadcast_to(anchors, (imgs.shape[0],) + anchors.shape)
+    pix, score = pred(adapters["image"], imgs, np.asarray(anc, np.float32),
+                      M)
+    return np.asarray(pix), np.asarray(score)
+
+
+def test_artifact_matches_live_path_bit_exactly(exported):
+    out, manifest = exported
+    art = load_serving_artifact(out)
+    imgs = _imgs(4)
+    got_maps, got_scores = art.predict_class(imgs, "MVTec", "bottle")
+    want_maps, want_scores = _live_predict(imgs)
+    np.testing.assert_array_equal(got_maps, want_maps)
+    np.testing.assert_array_equal(got_scores, want_scores)
+    assert manifest["untrained"] is True
+    assert art.untrained is True
+
+
+def test_padding_and_chunking_match_exact_buckets(exported):
+    out, _ = exported
+    art = load_serving_artifact(out)
+    # n=5 with buckets (2,4): chunk of 4 + chunk of 1 padded to 2.
+    # Comparisons stay within one bucket shape: across shapes XLA reduction
+    # order shifts results at float tolerance (true of the live path too).
+    imgs = _imgs(5, seed=3)
+    got_maps, got_scores = art.predict_class(imgs, "MVTec", "bottle")
+    assert got_maps.shape == (5, IMG, IMG) and got_scores.shape == (5,)
+    m4, s4 = art.predict_class(imgs[:4], "MVTec", "bottle")
+    np.testing.assert_array_equal(got_maps[:4], m4)
+    np.testing.assert_array_equal(got_scores[:4], s4)
+    # padding invisibility: the pad lane (edge replica) never leaks into
+    # the valid lane — same bucket, different companion sample
+    other = np.stack([imgs[4], imgs[0]])
+    mo, so = art.predict_class(other, "MVTec", "bottle")
+    np.testing.assert_array_equal(got_maps[4], mo[0])
+    np.testing.assert_array_equal(got_scores[4], so[0])
+
+
+def test_mixed_class_per_sample_anchors(exported):
+    out, _ = exported
+    art = load_serving_artifact(out)
+    imgs = _imgs(2, seed=5)
+    a = np.stack([art.anchors["MVTec"]["bottle"],
+                  art.anchors["MVTec"]["cable"]])
+    maps, scores = art.predict(imgs, a, "MVTec")
+    mb, sb = art.predict_class(imgs[:1], "MVTec", "bottle")
+    mc, sc = art.predict_class(imgs[1:], "MVTec", "cable")
+    np.testing.assert_array_equal(maps[0], mb[0])
+    np.testing.assert_array_equal(maps[1], mc[0])
+    np.testing.assert_array_equal(scores, np.concatenate([sb, sc]))
+
+
+def test_unknown_dataset_and_class_raise(exported):
+    out, _ = exported
+    art = load_serving_artifact(out)
+    with pytest.raises(KeyError, match="VisA"):
+        art.predict_class(_imgs(1), "VisA", "bottle")
+    with pytest.raises(KeyError, match="nope"):
+        art.predict_class(_imgs(1), "MVTec", "nope")
+    with pytest.raises(ValueError, match="empty"):
+        art.predict(_imgs(1)[:0], np.zeros((0, art.embed_dim, 2)), "MVTec")
+
+
+def test_platform_and_version_validation(exported, tmp_path):
+    out, _ = exported
+    import shutil
+
+    bad = str(tmp_path / "badplat")
+    shutil.copytree(out, bad)
+    mpath = os.path.join(bad, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["platforms"] = ["tpu"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="exported for platforms"):
+        load_serving_artifact(bad)
+
+    m["platforms"] = [jax.default_backend()]
+    m["artifact_version"] = ARTIFACT_VERSION + 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="artifact version"):
+        load_serving_artifact(bad)
+
+
+def test_bf16_leaves_survive_and_run(tmp_path):
+    """npz mangles ml_dtypes (void round-trip) — the raw-bytes leaf store
+    must preserve bf16 exactly and the loaded artifact must run."""
+    out, _ = _export(tmp_path, precision="bf16", batch_sizes=(2,))
+    art = load_serving_artifact(out)
+    dtypes = {str(x.dtype) for x in jax.tree.leaves(art.visual)}
+    assert "bfloat16" in dtypes, dtypes
+    maps, scores = art.predict_class(_imgs(2), "MVTec", "bottle")
+    assert maps.shape == (2, IMG, IMG)
+    assert np.isfinite(np.asarray(maps, np.float32)).all()
+
+
+def test_trained_adapters_are_exported(tmp_path):
+    """An adapter checkpoint under save_path changes the artifact's output
+    and clears the untrained flag."""
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    cfg = get_config("tiny-test", IMG)
+    trained = init_adapter_params(jax.random.PRNGKey(999), cfg,
+                                  AdapterConfig(**ACFG),
+                                  DtypePolicy.from_name("fp32"))
+    ckdir = tmp_path / "run"
+    ckdir.mkdir()
+    save_adapter_checkpoint(str(ckdir / "image_adapter_2.npz"), 2,
+                            trained["image"])
+
+    plain_dir, _ = _export(tmp_path / "plain", batch_sizes=(2,))
+    trained_dir, manifest = _export(tmp_path / "trained", batch_sizes=(2,),
+                                    save_path=str(ckdir))
+    assert manifest["untrained"] is False
+    imgs = _imgs(2, seed=9)
+    m0, s0 = load_serving_artifact(plain_dir).predict_class(
+        imgs, "MVTec", "bottle")
+    m1, s1 = load_serving_artifact(trained_dir).predict_class(
+        imgs, "MVTec", "bottle")
+    assert not np.array_equal(m0, m1)
+
+
+def test_export_cli_runs_and_verifies(tmp_path):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "tools/export_artifact.py", "--out",
+         str(tmp_path / "art"), "--model_name", "tiny-test", "--img_size",
+         str(IMG), "--precision", "fp32", "--levels", "1", "2",
+         "--image_adapt_until", "1", "--text_adapt_until", "1",
+         "--batch_sizes", "2", "--verify"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "verify OK" in out.stdout, out.stdout
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["graphs"] == 1 and last["untrained"] is True
+    assert "RANDOM-INIT" in out.stderr
