@@ -89,29 +89,46 @@ class InferenceEngine:
 
     def __init__(self, model_name: str = "ViT-L-14-336", img_size: int = 518,
                  datasets=("MVTec",), save_path: Optional[str] = None,
-                 precision: str = "bf16", max_batch: int = 8,
+                 precision: str = "bf16", max_batch: Optional[int] = 8,
                  batch_window_ms: float = 5.0, seed: int = 111,
                  clip_checkpoint: Optional[str] = None,
                  adapter_cfg: Optional[dict] = None,
                  data_parallel: bool = False,
                  precompile: bool = True,
                  max_queue: Optional[int] = None,
-                 anchor_cache: Optional[str] = None):
+                 anchor_cache: Optional[str] = None,
+                 artifact: Optional[str] = None):
         from aaclip_tpu.utils.platform import honor_env_platform
         honor_env_platform()
         import jax
 
-        from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
-        from aaclip_tpu.core.params import create_clip_params, init_adapter_params
-        from aaclip_tpu.eval.predict import make_anchor_encoder, make_predict_fn
-        from aaclip_tpu.ops.similarity import fused_postproc_matrix
-        from aaclip_tpu.text.anchors import encode_dataset_anchors
         from aaclip_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
         self.img_size = img_size
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
+        if artifact is not None:
+            if data_parallel:
+                raise ValueError(
+                    "--artifact serves frozen single-device graphs; "
+                    "data_parallel needs the live engine (or per-device "
+                    "engines behind a load balancer)")
+            self._dp_devices = 1
+            self.cfg = self.policy = None
+            self._init_from_artifact(artifact, datasets)
+            self._start_runtime(max_queue, precompile)
+            return
+
+        from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+        from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+        from aaclip_tpu.eval.predict import make_anchor_encoder, make_predict_fn
+        from aaclip_tpu.ops.similarity import fused_postproc_matrix
+        from aaclip_tpu.text.anchors import encode_dataset_anchors
+
+        if self.max_batch is None:  # None only means something in artifact
+            self.max_batch = 8      # mode; live keeps the documented default
+        max_batch = self.max_batch
         mesh = None
         if data_parallel:
             # validate BEFORE the expensive param/checkpoint setup: a bad
@@ -221,6 +238,52 @@ class InferenceEngine:
             self.postproc[ds] = np.asarray(
                 fused_postproc_matrix(cfg.vision.grid, img_size, DOMAINS[ds]))
 
+        self._start_runtime(max_queue, precompile)
+
+    def _init_from_artifact(self, artifact: str, datasets) -> None:
+        """Serve a frozen jax.export artifact (aaclip_tpu/deploy.py): no
+        torch, no checkpoint parse, no text tower — load graphs + constants
+        and go.  The engine's power-of-2 buckets must all exist as exported
+        graphs; requests dispatch to the artifact's jit-wrapped calls."""
+        from aaclip_tpu.deploy import load_serving_artifact
+
+        art = load_serving_artifact(artifact)
+        self._artifact = art
+        self.img_size = art.img_size
+        if self.max_batch is None:  # default to the artifact's own shape
+            self.max_batch = art.batch_sizes[-1]
+        need = sorted({self._bucket(n)
+                       for n in range(1, self.max_batch + 1)})
+        missing = [b for b in need if b not in art._fns]
+        if missing:
+            raise ValueError(
+                f"artifact at {artifact!r} lacks graphs for buckets "
+                f"{missing} required by max_batch={self.max_batch} "
+                f"(exported: {art.batch_sizes}) — re-export with "
+                "--batch_sizes covering them or lower --max_batch")
+        want = set(datasets) - set(art.anchors)
+        if want:
+            raise ValueError(
+                f"artifact at {artifact!r} lacks datasets {sorted(want)} "
+                f"(has {sorted(art.anchors)}) — re-export with --datasets")
+        self.anchors = {ds: dict(art.anchors[ds]) for ds in datasets}
+        self.postproc = {ds: art.postproc[ds] for ds in datasets}
+        self.image_adapter = art.image_adapter
+        self.untrained = art.untrained
+        if self.untrained:
+            logging.getLogger("aaclip.serve").warning(
+                "artifact %s carries RANDOM-INIT adapters "
+                "(manifest.untrained=true) — /predict responses are not "
+                "anomaly detections", artifact)
+
+        def _predict(image_adapter, imgs, anch, M):
+            return art._fns[imgs.shape[0]](art.visual, image_adapter,
+                                           imgs, anch, M)
+
+        self._predict = _predict
+
+    def _start_runtime(self, max_queue: Optional[int],
+                       precompile: bool) -> None:
         import jax.numpy as jnp
 
         # postproc matrices live on device once (re-uploading ~77KB per
@@ -235,7 +298,8 @@ class InferenceEngine:
             a0 = np.asarray(next(iter(self.anchors[ds0].values())))
             for b in sorted({self._bucket(n)
                              for n in range(1, self.max_batch + 1)}):
-                imgs = jnp.zeros((b, 3, img_size, img_size), jnp.uint8)
+                imgs = jnp.zeros((b, 3, self.img_size, self.img_size),
+                                 jnp.uint8)
                 anch = jnp.asarray(np.tile(a0[None], (b, 1, 1)))
                 self._predict(self.image_adapter, imgs, anch,
                               self._postproc_dev[ds0])
@@ -243,7 +307,8 @@ class InferenceEngine:
         # admission control: reject (fast-fail) once the backlog exceeds
         # max_queue instead of letting requests pile up to burn their full
         # submit timeout under sustained open-loop overload
-        self.max_queue = max_queue if max_queue is not None else 4 * max_batch
+        self.max_queue = (max_queue if max_queue is not None
+                          else 4 * self.max_batch)
         if self.max_queue < 1:
             raise ValueError(f"max_queue must be >= 1, got {self.max_queue}")
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
@@ -602,6 +667,12 @@ def main(argv=None):
     import argparse
 
     parser = argparse.ArgumentParser(description="aaclip_tpu inference server")
+    parser.add_argument("--artifact", default=None,
+                        help="serve a frozen jax.export artifact directory "
+                             "(tools/export_artifact.py). Model/adapter/"
+                             "precision flags are ignored — the artifact "
+                             "IS the model; --datasets selects among the "
+                             "artifact's bundled datasets")
     parser.add_argument("--model_name", default="ViT-L-14-336")
     parser.add_argument("--img_size", type=int, default=518)
     parser.add_argument("--datasets", nargs="+", default=["MVTec"])
@@ -609,7 +680,10 @@ def main(argv=None):
                         help="adapter checkpoint dir (optional)")
     parser.add_argument("--precision", default="bf16",
                         choices=["fp32", "fp32_high", "bf16", "int8"])
-    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_batch", type=int, default=None,
+                        help="largest micro-batch (default 8; with "
+                             "--artifact, the artifact's largest exported "
+                             "bucket)")
     parser.add_argument("--max_queue", type=int, default=None,
                         help="pending-request cap (default 4 x max_batch); "
                              "submits beyond it fast-fail with HTTP 429")
@@ -647,19 +721,26 @@ def main(argv=None):
     from aaclip_tpu.utils.platform import probe_devices_or_exit
     probe_devices_or_exit()
 
-    engine = InferenceEngine(
-        model_name=args.model_name, img_size=args.img_size,
-        datasets=tuple(args.datasets), save_path=args.save_path,
-        precision=args.precision, max_batch=args.max_batch,
-        max_queue=args.max_queue,
-        clip_checkpoint=args.clip_checkpoint,
-        data_parallel=args.data_parallel,
-        precompile=not args.no_precompile,
-        anchor_cache=args.anchor_cache or None,
-        adapter_cfg=dict(levels=tuple(args.levels),
-                         image_adapt_until=args.image_adapt_until,
-                         text_adapt_until=args.text_adapt_until,
-                         proj_relu=args.relu))
+    if args.artifact:
+        engine = InferenceEngine(
+            artifact=args.artifact, datasets=tuple(args.datasets),
+            max_batch=args.max_batch, max_queue=args.max_queue,
+            data_parallel=args.data_parallel,
+            precompile=not args.no_precompile)
+    else:
+        engine = InferenceEngine(
+            model_name=args.model_name, img_size=args.img_size,
+            datasets=tuple(args.datasets), save_path=args.save_path,
+            precision=args.precision, max_batch=args.max_batch,
+            max_queue=args.max_queue,
+            clip_checkpoint=args.clip_checkpoint,
+            data_parallel=args.data_parallel,
+            precompile=not args.no_precompile,
+            anchor_cache=args.anchor_cache or None,
+            adapter_cfg=dict(levels=tuple(args.levels),
+                             image_adapt_until=args.image_adapt_until,
+                             text_adapt_until=args.text_adapt_until,
+                             proj_relu=args.relu))
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(datasets: {args.datasets})")

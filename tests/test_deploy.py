@@ -210,3 +210,39 @@ def test_export_cli_runs_and_verifies(tmp_path):
     last = json.loads(out.stdout.strip().splitlines()[-1])
     assert last["graphs"] == 1 and last["untrained"] is True
     assert "RANDOM-INIT" in out.stderr
+
+
+def test_engine_serves_artifact(tmp_path):
+    """InferenceEngine(artifact=...) matches the live engine bit-exactly
+    and enforces bucket/dataset coverage."""
+    from aaclip_tpu.serve.server import InferenceEngine
+
+    out, _ = _export(tmp_path, batch_sizes=(1, 2, 4))
+    live = InferenceEngine(model_name="tiny-test", img_size=IMG,
+                           datasets=("MVTec",), precision="fp32",
+                           max_batch=4, seed=SEED, adapter_cfg=ACFG)
+    try:
+        img = _imgs(1, seed=11)[0]
+        want_map, want_score = live.submit(img, "MVTec", "bottle")
+    finally:
+        live.shutdown()
+
+    eng = InferenceEngine(artifact=out, datasets=("MVTec",), max_batch=4)
+    try:
+        assert eng.untrained is True
+        got_map, got_score = eng.submit(img, "MVTec", "bottle")
+    finally:
+        eng.shutdown()
+    np.testing.assert_array_equal(np.asarray(got_map), np.asarray(want_map))
+    assert got_score == want_score
+
+    # bucket coverage: max_batch 8 needs a b=8 graph the artifact lacks
+    with pytest.raises(ValueError, match="lacks graphs"):
+        InferenceEngine(artifact=out, max_batch=8)
+    # dataset coverage
+    with pytest.raises(ValueError, match="lacks datasets"):
+        InferenceEngine(artifact=out, datasets=("MVTec", "VisA"),
+                        max_batch=4)
+    # frozen graphs are single-device programs
+    with pytest.raises(ValueError, match="single-device"):
+        InferenceEngine(artifact=out, max_batch=4, data_parallel=True)
