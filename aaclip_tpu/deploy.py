@@ -137,6 +137,7 @@ def export_serving_artifact(
                                    policy)
     image_adapter, text_adapter = adapters["image"], None
     untrained = True
+    img_path = text_path = None
     if save_path:
         from aaclip_tpu.train import checkpoint as ckpt
 
@@ -146,12 +147,30 @@ def export_serving_artifact(
         if not text_path:
             text_adapter = None
         untrained = img_path is None
+    if img_path and not text_path:
+        # the live engine warns about this per process; an artifact bakes
+        # the frozen-text anchors in FOREVER, so say it loudly at export
+        import logging
+
+        logging.getLogger("aaclip.deploy").warning(
+            "image adapter found but no text_adapter checkpoint under "
+            "save_path=%r — anchors are encoded with the FROZEN text "
+            "encoder and frozen into the artifact (only correct for "
+            "--text_epoch 0 runs)", save_path)
 
     attn_fn = None
     if native_kernels:
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
 
         attn_fn = maybe_make_attn_fn(cfg, policy)
+        if attn_fn is None:
+            raise ValueError(
+                "native_kernels=True but the Pallas attention kernel is "
+                "unavailable on this host backend "
+                f"({jax.default_backend()!r}) — the graph would silently "
+                "fall back to XLA attention while the manifest claims "
+                "otherwise. Export with native kernels from a TPU host, "
+                "or drop the flag (the XLA graph is also the portable one)")
     predict = make_predict_fn(clip, cfg, acfg, img_size=img_size,
                               policy=policy, attn_fn=attn_fn,
                               uint8_inputs=True)
@@ -165,6 +184,12 @@ def export_serving_artifact(
                 for ds in datasets}
 
     os.makedirs(out_dir, exist_ok=True)
+    # re-export into an existing artifact dir: drop the old manifest FIRST,
+    # so a crash mid-rewrite leaves an unloadable dir, never an old
+    # manifest validating a mix of old and new files
+    stale = os.path.join(out_dir, _MANIFEST)
+    if os.path.exists(stale):
+        os.remove(stale)
     visual_leaves: list = []
     visual_skel = _skeletonize(jax.device_get(predict.visual), visual_leaves)
     adapter_leaves: list = []
@@ -174,10 +199,12 @@ def export_serving_artifact(
     if not batch_sizes or batch_sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     platforms = tuple(platforms) if platforms else (jax.default_backend(),)
-    # Mosaic kernels reach StableHLO as tpu_custom_call; exporting them is
-    # an explicit opt-in above, so pre-authorize the target rather than
-    # failing after a full trace
-    checks = [jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    # Mosaic kernels reach StableHLO as tpu_custom_call; pre-authorize the
+    # target ONLY on the explicit opt-in — on the default (advertised as
+    # portable) path the safety check must keep firing if a custom call
+    # ever sneaks into the trace
+    checks = ([jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+              if native_kernels else [])
     D = anchors[datasets[0]][next(iter(anchors[datasets[0]]))].shape[0]
     M_shapes = {postproc[ds].shape for ds in datasets}
     if len(M_shapes) != 1:
@@ -204,6 +231,7 @@ def export_serving_artifact(
         np.savez(os.path.join(out_dir, f"anchors_{ds}.npz"), **anchors[ds])
         np.save(os.path.join(out_dir, f"postproc_{ds}.npy"), postproc[ds])
 
+    effective_ckpt = resolve_clip_checkpoint(cfg, clip_checkpoint)
     manifest = {
         "artifact_version": ARTIFACT_VERSION,
         "jax_version": jax.__version__,
@@ -213,6 +241,13 @@ def export_serving_artifact(
         "platforms": list(platforms), "native_kernels": native_kernels,
         "batch_sizes": batch_sizes, "datasets": list(datasets),
         "graphs": graph_files, "untrained": untrained,
+        # provenance: which weights produced this artifact (paths, not
+        # digests — enough to tell two artifacts apart in an incident)
+        "clip_checkpoint": (os.path.abspath(effective_ckpt)
+                            if effective_ckpt else f"seed{seed}"),
+        "image_adapter_ckpt": os.path.abspath(img_path) if img_path else None,
+        "text_adapter_ckpt": (os.path.abspath(text_path)
+                              if text_path else None),
         "visual_skeleton": visual_skel, "adapter_skeleton": adapter_skel,
     }
     # the manifest is the commit marker: written last, atomically, so a

@@ -252,15 +252,21 @@ class InferenceEngine:
         self.img_size = art.img_size
         if self.max_batch is None:  # default to the artifact's own shape
             self.max_batch = art.batch_sizes[-1]
+        # each engine bucket dispatches to the smallest exported graph that
+        # fits it (equal when the export used the same power-of-2 ladder;
+        # padded up otherwise, e.g. --max_batch 12 over a 16 graph)
         need = sorted({self._bucket(n)
                        for n in range(1, self.max_batch + 1)})
-        missing = [b for b in need if b not in art._fns]
-        if missing:
-            raise ValueError(
-                f"artifact at {artifact!r} lacks graphs for buckets "
-                f"{missing} required by max_batch={self.max_batch} "
-                f"(exported: {art.batch_sizes}) — re-export with "
-                "--batch_sizes covering them or lower --max_batch")
+        graph_for = {}
+        for b in need:
+            fit = [x for x in art.batch_sizes if x >= b]
+            if not fit:
+                raise ValueError(
+                    f"artifact at {artifact!r} lacks graphs for buckets "
+                    f">= {b} required by max_batch={self.max_batch} "
+                    f"(exported: {art.batch_sizes}) — re-export with "
+                    "--batch_sizes covering them or lower --max_batch")
+            graph_for[b] = fit[0]
         want = set(datasets) - set(art.anchors)
         if want:
             raise ValueError(
@@ -277,8 +283,21 @@ class InferenceEngine:
                 "anomaly detections", artifact)
 
         def _predict(image_adapter, imgs, anch, M):
-            return art._fns[imgs.shape[0]](art.visual, image_adapter,
-                                           imgs, anch, M)
+            import jax.numpy as jnp
+
+            b = imgs.shape[0]
+            g = graph_for[b]
+            if g > b:  # pad up to the graph's shape (edge replication —
+                pad = g - b  # never feed l2-normalization a zero lane)
+                imgs = jnp.concatenate(
+                    [imgs, jnp.broadcast_to(imgs[-1:], (pad,) +
+                                            imgs.shape[1:])])
+                anch = jnp.concatenate(
+                    [anch, jnp.broadcast_to(anch[-1:], (pad,) +
+                                            anch.shape[1:])])
+            pix, score = art._fns[g](art.visual, image_adapter, imgs,
+                                     anch, M)
+            return pix[:b], score[:b]
 
         self._predict = _predict
 

@@ -246,3 +246,70 @@ def test_engine_serves_artifact(tmp_path):
     # frozen graphs are single-device programs
     with pytest.raises(ValueError, match="single-device"):
         InferenceEngine(artifact=out, max_batch=4, data_parallel=True)
+
+
+def test_engine_pads_to_larger_exported_bucket(tmp_path):
+    """An artifact exporting only b=4 serves every engine bucket <= 4 by
+    padding up (e.g. single-request batches), instead of demanding a graph
+    per power-of-2."""
+    from aaclip_tpu.serve.server import InferenceEngine
+
+    out, _ = _export(tmp_path, batch_sizes=(4,))
+    eng = InferenceEngine(artifact=out, max_batch=4)
+    try:
+        img = _imgs(1, seed=13)[0]
+        got_map, got_score = eng.submit(img, "MVTec", "bottle")
+    finally:
+        eng.shutdown()
+    art = load_serving_artifact(out)
+    want_map, want_score = art.predict_class(img[None], "MVTec", "bottle")
+    np.testing.assert_array_equal(np.asarray(got_map), want_map[0])
+    assert got_score == want_score[0]
+
+
+def test_manifest_records_provenance(tmp_path):
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    cfg = get_config("tiny-test", IMG)
+    ad = init_adapter_params(jax.random.PRNGKey(1), cfg,
+                             AdapterConfig(**ACFG),
+                             DtypePolicy.from_name("fp32"))
+    ckdir = tmp_path / "run"
+    ckdir.mkdir()
+    save_adapter_checkpoint(str(ckdir / "image_adapter_1.npz"), 1,
+                            ad["image"])
+    out, manifest = _export(tmp_path, batch_sizes=(2,),
+                            save_path=str(ckdir))
+    assert manifest["clip_checkpoint"] == f"seed{SEED}"
+    assert manifest["image_adapter_ckpt"].endswith("image_adapter_1.npz")
+    assert manifest["text_adapter_ckpt"] is None
+
+
+def test_native_kernels_unavailable_raises(tmp_path):
+    """On a non-TPU host the Pallas kernels don't exist; native_kernels
+    must fail loudly rather than writing a manifest that lies."""
+    with pytest.raises(ValueError, match="native_kernels"):
+        _export(tmp_path, batch_sizes=(2,), native_kernels=True)
+
+
+def test_reexport_into_same_dir_refreshes_manifest(tmp_path):
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.train.checkpoint import save_adapter_checkpoint
+
+    out, m0 = _export(tmp_path, batch_sizes=(2,))
+    assert m0["untrained"] is True
+    cfg = get_config("tiny-test", IMG)
+    ad = init_adapter_params(jax.random.PRNGKey(1), cfg,
+                             AdapterConfig(**ACFG),
+                             DtypePolicy.from_name("fp32"))
+    ckdir = tmp_path / "run"
+    ckdir.mkdir()
+    save_adapter_checkpoint(str(ckdir / "image_adapter_1.npz"), 1,
+                            ad["image"])
+    _, m1 = _export(tmp_path, batch_sizes=(2,), save_path=str(ckdir))
+    art = load_serving_artifact(out)
+    assert art.untrained is False
+    assert art.manifest["image_adapter_ckpt"] is not None

@@ -51,6 +51,8 @@ def main(argv=None):
 
     from aaclip_tpu.utils.platform import probe_devices_or_exit
     probe_devices_or_exit()
+    from aaclip_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from aaclip_tpu.deploy import export_serving_artifact
 
