@@ -99,7 +99,14 @@ def main(argv=None):
                         help="infer mode: shard the batch over all local "
                              "devices and report aggregate + per-chip "
                              "throughput (batch_size is per-chip)")
+    parser.add_argument("--artifact", default=None,
+                        help="serve mode: benchmark a frozen jax.export "
+                             "artifact dir (tools/export_artifact.py) "
+                             "instead of the live engine; model/precision "
+                             "flags come from the artifact manifest")
     args = parser.parse_args(argv)
+    if args.artifact and args.mode != "serve":
+        parser.error("--artifact applies to --mode serve only")
     if args.precision is None:
         # headline default: the fastest serving precision whose task
         # metrics are chip-verified identical to bf16's (int8 is
@@ -269,16 +276,25 @@ def bench_serve(args):
     from aaclip_tpu.serve.server import EngineOverloadedError, InferenceEngine
 
     tiny = args.model_name == "tiny-test"
-    engine = InferenceEngine(
-        model_name=args.model_name, img_size=args.img_size,
-        datasets=("MVTec",), precision=args.precision,
-        max_batch=args.batch_size, precompile=True,
-        data_parallel=args.data_parallel,
-        # anchors don't affect steady-state throughput; reuse them across
-        # runs to cut relay cold-start when the operator opts in via env
-        anchor_cache=os.environ.get("AACLIP_ANCHOR_CACHE") or None,
-        adapter_cfg=(dict(levels=(1, 2), image_adapt_until=1,
-                          text_adapt_until=1) if tiny else None))
+    if args.artifact:
+        engine = InferenceEngine(artifact=args.artifact,
+                                 max_batch=args.batch_size, precompile=True,
+                                 data_parallel=args.data_parallel)
+        args.img_size = engine.img_size  # clients must send artifact shapes
+        m = engine._artifact.manifest    # honest labeling in the JSON line
+        args.model_name = m["model_name"]
+        args.precision = f"{m['precision']}+artifact"
+    else:
+        engine = InferenceEngine(
+            model_name=args.model_name, img_size=args.img_size,
+            datasets=("MVTec",), precision=args.precision,
+            max_batch=args.batch_size, precompile=True,
+            data_parallel=args.data_parallel,
+            # anchors don't affect steady-state throughput; reuse them
+            # across runs to cut relay cold-start via the env opt-in
+            anchor_cache=os.environ.get("AACLIP_ANCHOR_CACHE") or None,
+            adapter_cfg=(dict(levels=(1, 2), image_adapt_until=1,
+                              text_adapt_until=1) if tiny else None))
     rng = np.random.default_rng(0)
     classes = ["bottle", "cable"]
     n_imgs = max(args.clients, 1)

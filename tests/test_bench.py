@@ -219,3 +219,33 @@ def test_predict_folder_tool(tmp_path):
     assert lines[0] == "file,image_score" and len(lines) == 4
     assert sorted(p.name for p in out.glob("*_heatmap.png")) == [
         "im0_heatmap.png", "im1_heatmap.png", "im2_heatmap.png"]
+
+
+def test_bench_serve_artifact(tmp_path):
+    """--artifact: bench serve drives a frozen deploy.py artifact; the unit
+    string records the manifest's model/precision with the +artifact tag."""
+    from aaclip_tpu.deploy import export_serving_artifact
+
+    out = str(tmp_path / "art")
+    export_serving_artifact(
+        out, model_name="tiny-test", img_size=70, precision="fp32",
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1),
+        datasets=("MVTec",), batch_sizes=(1, 2, 4))
+    payload = _run(COMMON + ["--mode", "serve", "--artifact", out])
+    assert payload["metric"] == "serve_maps_per_sec_per_chip"
+    assert payload["value"] > 0
+    assert "fp32+artifact" in payload["unit"]
+
+
+def test_bench_artifact_rejected_outside_serve():
+    code = (
+        "import sys; sys.argv = ['bench.py', '--mode', 'infer', "
+        "'--artifact', '/tmp/nope']\n"
+        "import bench; bench.main()\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=REPO,
+                       env=dict(os.environ, JAX_PLATFORMS="cpu"), timeout=120)
+    assert r.returncode != 0
+    assert "--artifact applies to --mode serve only" in r.stderr
