@@ -249,3 +249,44 @@ def test_bench_artifact_rejected_outside_serve():
                        env=dict(os.environ, JAX_PLATFORMS="cpu"), timeout=120)
     assert r.returncode != 0
     assert "--artifact applies to --mode serve only" in r.stderr
+
+
+def test_predict_folder_artifact(tmp_path):
+    """tools/predict_folder.py --artifact: frozen-graph inference over a
+    folder, scores identical to the same artifact's library path."""
+    import numpy as np
+    from PIL import Image
+
+    from aaclip_tpu.deploy import export_serving_artifact
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)
+                        ).save(d / f"im{i}.png")
+    art = str(tmp_path / "art")
+    export_serving_artifact(
+        art, model_name="tiny-test", img_size=70, precision="fp32",
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1),
+        datasets=("MVTec",), batch_sizes=(2,))
+    r = subprocess.run(
+        [sys.executable, "tools/predict_folder.py", str(d),
+         "--class_name", "bottle", "--artifact", art, "--batch_size", "2"],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "RANDOM-INIT" in r.stderr
+    lines = (d / "aaclip_out" / "scores.csv").read_text().strip().split("\n")
+    assert lines[0] == "file,image_score" and len(lines) == 4
+
+    from aaclip_tpu.data.transforms import load_rgb_chw
+    from aaclip_tpu.deploy import load_serving_artifact
+
+    loaded = load_serving_artifact(art)
+    imgs = np.stack([load_rgb_chw(str(d / f"im{i}.png"), 70, uint8=True)
+                     for i in range(2)])
+    _, want = loaded.predict_class(imgs, "MVTec", "bottle")
+    got = [float(l.split(",")[1]) for l in lines[1:3]]
+    np.testing.assert_allclose(got, want, atol=1e-6)

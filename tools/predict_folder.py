@@ -45,6 +45,11 @@ def main(argv=None):
     parser.add_argument("--heatmaps", action="store_true")
     parser.add_argument("--levels", type=int, nargs="+", default=None)
     parser.add_argument("--seed", type=int, default=111)
+    parser.add_argument("--artifact", default=None,
+                        help="run a frozen jax.export artifact dir "
+                             "(tools/export_artifact.py) — model/adapter/"
+                             "precision flags are ignored; --dataset/"
+                             "--class_name select among its anchors")
     args = parser.parse_args(argv)
 
     files = sorted(
@@ -73,59 +78,87 @@ def main(argv=None):
     from aaclip_tpu.ops.similarity import fused_postproc_matrix
     from aaclip_tpu.text.anchors import encode_dataset_anchors
 
-    if args.class_name not in CLASS_NAMES[args.dataset]:
-        parser.error(f"class {args.class_name!r} not in {args.dataset} "
-                     f"registry; have {CLASS_NAMES[args.dataset]}")
+    if args.artifact:
+        from aaclip_tpu.deploy import load_serving_artifact
 
-    policy = DtypePolicy.from_name(args.precision)
-    cfg = get_config(args.model_name, args.img_size)
-    kw = {"levels": tuple(args.levels)} if args.levels else {}
-    acfg = AdapterConfig(**kw)
-    # shallow towers (tiny/test configs): clamp the default adapt depths
-    # to the tower — the trunk rejects adapter stacks deeper than it
-    if acfg.image_adapt_until > cfg.vision.layers:
-        kw["image_adapt_until"] = cfg.vision.layers
-    if acfg.text_adapt_until > cfg.text.layers:
-        kw["text_adapt_until"] = cfg.text.layers
-    acfg = AdapterConfig(**kw)
-    clip = create_clip_params(cfg, seed=args.seed, policy=policy)
-    adapters = init_adapter_params(jax.random.PRNGKey(args.seed), cfg, acfg)
+        art = load_serving_artifact(args.artifact)
+        args.img_size = art.img_size
+        if args.dataset not in art.anchors:
+            parser.error(f"dataset {args.dataset!r} not in artifact "
+                         f"({sorted(art.anchors)})")
+        if args.class_name not in art.anchors[args.dataset]:
+            parser.error(
+                f"class {args.class_name!r} not in artifact dataset "
+                f"{args.dataset} ({sorted(art.anchors[args.dataset])})")
+        if art.untrained:
+            print("WARNING: artifact carries RANDOM-INIT adapters "
+                  "(manifest.untrained=true) — scores are not anomaly "
+                  "detections", file=sys.stderr)
 
-    image_adapter = adapters["image"]
-    text_adapter = None
-    if args.save_path:
-        from aaclip_tpu.train import checkpoint as ckpt
-
-        found = ckpt.find_adapter_checkpoint(
-            os.path.join(args.save_path, "text_adapter.npz"))
-        if found:
-            _, text_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
-                found, adapters["text"])
-        snaps = sorted(
-            glob.glob(os.path.join(args.save_path, "image_adapter_*.npz"))
-            + glob.glob(os.path.join(args.save_path, "image_adapter_*.orbax")))
-        if snaps:
-            _, image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
-                snaps[-1], adapters["image"])
-        else:
-            print("WARNING: no image adapter under --save_path; "
-                  "running zero-shot with random adapters", file=sys.stderr)
+        def predict_batch(imgs_np):
+            return art.predict_class(imgs_np, args.dataset, args.class_name)
     else:
-        print("WARNING: no --save_path; running zero-shot with random "
-              "adapters (scores are not anomaly detections)",
-              file=sys.stderr)
+        if args.class_name not in CLASS_NAMES[args.dataset]:
+            parser.error(f"class {args.class_name!r} not in {args.dataset} "
+                         f"registry; have {CLASS_NAMES[args.dataset]}")
 
-    from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+        policy = DtypePolicy.from_name(args.precision)
+        cfg = get_config(args.model_name, args.img_size)
+        kw = {"levels": tuple(args.levels)} if args.levels else {}
+        acfg = AdapterConfig(**kw)
+        # shallow towers (tiny/test configs): clamp the default adapt
+        # depths to the tower — the trunk rejects deeper adapter stacks
+        if acfg.image_adapt_until > cfg.vision.layers:
+            kw["image_adapt_until"] = cfg.vision.layers
+        if acfg.text_adapt_until > cfg.text.layers:
+            kw["text_adapt_until"] = cfg.text.layers
+        acfg = AdapterConfig(**kw)
+        clip = create_clip_params(cfg, seed=args.seed, policy=policy)
+        adapters = init_adapter_params(jax.random.PRNGKey(args.seed), cfg,
+                                       acfg)
 
-    attn_fn = maybe_make_attn_fn(cfg, policy)
-    predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
-                              policy=policy, attn_fn=attn_fn,
-                              uint8_inputs=True)
-    enc = make_anchor_encoder(clip, cfg, acfg, text_adapter, policy=policy)
-    anchors = jnp.asarray(
-        encode_dataset_anchors(enc, args.dataset)[args.class_name])
-    M = jnp.asarray(fused_postproc_matrix(cfg.vision.grid, args.img_size,
-                                          DOMAINS[args.dataset]))
+        image_adapter = adapters["image"]
+        text_adapter = None
+        if args.save_path:
+            from aaclip_tpu.train import checkpoint as ckpt
+
+            image_adapter, text_adapter, img_path, text_path = \
+                ckpt.discover_serving_adapters(
+                    args.save_path, adapters["image"], adapters["text"])
+            if not text_path:  # keep the frozen text encoder, not a
+                text_adapter = None  # random-init adapter template
+            if not img_path:
+                print("WARNING: no image adapter under --save_path; "
+                      "running zero-shot with random adapters",
+                      file=sys.stderr)
+        else:
+            print("WARNING: no --save_path; running zero-shot with random "
+                  "adapters (scores are not anomaly detections)",
+                  file=sys.stderr)
+
+        from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+
+        attn_fn = maybe_make_attn_fn(cfg, policy)
+        predict = make_predict_fn(clip, cfg, acfg, img_size=args.img_size,
+                                  policy=policy, attn_fn=attn_fn,
+                                  uint8_inputs=True)
+        enc = make_anchor_encoder(clip, cfg, acfg, text_adapter,
+                                  policy=policy)
+        anchors = jnp.asarray(
+            encode_dataset_anchors(enc, args.dataset)[args.class_name])
+        M = jnp.asarray(fused_postproc_matrix(cfg.vision.grid,
+                                              args.img_size,
+                                              DOMAINS[args.dataset]))
+
+        def predict_batch(imgs_np):
+            n = imgs_np.shape[0]
+            if n < args.batch_size:  # pad to the compiled batch shape
+                imgs_np = np.concatenate(
+                    [imgs_np,
+                     np.repeat(imgs_np[-1:], args.batch_size - n, axis=0)])
+            pix, score = predict(image_adapter, jnp.asarray(imgs_np),
+                                 anchors, M)
+            return np.asarray(pix)[:n], np.asarray(score)[:n]
 
     rows = []
     B = args.batch_size
@@ -133,13 +166,7 @@ def main(argv=None):
         chunk = files[start:start + B]
         imgs = np.stack([
             load_rgb_chw(f, args.img_size, uint8=True) for f in chunk])
-        n = imgs.shape[0]
-        if n < B:  # pad to the compiled batch shape
-            imgs = np.concatenate(
-                [imgs, np.repeat(imgs[-1:], B - n, axis=0)])
-        pix, score = predict(image_adapter, jnp.asarray(imgs), anchors, M)
-        pix = np.asarray(pix)[:n]
-        score = np.asarray(score)[:n]
+        pix, score = predict_batch(imgs)
         for f, s, m in zip(chunk, score, pix):
             rows.append((os.path.basename(f), float(s)))
             if args.heatmaps:
@@ -154,7 +181,7 @@ def main(argv=None):
                 name = os.path.splitext(os.path.basename(f))[0]
                 Image.fromarray(panel).save(
                     os.path.join(out_dir, f"{name}_heatmap.png"))
-        print(f"{start + n}/{len(files)} images", file=sys.stderr)
+        print(f"{start + len(chunk)}/{len(files)} images", file=sys.stderr)
 
     csv_path = os.path.join(out_dir, "scores.csv")
     with open(csv_path, "w", newline="") as f:
