@@ -88,7 +88,7 @@ class InferenceEngine:
     micro-batched requests from a queue."""
 
     def __init__(self, model_name: str = "ViT-L-14-336", img_size: int = 518,
-                 datasets=("MVTec",), save_path: Optional[str] = None,
+                 datasets=None, save_path: Optional[str] = None,
                  precision: str = "bf16", max_batch: Optional[int] = 8,
                  batch_window_ms: float = 5.0, seed: int = 111,
                  clip_checkpoint: Optional[str] = None,
@@ -119,6 +119,9 @@ class InferenceEngine:
             self._init_from_artifact(artifact, datasets)
             self._start_runtime(max_queue, precompile)
             return
+        # live engine: anchors are computed, so a dataset list is required
+        # up front (None = the reference's default benchmark)
+        datasets = tuple(datasets) if datasets is not None else ("MVTec",)
 
         from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
         from aaclip_tpu.core.params import create_clip_params, init_adapter_params
@@ -249,6 +252,8 @@ class InferenceEngine:
 
         art = load_serving_artifact(artifact)
         self._artifact = art
+        if datasets is None:  # the artifact IS the dataset selection
+            datasets = tuple(sorted(art.anchors))
         self.img_size = art.img_size
         if self.max_batch is None:  # default to the artifact's own shape
             self.max_batch = art.batch_sizes[-1]
@@ -694,7 +699,10 @@ def main(argv=None):
                              "artifact's bundled datasets")
     parser.add_argument("--model_name", default="ViT-L-14-336")
     parser.add_argument("--img_size", type=int, default=518)
-    parser.add_argument("--datasets", nargs="+", default=["MVTec"])
+    parser.add_argument("--datasets", nargs="+", default=None,
+                        help="datasets to build anchors for (default: "
+                             "MVTec); with --artifact, selects among the "
+                             "bundled datasets (default: all of them)")
     parser.add_argument("--save_path", default=None,
                         help="adapter checkpoint dir (optional)")
     parser.add_argument("--precision", default="bf16",
@@ -740,16 +748,17 @@ def main(argv=None):
     from aaclip_tpu.utils.platform import probe_devices_or_exit
     probe_devices_or_exit()
 
+    datasets = tuple(args.datasets) if args.datasets else None
     if args.artifact:
         engine = InferenceEngine(
-            artifact=args.artifact, datasets=tuple(args.datasets),
+            artifact=args.artifact, datasets=datasets,
             max_batch=args.max_batch, max_queue=args.max_queue,
             data_parallel=args.data_parallel,
             precompile=not args.no_precompile)
     else:
         engine = InferenceEngine(
             model_name=args.model_name, img_size=args.img_size,
-            datasets=tuple(args.datasets), save_path=args.save_path,
+            datasets=datasets, save_path=args.save_path,
             precision=args.precision, max_batch=args.max_batch,
             max_queue=args.max_queue,
             clip_checkpoint=args.clip_checkpoint,
@@ -762,7 +771,7 @@ def main(argv=None):
                              proj_relu=args.relu))
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
-          f"(datasets: {args.datasets})")
+          f"(datasets: {sorted(engine.anchors)})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -296,19 +296,23 @@ def bench_serve(args):
             adapter_cfg=(dict(levels=(1, 2), image_adapt_until=1,
                               text_adapt_until=1) if tiny else None))
     rng = np.random.default_rng(0)
-    classes = ["bottle", "cable"]
+    # live mode builds MVTec anchors; artifact mode serves whatever the
+    # artifact bundled — take classes from the engine either way
+    ds = sorted(engine.anchors)[0]
+    classes = sorted(engine.anchors[ds])[:2]
     n_imgs = max(args.clients, 1)
     imgs = [rng.integers(0, 256, (3, args.img_size, args.img_size),
                          dtype=np.uint8) for _ in range(n_imgs)]
 
     # warmup: one request compiles + fills caches
-    engine.submit(imgs[0], "MVTec", classes[0], timeout=600)
+    engine.submit(imgs[0], ds, classes[0], timeout=600)
 
     if args.open_loop is not None:
         n_ok, elapsed, extra = _serve_open_loop(
-            args, engine, imgs, classes, EngineOverloadedError)
+            args, engine, imgs, ds, classes, EngineOverloadedError)
     else:
-        n_ok, elapsed, extra = _serve_closed_loop(args, engine, imgs, classes)
+        n_ok, elapsed, extra = _serve_closed_loop(args, engine, imgs, ds,
+                                                  classes)
     engine.shutdown()
     stats = engine.stats()
     rate = n_ok / elapsed
@@ -333,7 +337,7 @@ def bench_serve(args):
     }))
 
 
-def _serve_closed_loop(args, engine, imgs, classes):
+def _serve_closed_loop(args, engine, imgs, ds, classes):
     """--clients threads, each resubmitting after its result returns."""
     import threading
 
@@ -342,7 +346,7 @@ def _serve_closed_loop(args, engine, imgs, classes):
 
     def client(i):
         for k in range(per_client):
-            engine.submit(imgs[i], "MVTec", classes[k % len(classes)],
+            engine.submit(imgs[i], ds, classes[k % len(classes)],
                           timeout=600)
             done[i] += 1
 
@@ -357,7 +361,7 @@ def _serve_closed_loop(args, engine, imgs, classes):
     return sum(done), elapsed, f"{args.clients} closed-loop clients"
 
 
-def _serve_open_loop(args, engine, imgs, classes, EngineOverloadedError):
+def _serve_open_loop(args, engine, imgs, ds, classes, EngineOverloadedError):
     """Fixed-rate arrivals for --steps seconds; rejects counted, not
     retried (each arrival is its own thread, as each HTTP request would
     be)."""
@@ -372,7 +376,7 @@ def _serve_open_loop(args, engine, imgs, classes, EngineOverloadedError):
 
     def fire(k):
         try:
-            engine.submit(imgs[k % len(imgs)], "MVTec",
+            engine.submit(imgs[k % len(imgs)], ds,
                           classes[k % len(classes)], timeout=600)
             outcome = "ok"
         except EngineOverloadedError:

@@ -223,7 +223,9 @@ def test_predict_folder_tool(tmp_path):
 
 def test_bench_serve_artifact(tmp_path):
     """--artifact: bench serve drives a frozen deploy.py artifact; the unit
-    string records the manifest's model/precision with the +artifact tag."""
+    string records the manifest's model/precision with the +artifact tag.
+    Exported VisA-only: bench must take dataset/classes from the artifact,
+    not assume the live path's MVTec anchors."""
     from aaclip_tpu.deploy import export_serving_artifact
 
     out = str(tmp_path / "art")
@@ -231,7 +233,7 @@ def test_bench_serve_artifact(tmp_path):
         out, model_name="tiny-test", img_size=70, precision="fp32",
         adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
                          text_adapt_until=1),
-        datasets=("MVTec",), batch_sizes=(1, 2, 4))
+        datasets=("VisA",), batch_sizes=(1, 2, 4))
     payload = _run(COMMON + ["--mode", "serve", "--artifact", out])
     assert payload["metric"] == "serve_maps_per_sec_per_chip"
     assert payload["value"] > 0

@@ -236,6 +236,16 @@ def test_engine_serves_artifact(tmp_path):
     np.testing.assert_array_equal(np.asarray(got_map), np.asarray(want_map))
     assert got_score == want_score
 
+    # datasets=None serves everything the artifact bundled (the CLI
+    # default for --artifact with no --datasets)
+    eng = InferenceEngine(artifact=out, max_batch=4)
+    try:
+        assert sorted(eng.anchors) == ["MVTec"]
+        m, s = eng.submit(img, "MVTec", "bottle")
+    finally:
+        eng.shutdown()
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(want_map))
+
     # bucket coverage: max_batch 8 needs a b=8 graph the artifact lacks
     with pytest.raises(ValueError, match="lacks graphs"):
         InferenceEngine(artifact=out, max_batch=8)
