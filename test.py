@@ -89,7 +89,20 @@ def parse_args(argv=None):
                         help="microbatch count for --pipeline_parallel "
                              "(default = stage count; batch_size must "
                              "divide by it)")
-    return parser.parse_args(argv)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="evaluate a frozen jax.export artifact dir "
+                             "(tools/export_artifact.py) instead of "
+                             "building the model: the exact graphs + "
+                             "weights + anchors that serve.py --artifact "
+                             "would run. Model/adapter/precision flags "
+                             "are ignored; --dataset must be bundled in "
+                             "the artifact. Single-device only")
+    args = parser.parse_args(argv)
+    if args.artifact and (args.data_parallel or args.tensor_parallel > 1
+                          or args.pipeline_parallel > 1):
+        parser.error("--artifact serves frozen single-device graphs; "
+                     "parallel flags need the live model path")
+    return args
 
 
 def main(argv=None):
@@ -123,6 +136,100 @@ def main(argv=None):
     from aaclip_tpu.text.anchors import encode_dataset_anchors
     from aaclip_tpu.train import checkpoint as ckpt
     from aaclip_tpu.utils.profiling import StepTimer
+
+    def _eval_one(predict_fn, image_adapter, label):
+        """One results table (the reference's per-snapshot block,
+        test.py:179-250); reads image_datasets / text_embeddings / domain
+        from the enclosing scope — both the live and the artifact path
+        assign them before calling."""
+        logger.info("-----------------------------------------------")
+        logger.info("load model from epoch %s", label)
+        logger.info("-----------------------------------------------")
+
+        columns = ["class name", "pixel AUC", "pixel AP", "image AUC",
+                   "image AP"]
+        if args.aupro:
+            columns.append("pixel AUPRO")
+        df = DataFrame(columns=columns)
+        timer = StepTimer()
+        for class_name, dataset in image_datasets.items():
+            # per-class size logging (reference dataset/__init__.py:145-148)
+            logger.info("Class name: %s", class_name)
+            logger.info("Sample number: %d", len(dataset))
+            logger.info("=====================================")
+            if len(dataset) == 0:
+                logger.info("skipping empty class %s", class_name)
+                continue
+            loader = BatchLoader(dataset, args.batch_size, shuffle=False,
+                                 num_workers=args.num_workers)
+            masks, labels, preds, preds_image, file_names = \
+                run_class_predictions(
+                    predict_fn, image_adapter, loader,
+                    text_embeddings[class_name], domain,
+                    args.img_size, grid)
+            timer.tick(len(file_names))
+            if args.visualize:
+                visualize(masks, preds, file_names, args.save_path,
+                          args.dataset, class_name)
+            row = metrics_eval(masks, labels, preds, preds_image, class_name,
+                               domain, compute_aupro=args.aupro)
+            df.loc[len(df)] = Series(row)
+        if timer.rate():
+            # rate excludes the first class (its window absorbs compiles)
+            logger.info("eval throughput: %.2f maps/s", timer.rate())
+        for col in df.columns:
+            if col != "class name":
+                df[col] = df[col].astype(float)
+        df.loc[len(df)] = df.mean(numeric_only=True)
+        df.loc[len(df) - 1, "class name"] = "Average"
+        logger.info("final results:\n%s",
+                    df.to_string(index=False, justify="center"))
+        print(df.to_string(index=False, justify="center"))
+        if args.csv:
+            csv_path = os.path.join(args.save_path, f"results_{label}.csv")
+            df.to_csv(csv_path, index=False)
+            logger.info("wrote %s", csv_path)
+
+    if args.artifact:
+        # evaluate the exact frozen bytes that serve.py --artifact runs:
+        # graphs + prepared weights + anchors all come from the artifact,
+        # so this is the deployment-gate check, not a rebuild
+        import numpy as np
+
+        from aaclip_tpu.deploy import load_serving_artifact
+
+        art = load_serving_artifact(args.artifact)
+        if args.dataset not in art.anchors:
+            raise SystemExit(
+                f"dataset {args.dataset!r} not in artifact "
+                f"({sorted(art.anchors)}) — re-export with --datasets")
+        if art.untrained:
+            logger.warning(
+                "artifact %s carries RANDOM-INIT adapters "
+                "(manifest.untrained=true) — metrics are not anomaly "
+                "detection results", args.artifact)
+        args.img_size = art.img_size  # datasets must feed artifact shapes
+        grid = int(art.manifest["grid"])
+        logger.info("artifact manifest: model %s @ %dpx, precision %s, "
+                    "adapters %s", art.manifest["model_name"], art.img_size,
+                    art.manifest["precision"],
+                    art.manifest["image_adapter_ckpt"] or "random-init")
+        domain = DOMAINS[args.dataset]
+        image_datasets = get_test_datasets(args.dataset, args.img_size,
+                                           uint8=True)
+        text_embeddings = art.anchors[args.dataset]
+
+        def predict_fn(image_adapter, imgs, anchors, M):
+            # the artifact's graphs bundle their own postproc matrix; the
+            # M built by run_class_predictions is unused by construction
+            del image_adapter, M
+            imgs = np.asarray(imgs)
+            anc = np.broadcast_to(np.asarray(anchors, np.float32),
+                                  (imgs.shape[0],) + np.shape(anchors))
+            return art.predict(imgs, anc, args.dataset)
+
+        _eval_one(predict_fn, None, "artifact")
+        return
 
     policy = DtypePolicy.from_name(args.precision)
     if args.bf16_until is not None:
@@ -247,6 +354,7 @@ def main(argv=None):
                               policy=policy)
     text_embeddings = encode_dataset_anchors(enc, args.dataset)
 
+    grid = cfg.vision.grid
     for file in files:
         if file.endswith(".npz") or file.endswith(".orbax"):
             test_epoch, image_adapter, _, _ = ckpt.load_adapter_checkpoint_any(
@@ -256,52 +364,7 @@ def main(argv=None):
                 file, "image", n_adapt=args.image_adapt_until,
                 n_levels=len(args.levels))
         image_adapter = jax.tree.map(jax.numpy.asarray, image_adapter)
-        logger.info("-----------------------------------------------")
-        logger.info("load model from epoch %d", test_epoch)
-        logger.info("-----------------------------------------------")
-
-        columns = ["class name", "pixel AUC", "pixel AP", "image AUC", "image AP"]
-        if args.aupro:
-            columns.append("pixel AUPRO")
-        df = DataFrame(columns=columns)
-        timer = StepTimer()
-        for class_name, dataset in image_datasets.items():
-            # per-class size logging (reference dataset/__init__.py:145-148)
-            logger.info("Class name: %s", class_name)
-            logger.info("Sample number: %d", len(dataset))
-            logger.info("=====================================")
-            if len(dataset) == 0:
-                logger.info("skipping empty class %s", class_name)
-                continue
-            loader = BatchLoader(dataset, args.batch_size, shuffle=False,
-                                 num_workers=args.num_workers)
-            masks, labels, preds, preds_image, file_names = run_class_predictions(
-                predict_fn, image_adapter, loader,
-                text_embeddings[class_name], domain,
-                args.img_size, cfg.vision.grid)
-            timer.tick(len(file_names))
-            if args.visualize:
-                visualize(masks, preds, file_names, args.save_path,
-                          args.dataset, class_name)
-            row = metrics_eval(masks, labels, preds, preds_image, class_name,
-                               domain, compute_aupro=args.aupro)
-            df.loc[len(df)] = Series(row)
-        if timer.rate():
-            # rate excludes the first class (its window absorbs compiles)
-            logger.info("eval throughput: %.2f maps/s", timer.rate())
-        for col in df.columns:
-            if col != "class name":
-                df[col] = df[col].astype(float)
-        df.loc[len(df)] = df.mean(numeric_only=True)
-        df.loc[len(df) - 1, "class name"] = "Average"
-        logger.info("final results:\n%s",
-                    df.to_string(index=False, justify="center"))
-        print(df.to_string(index=False, justify="center"))
-        if args.csv:
-            csv_path = os.path.join(args.save_path,
-                                    f"results_{test_epoch}.csv")
-            df.to_csv(csv_path, index=False)
-            logger.info("wrote %s", csv_path)
+        _eval_one(predict_fn, image_adapter, test_epoch)
 
 
 if __name__ == "__main__":

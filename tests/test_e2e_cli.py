@@ -96,6 +96,52 @@ def test_eval_int8_precision_cli(env):
     assert "'precision': 'int8'" in tlog
 
 
+def test_eval_artifact_cli(env):
+    """test.py --artifact evaluates the frozen export of a trained
+    checkpoint — the exact bytes serve.py --artifact runs — and reproduces
+    the live eval's metric table (same uint8 input path, fp32)."""
+    import pandas as pd
+
+    import test as test_cli
+    import train as train_cli
+    from aaclip_tpu.deploy import export_serving_artifact
+
+    save = os.path.join(env, "ckpt_art")
+    train_cli.main(COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "0", "--image_epoch", "1",
+        "--image_batch_size", "8", "--surgery_until_layer", "2",
+    ])
+    test_cli.main(COMMON + [
+        "--save_path", save, "--batch_size", "4", "--csv",
+        "--fused_preprocess",  # the artifact pipeline ships uint8 too
+    ])
+    art = os.path.join(env, "art")
+    export_serving_artifact(
+        art, model_name="tiny-test", img_size=70, precision="fp32",
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1),
+        save_path=save, datasets=("MVTec",), batch_sizes=(1, 2, 4))
+    out = os.path.join(env, "art_results")
+    test_cli.main(["--artifact", art, "--dataset", "MVTec",
+                   "--save_path", out, "--batch_size", "4", "--csv"])
+    tlog = open(os.path.join(out, "test.log")).read()
+    assert "artifact manifest" in tlog and "final results" in tlog
+    live = pd.read_csv(os.path.join(save, "results_1.csv"))
+    frozen = pd.read_csv(os.path.join(out, "results_artifact.csv"))
+    assert list(frozen["class name"]) == list(live["class name"])
+    for col in live.columns:
+        if col != "class name":
+            np.testing.assert_allclose(frozen[col], live[col], atol=1e-6)
+
+
+def test_eval_artifact_rejects_parallel_flags(env):
+    import test as test_cli
+
+    with pytest.raises(SystemExit):
+        test_cli.main(["--artifact", "/tmp/nope", "--data_parallel"])
+
+
 def test_nondefault_img_size(env):
     """img_size != the tiny config's native 70 flows through train + eval
     (static-shape pipeline re-specializes; masks/maps track the size)."""
