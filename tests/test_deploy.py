@@ -164,6 +164,19 @@ def test_bf16_leaves_survive_and_run(tmp_path):
     assert np.isfinite(np.asarray(maps, np.float32)).all()
 
 
+def test_int8_leaves_survive_and_run(tmp_path):
+    """precision=int8 freezes the QUANTIZED trunk (int8 weight leaves +
+    fp32 scales) into the artifact; the loaded graphs must run it."""
+    out, m = _export(tmp_path, precision="int8", batch_sizes=(2,))
+    assert m["precision"] == "int8"
+    art = load_serving_artifact(out)
+    dtypes = {str(x.dtype) for x in jax.tree.leaves(art.visual)}
+    assert "int8" in dtypes, dtypes
+    maps, scores = art.predict_class(_imgs(2), "MVTec", "bottle")
+    assert maps.shape == (2, IMG, IMG)
+    assert np.isfinite(np.asarray(maps, np.float32)).all()
+
+
 def test_trained_adapters_are_exported(tmp_path):
     """An adapter checkpoint under save_path changes the artifact's output
     and clears the untrained flag."""
