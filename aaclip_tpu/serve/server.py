@@ -109,14 +109,15 @@ class InferenceEngine:
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
         if artifact is not None:
-            if data_parallel:
-                raise ValueError(
-                    "--artifact serves frozen single-device graphs; "
-                    "data_parallel needs the live engine (or per-device "
-                    "engines behind a load balancer)")
-            self._dp_devices = 1
+            # frozen graphs are single-device programs, so data_parallel
+            # here means REPLICAS: each device gets its own copy of the
+            # graphs + weights and whole micro-batches dispatch round-robin
+            # (no cross-device collectives, no bucket divisibility rule)
+            self._shard_batches = False
+            devs = list(jax.local_devices()) if data_parallel else None
+            self._dp_devices = len(devs) if devs else 1
             self.cfg = self.policy = None
-            self._init_from_artifact(artifact, datasets)
+            self._init_from_artifact(artifact, datasets, devs)
             self._start_runtime(max_queue, precompile)
             return
         # live engine: anchors are computed, so a dataset list is required
@@ -146,6 +147,7 @@ class InferenceEngine:
                     f"max_batch {max_batch} must be divisible by the "
                     f"{mesh.devices.size}-device mesh for --data_parallel")
         self._dp_devices = mesh.devices.size if mesh is not None else 1
+        self._shard_batches = mesh is not None  # live dp shards each batch
         policy = DtypePolicy.from_name(precision)
         self.policy = policy
         cfg = get_config(model_name, img_size)
@@ -243,11 +245,16 @@ class InferenceEngine:
 
         self._start_runtime(max_queue, precompile)
 
-    def _init_from_artifact(self, artifact: str, datasets) -> None:
+    def _init_from_artifact(self, artifact: str, datasets,
+                            devs=None) -> None:
         """Serve a frozen jax.export artifact (aaclip_tpu/deploy.py): no
         torch, no checkpoint parse, no text tower — load graphs + constants
         and go.  The engine's power-of-2 buckets must all exist as exported
-        graphs; requests dispatch to the artifact's jit-wrapped calls."""
+        graphs; requests dispatch to the artifact's jit-wrapped calls.
+
+        ``devs``: replica device list (data_parallel). Each device gets its
+        own copy of the weights/anchors/postproc; micro-batches dispatch
+        whole to one device, round-robin."""
         from aaclip_tpu.deploy import load_serving_artifact
 
         art = load_serving_artifact(artifact)
@@ -287,7 +294,7 @@ class InferenceEngine:
                 "(manifest.untrained=true) — /predict responses are not "
                 "anomaly detections", artifact)
 
-        def _predict(image_adapter, imgs, anch, M):
+        def _call(visual, image_adapter, imgs, anch, M):
             import jax.numpy as jnp
 
             b = imgs.shape[0]
@@ -300,11 +307,37 @@ class InferenceEngine:
                 anch = jnp.concatenate(
                     [anch, jnp.broadcast_to(anch[-1:], (pad,) +
                                             anch.shape[1:])])
-            pix, score = art._fns[g](art.visual, image_adapter, imgs,
-                                     anch, M)
+            pix, score = art._fns[g](visual, image_adapter, imgs, anch, M)
             return pix[:b], score[:b]
 
+        def _predict(image_adapter, imgs, anch, M):
+            return _call(art.visual, image_adapter, imgs, anch, M)
+
         self._predict = _predict
+        if devs:
+            import jax
+
+            # one copy of everything per device, placed once; jit executes
+            # on whichever device the (committed) inputs live on
+            visual_rep = [jax.device_put(art.visual, d) for d in devs]
+            adapter_rep = [jax.device_put(art.image_adapter, d)
+                           for d in devs]
+            postproc_rep = {ds: [jax.device_put(self.postproc[ds], d)
+                                 for d in devs] for ds in self.postproc}
+            rr_lock = threading.Lock()
+            self._rr = 0
+
+            def _dispatch_replica(imgs, anch, ds):
+                with rr_lock:
+                    i = self._rr
+                    self._rr = (i + 1) % len(devs)
+                d = devs[i]
+                return _call(visual_rep[i], adapter_rep[i],
+                             jax.device_put(np.asarray(imgs), d),
+                             jax.device_put(np.asarray(anch, np.float32), d),
+                             postproc_rep[ds][i])
+
+            self._dispatch = _dispatch_replica
 
     def _start_runtime(self, max_queue: Optional[int],
                        precompile: bool) -> None:
@@ -317,16 +350,18 @@ class InferenceEngine:
         if precompile:
             # compile every bucket up front: a jit compile inside the
             # request path would blow past submit()'s timeout on the first
-            # request hitting each new bucket size
+            # request hitting each new bucket size. Replica mode warms
+            # every device (jit caches per placement).
             ds0 = next(iter(self.anchors))
             a0 = np.asarray(next(iter(self.anchors[ds0].values())))
             for b in sorted({self._bucket(n)
                              for n in range(1, self.max_batch + 1)}):
-                imgs = jnp.zeros((b, 3, self.img_size, self.img_size),
-                                 jnp.uint8)
-                anch = jnp.asarray(np.tile(a0[None], (b, 1, 1)))
-                self._predict(self.image_adapter, imgs, anch,
-                              self._postproc_dev[ds0])
+                imgs = np.zeros((b, 3, self.img_size, self.img_size),
+                                np.uint8)
+                anch = np.tile(a0[None], (b, 1, 1))
+                for _ in range(self._dp_devices
+                               if not self._shard_batches else 1):
+                    self._dispatch(imgs, anch, ds0)
 
         # admission control: reject (fast-fail) once the backlog exceeds
         # max_queue instead of letting requests pile up to burn their full
@@ -337,10 +372,13 @@ class InferenceEngine:
             raise ValueError(f"max_queue must be >= 1, got {self.max_queue}")
         self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         # bounded: put() blocks the dispatcher when the completion stage
-        # falls behind, so at most 2 batches of device results are ever in
-        # flight (without this, async dispatch would let the serve loop run
-        # unboundedly ahead of materialization under open-loop load)
-        self._completion_q: "queue.Queue" = queue.Queue(maxsize=2)
+        # falls behind, so a bounded number of batches of device results
+        # are ever in flight (without this, async dispatch would let the
+        # serve loop run unboundedly ahead of materialization under
+        # open-loop load). Replica mode needs depth >= replica count or
+        # round-robin dispatch could never keep all devices busy.
+        depth = 2 if self._shard_batches else max(2, self._dp_devices)
+        self._completion_q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._n_requests = 0
@@ -358,6 +396,16 @@ class InferenceEngine:
                                            daemon=True)
         self._completer.start()
 
+    def _dispatch(self, imgs, anch, ds):
+        """One padded host micro-batch -> async device (maps, scores).
+        Base: place on the default device and run the live predict fn.
+        The artifact replica path overrides this per instance with
+        round-robin device placement."""
+        import jax.numpy as jnp
+
+        return self._predict(self.image_adapter, jnp.asarray(imgs),
+                             jnp.asarray(anch), self._postproc_dev[ds])
+
     def _bucket(self, n: int) -> int:
         """Smallest power-of-2 >= n (clamped to max_batch; rounded up to a
         mesh-size multiple under data parallelism).  Bounds the compiled
@@ -366,7 +414,9 @@ class InferenceEngine:
         b = 1
         while b < n:
             b *= 2
-        m = self._dp_devices
+        # artifact replicas take whole micro-batches on one device each, so
+        # only the sharded (live dp) mode needs mesh-multiple buckets
+        m = self._dp_devices if self._shard_batches else 1
         if m > 1:
             b = ((max(b, m) + m - 1) // m) * m
         return min(b, self.max_batch)
@@ -448,8 +498,6 @@ class InferenceEngine:
         }
 
     def _serve_loop(self):
-        import jax.numpy as jnp
-
         while not self._stop.is_set():
             try:
                 first = self._queue.get(timeout=0.1)
@@ -486,9 +534,7 @@ class InferenceEngine:
                             [imgs, np.repeat(imgs[-1:], pad, axis=0)])
                         anch = np.concatenate(
                             [anch, np.repeat(anch[-1:], pad, axis=0)])
-                    pix, score = self._predict(
-                        self.image_adapter, jnp.asarray(imgs),
-                        jnp.asarray(anch), self._postproc_dev[ds])
+                    pix, score = self._dispatch(imgs, anch, ds)
                     # hand the (async) device arrays to the completion
                     # stage; this thread immediately collects the next batch
                     self._completion_q.put((items, pix, score))
@@ -719,7 +765,10 @@ def main(argv=None):
     parser.add_argument("--clip_checkpoint", default=None)
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard each micro-batch over all local devices "
-                             "(max_batch must divide by the device count)")
+                             "(max_batch must divide by the device count). "
+                             "With --artifact: one replica per device "
+                             "instead, whole micro-batches round-robin "
+                             "(no divisibility rule)")
     parser.add_argument("--no_precompile", action="store_true",
                         help="skip compiling every batch bucket at startup. "
                              "Faster boot, but on a COLD compile cache the "

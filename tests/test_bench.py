@@ -238,6 +238,11 @@ def test_bench_serve_artifact(tmp_path):
     assert payload["metric"] == "serve_maps_per_sec_per_chip"
     assert payload["value"] > 0
     assert "fp32+artifact" in payload["unit"]
+    # replica-per-device data parallelism over the same frozen artifact
+    payload = _run(COMMON + ["--mode", "serve", "--artifact", out,
+                             "--data_parallel"])
+    assert payload["value"] > 0
+    assert "dp=8 chips" in payload["unit"]
 
 
 def test_bench_artifact_rejected_outside_serve():

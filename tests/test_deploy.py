@@ -266,9 +266,59 @@ def test_engine_serves_artifact(tmp_path):
     with pytest.raises(ValueError, match="lacks datasets"):
         InferenceEngine(artifact=out, datasets=("MVTec", "VisA"),
                         max_batch=4)
-    # frozen graphs are single-device programs
-    with pytest.raises(ValueError, match="single-device"):
-        InferenceEngine(artifact=out, max_batch=4, data_parallel=True)
+
+
+def test_engine_artifact_data_parallel_replicas(tmp_path):
+    """data_parallel over a frozen artifact = one replica per device with
+    round-robin dispatch: every device must produce the single-replica
+    result bit-exactly, whichever one a request lands on."""
+    import threading
+
+    from aaclip_tpu.serve.server import InferenceEngine
+
+    out, _ = _export(tmp_path, batch_sizes=(1, 2, 4))
+    imgs = _imgs(8, seed=23)
+
+    single = InferenceEngine(artifact=out, max_batch=4)
+    try:
+        want = [single.submit(im, "MVTec", "bottle") for im in imgs]
+    finally:
+        single.shutdown()
+
+    eng = InferenceEngine(artifact=out, max_batch=4, data_parallel=True)
+    try:
+        assert eng._dp_devices == len(jax.local_devices())
+        # serial submits: each lands in its own micro-batch, so the
+        # round-robin walks the devices one by one
+        rr0 = eng._rr
+        got = [eng.submit(im, "MVTec", "bottle") for im in imgs[:3]]
+        # 3 one-request micro-batches advanced the ring by exactly 3
+        assert eng._rr == (rr0 + 3) % eng._dp_devices
+        got += [eng.submit(im, "MVTec", "bottle") for im in imgs[3:]]
+        # concurrent submits: mixed co-batching across replicas
+        results = [None] * len(imgs)
+
+        def fire(i):
+            results[i] = eng.submit(imgs[i], "MVTec", "bottle", timeout=60)
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=90)
+    finally:
+        eng.shutdown()
+    for w, g, r in zip(want, got, results):
+        # serial requests hit the same bucket-1 graph on every replica:
+        # bit-exact whichever device served them
+        np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(w[0]))
+        assert g[1] == w[1]
+        # concurrent requests co-batch into larger buckets; bucket shape
+        # changes XLA tiling (~1e-6, same as in the live engine)
+        np.testing.assert_allclose(np.asarray(r[0]), np.asarray(w[0]),
+                                   atol=1e-4)
+        assert abs(r[1] - w[1]) < 1e-4
 
 
 def test_engine_pads_to_larger_exported_bucket(tmp_path):
