@@ -231,8 +231,17 @@ def export_serving_artifact(
         np.savez(os.path.join(out_dir, f"anchors_{ds}.npz"), **anchors[ds])
         np.save(os.path.join(out_dir, f"postproc_{ds}.npy"), postproc[ds])
 
+    # content digests over every payload file: a truncated rsync/scp or a
+    # bit-flipped blob store must fail AT LOAD, not as silently wrong maps
+    payload = sorted(graph_files.values()) + ["params.npz"] + \
+        [f"anchors_{ds}.npz" for ds in datasets] + \
+        [f"postproc_{ds}.npy" for ds in datasets]
+    digests = {name: _sha256_file(os.path.join(out_dir, name))
+               for name in payload}
+
     effective_ckpt = resolve_clip_checkpoint(cfg, clip_checkpoint)
     manifest = {
+        "sha256": digests,
         "artifact_version": ARTIFACT_VERSION,
         "jax_version": jax.__version__,
         "model_name": model_name, "img_size": img_size,
@@ -272,7 +281,7 @@ class ServingArtifact:
     feeds l2-normalization a zero vector) and trims the outputs.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, check_integrity: bool = True):
         import jax
         from jax import export as jexport
 
@@ -282,6 +291,15 @@ class ServingArtifact:
             raise ValueError(
                 f"artifact version {m['artifact_version']} at {path!r} "
                 f"not supported (this library reads {ARTIFACT_VERSION})")
+        if check_integrity:
+            # fail a truncated copy or bit-flipped blob HERE, not as
+            # silently wrong maps (absent on pre-digest artifacts: skip)
+            for name, want in m.get("sha256", {}).items():
+                if _sha256_file(os.path.join(path, name)) != want:
+                    raise ValueError(
+                        f"artifact file {name!r} at {path!r} fails its "
+                        "manifest sha256 — corrupted or truncated "
+                        "transfer; re-copy or re-export")
         backend = jax.default_backend()
         if backend not in m["platforms"]:
             raise ValueError(
@@ -368,6 +386,16 @@ class ServingArtifact:
         return self.predict(images_u8, anc, dataset)
 
 
+def _sha256_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def _collect_leaves(skel, out=None):
     """(shape, dtype) per leaf in index order, from a manifest skeleton."""
     if out is None:
@@ -384,5 +412,6 @@ def _collect_leaves(skel, out=None):
     return out
 
 
-def load_serving_artifact(path: str) -> ServingArtifact:
-    return ServingArtifact(path)
+def load_serving_artifact(path: str,
+                          check_integrity: bool = True) -> ServingArtifact:
+    return ServingArtifact(path, check_integrity=check_integrity)

@@ -164,6 +164,40 @@ def test_bf16_leaves_survive_and_run(tmp_path):
     assert np.isfinite(np.asarray(maps, np.float32)).all()
 
 
+def test_integrity_digests(tmp_path, exported):
+    """The manifest carries sha256 per payload file; a flipped byte fails
+    at load (corruption must never become silently wrong maps). Pre-digest
+    manifests (no sha256 key) and check_integrity=False still load."""
+    import shutil
+
+    src, manifest = exported
+    assert set(manifest["sha256"]) >= {"params.npz", "anchors_MVTec.npz"}
+
+    bad = str(tmp_path / "tampered")
+    shutil.copytree(src, bad)
+    gname = next(iter(manifest["graphs"].values()))
+    with open(os.path.join(bad, gname), "r+b") as f:
+        f.seek(128)
+        b = f.read(1)
+        f.seek(128)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="sha256"):
+        load_serving_artifact(bad)
+    art = load_serving_artifact(bad, check_integrity=False)  # explicit
+    assert art.batch_sizes == manifest["batch_sizes"]        # opt-out
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(src, legacy)
+    with open(os.path.join(legacy, "manifest.json")) as f:
+        m = json.load(f)
+    del m["sha256"]
+    with open(os.path.join(legacy, "manifest.json"), "w") as f:
+        json.dump(m, f)
+    art = load_serving_artifact(legacy)
+    maps, _ = art.predict_class(_imgs(1), "MVTec", "bottle")
+    assert maps.shape == (1, IMG, IMG)
+
+
 def test_int8_leaves_survive_and_run(tmp_path):
     """precision=int8 freezes the QUANTIZED trunk (int8 weight leaves +
     fp32 scales) into the artifact; the loaded graphs must run it."""
