@@ -34,6 +34,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+from aaclip_tpu.utils.hashing import sha256_file
+
 ARTIFACT_VERSION = 1
 _MANIFEST = "manifest.json"
 
@@ -236,7 +238,7 @@ def export_serving_artifact(
     payload = sorted(graph_files.values()) + ["params.npz"] + \
         [f"anchors_{ds}.npz" for ds in datasets] + \
         [f"postproc_{ds}.npy" for ds in datasets]
-    digests = {name: _sha256_file(os.path.join(out_dir, name))
+    digests = {name: sha256_file(os.path.join(out_dir, name))
                for name in payload}
 
     effective_ckpt = resolve_clip_checkpoint(cfg, clip_checkpoint)
@@ -295,7 +297,13 @@ class ServingArtifact:
             # fail a truncated copy or bit-flipped blob HERE, not as
             # silently wrong maps (absent on pre-digest artifacts: skip)
             for name, want in m.get("sha256", {}).items():
-                if _sha256_file(os.path.join(path, name)) != want:
+                fpath = os.path.join(path, name)
+                if not os.path.exists(fpath):
+                    raise ValueError(
+                        f"artifact file {name!r} listed in the manifest "
+                        f"is missing at {path!r} — truncated copy; "
+                        "re-copy or re-export")
+                if sha256_file(fpath) != want:
                     raise ValueError(
                         f"artifact file {name!r} at {path!r} fails its "
                         "manifest sha256 — corrupted or truncated "
@@ -384,16 +392,6 @@ class ServingArtifact:
         anc = np.broadcast_to(
             cls[class_name], (images_u8.shape[0],) + cls[class_name].shape)
         return self.predict(images_u8, anc, dataset)
-
-
-def _sha256_file(path: str) -> str:
-    import hashlib
-
-    h = hashlib.sha256()
-    with open(path, "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()
 
 
 def _collect_leaves(skel, out=None):

@@ -195,10 +195,16 @@ def run_class_predictions(predict_fn, image_adapter, loader, anchors,
                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:
     """Drive the loader through predict_fn; returns (masks, labels,
     pixel_preds, image_preds, file_names) trimmed to valid samples."""
-    M = jnp.asarray(fused_postproc_matrix(grid, img_size, domain))
-    anchors = jnp.asarray(anchors)
+    M = fused_postproc_matrix(grid, img_size, domain)
     mesh = getattr(predict_fn, "mesh", None)
-    if mesh is not None:
+    if getattr(predict_fn, "host_inputs", False):
+        # frozen-artifact path: predict_fn consumes HOST arrays and does
+        # its own (per-replica) device placement — staging on device here
+        # would add a wasted host->device->host round trip per batch
+        M = np.asarray(M)
+        anchors = np.asarray(anchors)
+        _place = np.asarray
+    elif mesh is not None:
         from aaclip_tpu.parallel import sharding as sh
 
         repl = sh.replicated(mesh)
@@ -208,6 +214,10 @@ def run_class_predictions(predict_fn, image_adapter, loader, anchors,
             jax.tree.map(jnp.asarray, image_adapter), repl)
         _place = lambda imgs: jax.device_put(imgs, bsh)
     else:
+        # stage the loop invariants on device once (re-uploading M per
+        # batch through a slow host link is pure per-forward overhead)
+        M = jnp.asarray(M)
+        anchors = jnp.asarray(anchors)
         _place = jnp.asarray
     masks, labels, pix_preds, img_preds, files = [], [], [], [], []
     for batch in loader:

@@ -66,9 +66,9 @@ def _path_digest(path: str, content: bool = True) -> str:
                 st = os.stat(p)
                 h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}|".encode())
     elif content and os.path.getsize(path) <= 256 * 1024 * 1024:
-        with open(path, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
+        from aaclip_tpu.utils.hashing import sha256_file
+
+        return sha256_file(path)[:24]
     else:
         st = os.stat(path)
         h.update(f"{os.path.abspath(path)}|{st.st_size}|"

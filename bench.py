@@ -267,7 +267,9 @@ def bench_serve(args):
     completions.
 
     ``--data_parallel`` shards each micro-batch over all local devices
-    (max_batch must divide by the device count).
+    (max_batch must divide by the device count); with ``--artifact`` it
+    means one replica per device instead — whole micro-batches dispatch
+    round-robin and no divisibility rule applies.
     """
     import threading
 

@@ -99,6 +99,7 @@ def parse_args(argv=None):
                              "the artifact. Single-device only")
     args = parser.parse_args(argv)
     if args.artifact and (args.data_parallel or args.tensor_parallel > 1
+                          or args.sequence_parallel
                           or args.pipeline_parallel > 1):
         parser.error("--artifact serves frozen single-device graphs; "
                      "parallel flags need the live model path")
@@ -228,6 +229,10 @@ def main(argv=None):
                                   (imgs.shape[0],) + np.shape(anchors))
             return art.predict(imgs, anc, args.dataset)
 
+        # the artifact does its own device placement — staging inputs on
+        # device in run_class_predictions would add a wasted host->device->
+        # host round trip per batch (minutes over a full eval on the relay)
+        predict_fn.host_inputs = True
         _eval_one(predict_fn, None, "artifact")
         return
 

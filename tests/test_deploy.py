@@ -186,6 +186,12 @@ def test_integrity_digests(tmp_path, exported):
     art = load_serving_artifact(bad, check_integrity=False)  # explicit
     assert art.batch_sizes == manifest["batch_sizes"]        # opt-out
 
+    gone = str(tmp_path / "missing")
+    shutil.copytree(src, gone)
+    os.remove(os.path.join(gone, "params.npz"))
+    with pytest.raises(ValueError, match="missing"):
+        load_serving_artifact(gone)
+
     legacy = str(tmp_path / "legacy")
     shutil.copytree(src, legacy)
     with open(os.path.join(legacy, "manifest.json")) as f:

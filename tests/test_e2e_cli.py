@@ -138,8 +138,13 @@ def test_eval_artifact_cli(env):
 def test_eval_artifact_rejects_parallel_flags(env):
     import test as test_cli
 
-    with pytest.raises(SystemExit):
-        test_cli.main(["--artifact", "/tmp/nope", "--data_parallel"])
+    for flag in ("--data_parallel", "--sequence_parallel",
+                 "--tensor_parallel"):
+        args = ["--artifact", "/tmp/nope", flag]
+        if flag == "--tensor_parallel":
+            args.append("2")
+        with pytest.raises(SystemExit):
+            test_cli.main(args)
 
 
 def test_nondefault_img_size(env):
