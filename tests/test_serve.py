@@ -315,6 +315,62 @@ def test_engine_open_loop_overload():
         engine.shutdown()
 
 
+def test_engine_artifact_replica_overload(tmp_path):
+    """Admission control must still bound the backlog in artifact replica
+    mode, where the completion pipeline is deepened to the replica count:
+    a burst above max_queue sheds fast instead of queueing."""
+    from aaclip_tpu.deploy import export_serving_artifact
+    from aaclip_tpu.serve.server import EngineOverloadedError
+
+    out = str(tmp_path / "art")
+    export_serving_artifact(
+        out, model_name="tiny-test", img_size=70, precision="fp32",
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1),
+        datasets=("MVTec",), batch_sizes=(1, 2))
+    eng = InferenceEngine(artifact=out, max_batch=2, max_queue=4,
+                          data_parallel=True)
+    try:
+        orig = eng._dispatch  # the replica round-robin closure
+
+        def slow_dispatch(*a):
+            time.sleep(0.25)
+            return orig(*a)
+
+        eng._dispatch = slow_dispatch
+        rng = np.random.default_rng(17)
+        n = 30
+        outcomes = [None] * n
+
+        def fire(i):
+            img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+            t0 = time.perf_counter()
+            try:
+                eng.submit(img, "MVTec", "bottle", timeout=60)
+                outcomes[i] = ("ok", time.perf_counter() - t0)
+            except EngineOverloadedError:
+                outcomes[i] = ("rejected", time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                outcomes[i] = ("err", time.perf_counter() - t0, str(e))
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=90)
+        assert all(o is not None for o in outcomes)
+        kinds = [o[0] for o in outcomes]
+        assert "err" not in kinds
+        rejects = [o for o in outcomes if o[0] == "rejected"]
+        assert rejects and max(o[1] for o in rejects) < 2.0
+        assert any(o[0] == "ok" for o in outcomes)
+        s = eng.stats()
+        assert s["requests"] == n and s["rejected"] == len(rejects)
+    finally:
+        eng.shutdown()
+
+
 def test_http_429_when_overloaded(server, engine):
     """The HTTP layer maps EngineOverloadedError to 429 + Retry-After."""
     from aaclip_tpu.serve.server import EngineOverloadedError
