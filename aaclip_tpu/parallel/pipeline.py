@@ -30,6 +30,13 @@ weight becomes a per-layer vector (``image_adapt_weight`` for adapted
 layers, 0 elsewhere), adapter parameter stacks are padded with dummies to
 the full depth, and a ``where`` keeps zero-weight layers bit-identical to
 the unadapted path.
+
+Known limitation: the build step (``_stage_split`` + the retained
+``predict.visual``) materializes one full unsharded copy of the trunk on
+the source device before resharding.  Irrelevant at ViT-L scale (1.7 GB
+vs 16 GB HBM); for a backbone that genuinely exceeds single-chip HBM the
+build would need sharded parameter *generation* (init directly into the
+per-stage shards), which this repo does not implement.
 """
 
 from __future__ import annotations
@@ -46,8 +53,7 @@ from aaclip_tpu.models import layers as L
 from aaclip_tpu.models.vit import embed
 
 
-def make_pp_mesh(pp: int, dp: int = 1,
-                 num_devices: Optional[int] = None) -> Mesh:
+def make_pp_mesh(pp: int, dp: int = 1) -> Mesh:
     """``('stage', 'data')`` mesh over the first ``pp * dp`` devices.
 
     The stage axis is the pipeline ring: devices are laid out so that
@@ -61,7 +67,7 @@ def make_pp_mesh(pp: int, dp: int = 1,
     the pipeline and shards the batch — ``test.py --pipeline_parallel N
     --data_parallel``."""
     devices = jax.devices()
-    n = num_devices or len(devices)
+    n = len(devices)
     if pp < 2 or pp > n:
         raise ValueError(f"pipeline_parallel={pp} needs 2..{n} devices")
     if dp < 1 or pp * dp > n:
@@ -76,6 +82,8 @@ def _validate(cfg: CLIPConfig, acfg: AdapterConfig, pp: int) -> int:
     v = cfg.vision
     levels = tuple(acfg.levels)
     n_lev = len(levels)
+    if n_lev == 0:
+        raise ValueError("pipeline parallelism needs at least one level")
     if v.layers % n_lev:
         raise ValueError(
             f"pipeline parallelism needs evenly spaced levels: {n_lev} "
@@ -98,13 +106,24 @@ def _stage_split(tree, pp: int, Ls: int):
     return jax.tree.map(lambda a: a.reshape((pp, Ls) + a.shape[1:]), tree)
 
 
-def _pad_adapters(layer_adapters, pp: int, Ls: int, total_layers: int):
+def _pad_adapters(layer_adapters, pp: int, Ls: int, total_layers: int,
+                  n_adapt: int):
     """[n_adapt, ...] trainable stack -> [pp, L/pp, ...] with finite
     dummies for unadapted layers (their blend weight is 0; under autodiff
     the ``where`` on the blend weight keeps the dummies' cotangents zero
-    and the concatenate transpose drops them)."""
+    and the concatenate transpose drops them).
+
+    The stack depth must equal ``acfg.image_adapt_until`` (``n_adapt``):
+    the blend gate here is config-driven, so a mismatched stack would
+    silently blend dummy adapters into adapted layers — or silently
+    ignore trained ones — instead of failing like the single-device
+    trunk does."""
     def pad(a):
-        n_adapt = a.shape[0]
+        if a.shape[0] != n_adapt:
+            raise ValueError(
+                f"adapter stack depth {a.shape[0]} != image_adapt_until="
+                f"{n_adapt} — pass the AdapterConfig these adapters were "
+                "built with")
         fill = jnp.ones((total_layers - n_adapt,) + a.shape[1:], a.dtype)
         return jnp.concatenate([a, fill]).reshape((pp, Ls) + a.shape[1:])
     return jax.tree.map(pad, layer_adapters)
@@ -133,7 +152,11 @@ def _make_block_body(cfg: CLIPConfig, policy: DtypePolicy, act, attn_fn):
         # the single-device path (its traced-weight branch casts the
         # coefficients to the stream dtype before blending)
         blended = L.norm_matched_blend(hh, a, wl)
-        hh = jnp.where(wl > 0, blended.astype(hh.dtype), hh)
+        # gate on wl != 0, not wl > 0: unadapted layers (and dummy
+        # adapters) carry EXACTLY 0 and must stay bit-identical with zero
+        # cotangents, but a configured NEGATIVE adapt weight is a real
+        # blend on the single-device path and must blend here too
+        hh = jnp.where(wl != 0, blended.astype(hh.dtype), hh)
         return hh, None
 
     return body
@@ -330,11 +353,16 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     def _predict_impl(visual_rest, blocks_staged, image_adapter, images,
                       anchors, M):
         B = images.shape[0]
+        if B % (n_micro * dp):  # also guards the .raw/.raw_parts callers
+            raise ValueError(
+                f"batch {B} not divisible by n_micro={n_micro}"
+                + (f" * dp={dp}" if dp > 1 else ""))
         sharded = _get_sharded(anchors.ndim == 3)
         x = embed(visual_rest, cfg, images, policy)      # [B, S, D]
         emb_mb = x.reshape(n_micro, B // n_micro, S, v.width)
         adapters_staged = _pad_adapters(image_adapter["layer_adapters"],
-                                        pp, Ls, v.layers)
+                                        pp, Ls, v.layers,
+                                        acfg.image_adapt_until)
         seg_w = jnp.stack([image_adapter["seg_proj"][i]["w"]
                            for i in range(n_lev)])       # [n_lev, D, E]
         seg_w = seg_w.reshape((pp, tps) + seg_w.shape[1:])
@@ -604,11 +632,16 @@ def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,
     def loss_fn(image_adapter, visual_rest, blocks_staged, images, mask,
                 label, class_idx, valid):
         B = images.shape[0]
+        if B % (n_micro * dp):  # trace-time: guards jitted callers too
+            raise ValueError(
+                f"batch {B} not divisible by n_micro={n_micro}"
+                + (f" * dp={dp}" if dp > 1 else ""))
         B_m = B // n_micro
         x = embed(visual_rest, cfg, images, policy)
         emb_mb = x.reshape(n_micro, B_m, S, v.width)
         adapters_staged = _pad_adapters(image_adapter["layer_adapters"],
-                                        pp, Ls, v.layers)
+                                        pp, Ls, v.layers,
+                                        acfg.image_adapt_until)
         seg_w = jnp.stack([image_adapter["seg_proj"][i]["w"]
                            for i in range(n_lev)])
         seg_w = seg_w.reshape((pp, tps) + seg_w.shape[1:])

@@ -213,6 +213,25 @@ def test_pp_validation():
         fn(adapters["image"], np.zeros((3, 3, 70, 70), np.float32),
            np.zeros((CFG.embed_dim, 2), np.float32),
            np.zeros((70, 5), np.float32))
+    with pytest.raises(ValueError, match="at least one level"):
+        ppl.make_pipeline_predict_fn(
+            clip, CFG, dataclasses.replace(ACFG, levels=()), pp=2)
+    # the .raw escape hatch enforces the same batch contract as predict()
+    vis_cast = fn.visual
+    with pytest.raises(ValueError, match="not divisible by n_micro"):
+        fn.raw(vis_cast, adapters["image"],
+               jnp.zeros((3, 3, 70, 70), jnp.float32),
+               jnp.zeros((CFG.embed_dim, 2), jnp.float32),
+               jnp.zeros((70, 5), jnp.float32))
+    # a stack depth that disagrees with acfg.image_adapt_until must fail
+    # loudly (the blend gate is config-driven; silence would blend dummies)
+    deep = init_adapter_params(
+        jax.random.PRNGKey(1), CFG,
+        dataclasses.replace(ACFG, image_adapt_until=2))
+    with pytest.raises(ValueError, match="stack depth"):
+        fn(deep["image"], np.zeros((4, 3, 70, 70), np.float32),
+           np.zeros((CFG.embed_dim, 2), np.float32),
+           np.zeros((70, 5), np.float32))
 
 
 # ---------------------------------------------------------------------------
