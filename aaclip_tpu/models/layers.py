@@ -268,6 +268,12 @@ def residual_block(
     h = layer_norm(x, p["ln_1"])
     override = vv_attn_fn if vv else attn_fn
     if override is not None:
+        if mask is not None:
+            # same guard the block_fn branch has: every attn_fn override
+            # in this repo (Pallas, TP) is unmasked, and silently dropping
+            # the mask would compute unmasked attention with no error
+            raise ValueError("attn_fn overrides are unmasked; use the "
+                             "default attention path for masked towers")
         a = override(h, p["attn"])
     else:
         a = attention(h, p["attn"], num_heads, mask=mask, vv=vv, policy=policy)

@@ -41,6 +41,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aaclip_tpu.core.config import CLIPConfig, DtypePolicy
@@ -103,18 +104,33 @@ def visual_partition_specs(visual: dict) -> dict:
     ``lax.scan`` consumes it).
     """
     specs = jax.tree.map(lambda _: P(), visual)
-    specs["blocks"]["attn"] = {
-        "w_qkv": P(None, None, "model"),   # [L, D, 3D] column-parallel (heads)
-        "b_qkv": P(None, "model"),
-        "w_out": P(None, "model", None),   # [L, D, D] row-parallel
-        "b_out": P(None, None),
+    tables = {
+        "attn": {
+            "w_qkv": P(None, None, "model"),  # [L,D,3D] col-parallel (heads)
+            "b_qkv": P(None, "model"),
+            "w_out": P(None, "model", None),  # [L, D, D] row-parallel
+            "b_out": P(None, None),
+        },
+        "mlp": {
+            "w_fc": P(None, None, "model"),   # [L, D, 4D] column-parallel
+            "b_fc": P(None, "model"),
+            "w_proj": P(None, "model", None),  # [L, 4D, D] row-parallel
+            "b_proj": P(None, None),
+        },
     }
-    specs["blocks"]["mlp"] = {
-        "w_fc": P(None, None, "model"),    # [L, D, 4D] column-parallel
-        "b_fc": P(None, "model"),
-        "w_proj": P(None, "model", None),  # [L, 4D, D] row-parallel
-        "b_proj": P(None, None),
-    }
+    for part, table in tables.items():
+        leaves = visual["blocks"][part]
+        extra = set(leaves) - set(table)
+        if extra:
+            # fail with a named error instead of device_put's opaque
+            # pytree-structure mismatch (e.g. ops/quant.py int8 trees
+            # carry *_s scale leaves — quantization does not compose
+            # with tensor parallelism)
+            raise ValueError(
+                f"tensor parallelism does not recognize blocks.{part} "
+                f"leaves {sorted(extra)}; int8/quantized param trees do "
+                "not compose with --tensor_parallel")
+        specs["blocks"][part] = {k: table[k] for k in leaves}
     return specs
 
 
@@ -123,6 +139,13 @@ def shard_visual(visual: dict, cfg: CLIPConfig, mesh: Mesh):
 
     Returns ``(params, shardings)`` — the sharding pytree doubles as the
     ``in_shardings`` entry when jitting a function that takes the tree.
+
+    WARNING: the returned tree's ``w_qkv``/``b_qkv`` columns are in
+    HEAD-MAJOR order, valid ONLY with the paired ``make_tp_attn_fn``
+    closure. Any standard packed-layout consumer — ``layers.attention``,
+    the V-V surgery slice ``w_qkv[:, 2*D:]``, the Pallas kernels — would
+    silently compute garbage on it. Do not route this tree through
+    ``encode_image``'s V-V path or any block without the TP attn_fn.
     """
     heads = cfg.vision.heads
     tp = mesh.shape["model"]
@@ -195,6 +218,9 @@ def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
                       preferred_element_type=jnp.float32,
                       precision=policy.precision)
         qkv = qkv + p["b_qkv"].astype(jnp.float32)
+        # same save-name as the Pallas kernel: remat="selective" keeps the
+        # QKV projection out of the backward recompute under TP training
+        qkv = checkpoint_name(qkv, "attn_qkv")
         qkv = qkv.reshape(B, L, heads, 3, hd)
         qkv = jax.lax.with_sharding_constraint(qkv, qkv_s)
         q = qkv[:, :, :, 0].transpose(0, 2, 1, 3)   # [B, H, L, hd]

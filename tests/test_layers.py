@@ -4,6 +4,7 @@ and a full pre-LN residual block."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -85,6 +86,21 @@ def test_attention_causal_mask_matches_torch():
                                  {k: jnp.asarray(v) for k, v in p.items()},
                                  heads, mask=L.causal_mask(n)))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_residual_block_rejects_mask_with_attn_fn():
+    """Every attn_fn override in the repo is unmasked; a masked tower
+    reaching one must fail loudly, not silently attend unmasked."""
+    d, heads, n = 16, 2, 5
+    p = {"ln_1": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+         "ln_2": {"scale": jnp.ones(d), "bias": jnp.zeros(d)},
+         "attn": {k: jnp.asarray(v) for k, v in _mha_params(d, seed=3).items()},
+         "mlp": {"w_fc": jnp.zeros((d, 4 * d)), "b_fc": jnp.zeros(4 * d),
+                 "w_proj": jnp.zeros((4 * d, d)), "b_proj": jnp.zeros(d)}}
+    x = jnp.asarray(_rand((1, n, d), 4))
+    with pytest.raises(ValueError, match="unmasked"):
+        L.residual_block(x, p, heads, mask=L.causal_mask(n),
+                         attn_fn=lambda h, ap: h)
 
 
 def test_vv_attention_matches_manual():

@@ -268,6 +268,18 @@ def test_sp_requires_tp_mesh(setup):
                          sequence_parallel=True)
 
 
+def test_tp_rejects_unknown_block_leaves(setup):
+    """int8-style extra leaves in the block tree must fail with a named
+    error at spec building, not device_put's opaque pytree mismatch."""
+    clip, *_ = setup
+    visual = jax.tree.map(lambda x: x, clip["visual"])
+    visual["blocks"] = dict(visual["blocks"])
+    visual["blocks"]["attn"] = dict(visual["blocks"]["attn"],
+                                    w_qkv_s=np.ones((2, 1), np.float32))
+    with pytest.raises(ValueError, match="does not recognize"):
+        tpar.visual_partition_specs(visual)
+
+
 def test_dp_only_mesh_unaffected():
     """A 1-D ('data',) mesh must keep the replicated-params DP path (no
     repack, no TP closures)."""
