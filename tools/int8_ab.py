@@ -1,0 +1,130 @@
+"""Chip A/B: int8 quantized inference vs bf16 on the SAME trained checkpoint.
+
+The claim being verified (docs/PERFORMANCE.md "int8 quantized inference"):
+evaluating one bf16-trained stage-1+stage-2 checkpoint with
+`test.py --aupro` at bf16 and at int8 produces the IDENTICAL metric table
+to every reported digit.  This tool makes that a one-command, reproducible
+measurement: it builds a synthetic 16-image-per-class dataset at the
+production image size, trains one epoch per stage at bf16, evaluates the
+same checkpoint at both precisions (per-precision CSV export), and diffs
+the tables.
+
+Reference protocol being mirrored: /root/reference/test.py:53-99 (the
+per-class eval loop + Average row); the int8 path is ours alone (the
+reference has no quantized mode).
+
+Usage: python tools/int8_ab.py [--img_size 518] [--keep]
+Exit 0 = tables identical at every reported digit (2 decimal places,
+matching the reference's printed precision).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--model_name", default="ViT-L-14-336")
+    p.add_argument("--img_size", type=int, default=518)
+    p.add_argument("--text_batch_size", type=int, default=16)
+    p.add_argument("--image_batch_size", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=4)
+    # tiny-config overrides (CPU smoke: --model_name tiny-test --img_size 70
+    # --levels 1 2 --text_adapt_until 1 --image_adapt_until 1)
+    p.add_argument("--levels", type=int, nargs="+", default=None)
+    p.add_argument("--text_adapt_until", type=int, default=None)
+    p.add_argument("--image_adapt_until", type=int, default=None)
+    p.add_argument("--keep", action="store_true",
+                   help="keep the workdir (default: temp dir, left behind "
+                        "only if the A/B fails)")
+    args = p.parse_args(argv)
+
+    from aaclip_tpu.data.synthetic import make_synthetic_dataset
+
+    root = args.workdir or tempfile.mkdtemp(prefix="aaclip_int8ab_")
+    # 16 images/class (8 good + 8 defect), 2 classes — the PERFORMANCE.md
+    # staged-precision methodology shape.
+    data_root, meta_root = make_synthetic_dataset(
+        root, img_px=args.img_size, n_normal=8, n_anomalous=8)
+    os.environ["AACLIP_DATA"] = data_root
+    os.environ["AACLIP_METADATA"] = meta_root
+    print(f"synthetic dataset under {root}", flush=True)
+
+    import pandas as pd
+
+    import test as test_cli
+    import train as train_cli
+
+    common = [
+        "--model_name", args.model_name, "--img_size", str(args.img_size),
+        "--dataset", "MVTec", "--num_workers", str(args.num_workers),
+    ]
+    if args.levels is not None:
+        common += ["--levels"] + [str(v) for v in args.levels]
+    if args.text_adapt_until is not None:
+        common += ["--text_adapt_until", str(args.text_adapt_until)]
+    if args.image_adapt_until is not None:
+        common += ["--image_adapt_until", str(args.image_adapt_until)]
+    save = os.path.join(root, "ckpt_ab")
+    t0 = time.time()
+    train_cli.main(common + [
+        "--precision", "bf16", "--save_path", save,
+        "--training_mode", "full_shot",
+        "--text_epoch", "1", "--image_epoch", "1",
+        "--text_batch_size", str(args.text_batch_size),
+        "--image_batch_size", str(args.image_batch_size),
+        "--device_augment",
+    ])
+    t1 = time.time()
+    print(f"train (1+1 epoch bf16): {t1 - t0:.0f}s", flush=True)
+
+    tables = {}
+    for prec in ("bf16", "int8"):
+        ts = time.time()
+        test_cli.main(common + [
+            "--precision", prec, "--save_path", save,
+            "--batch_size", str(args.eval_batch_size), "--aupro", "--csv",
+        ])
+        # test.py writes results_<epoch>.csv into save_path; stash it under
+        # a precision-suffixed name so the second eval can't clobber it.
+        csvs = sorted(f for f in os.listdir(save)
+                      if f.startswith("results_") and f.endswith(".csv")
+                      and "__" not in f)
+        if not csvs:
+            raise RuntimeError(f"{prec}: no results_*.csv under {save}")
+        stash = os.path.join(save, f"ab__{prec}__{csvs[-1]}")
+        shutil.move(os.path.join(save, csvs[-1]), stash)
+        df = pd.read_csv(stash)
+        # compare at the reference's printed precision (2 decimals)
+        tables[prec] = df.round(2)
+        print(f"eval {prec}: {time.time() - ts:.0f}s\n"
+              f"{tables[prec].to_string(index=False)}", flush=True)
+
+    a, b = tables["bf16"], tables["int8"]
+    same = a.equals(b)
+    if not same:
+        diff = (a != b)
+        print("\nDIFFERING CELLS (bf16 vs int8):")
+        for col in a.columns:
+            for i in diff.index[diff[col]]:
+                print(f"  row {i} col {col}: {a.at[i, col]} vs {b.at[i, col]}")
+        print(f"\nartifacts kept under {root}")
+        raise SystemExit("INT8 A/B: tables DIFFER")
+    print("\nINT8 A/B OK: bf16 and int8 metric tables identical "
+          "to every reported digit")
+    if not args.keep and args.workdir is None:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
