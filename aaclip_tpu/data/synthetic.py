@@ -17,11 +17,21 @@ from PIL import Image
 def make_synthetic_dataset(root: str, dataset_name: str = "MVTec",
                            class_names=None,
                            n_normal: int = 3, n_anomalous: int = 3,
-                           img_px: int = 64, seed: int = 0):
+                           img_px: int = 64, seed: int = 0,
+                           hard: bool = False):
     """Creates {root}/data/<spec.rel_path>/... images and
     {root}/metadata/<dataset>/full-shot.jsonl; returns (data_root, meta_root).
 
     Anomalous images get a bright square whose mask marks it.
+
+    hard=True makes the image-level task unsaturated by construction (for
+    precision-fidelity A/Bs where AUROC 100.0 would hide rank flips):
+    defect squares get per-image intensity drawn from a range that overlaps
+    the background texture (so faint defects rank below bright background
+    patches) and variable size, and normal images get a bright distractor
+    patch with probability 0.5 (bright but un-masked, pulling some normals
+    above faint defects).  The pixel-level task stays well-posed: masks
+    still mark exactly the defect square.
     """
     from aaclip_tpu.data.registry import DATASETS
 
@@ -43,11 +53,21 @@ def make_synthetic_dataset(root: str, dataset_name: str = "MVTec",
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 img = (rng.random((img_px, img_px, 3)) * 80 + 60).astype(np.uint8)
                 rec = {"image_path": rel, "label": label, "class_name": cls}
+                if hard and not label and rng.random() < 0.5:
+                    # bright distractor on a NORMAL image (no mask entry)
+                    dy, dx = rng.integers(8, img_px - 24, size=2)
+                    ds = int(rng.integers(6, 14))
+                    img[dy:dy + ds, dx:dx + ds] = int(rng.integers(150, 210))
                 if label:
-                    y, x = rng.integers(8, img_px - 24, size=2)
-                    img[y:y + 16, x:x + 16] = 230
+                    if hard:
+                        side = int(rng.integers(6, 21))
+                        val = int(rng.integers(110, 231))
+                    else:
+                        side, val = 16, 230
+                    y, x = rng.integers(8, img_px - 8 - side, size=2)
+                    img[y:y + side, x:x + side] = val
                     mask = np.zeros((img_px, img_px), np.uint8)
-                    mask[y:y + 16, x:x + 16] = 255
+                    mask[y:y + side, x:x + side] = 255
                     mrel = f"{cls}/ground_truth/{kind}/{i:03d}_mask.png"
                     mpath = os.path.join(base, mrel)
                     os.makedirs(os.path.dirname(mpath), exist_ok=True)

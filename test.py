@@ -54,6 +54,11 @@ def parse_args(argv=None):
     parser.add_argument("--csv", action="store_true",
                         help="also write per-epoch results_<epoch>.csv "
                              "under save_path")
+    parser.add_argument("--dump_scores", action="store_true",
+                        help="also write per-image anomaly scores to "
+                             "scores_<epoch>.csv under save_path (class, "
+                             "file, label, image_score) — the raw ranking "
+                             "data precision-fidelity A/Bs correlate")
     parser.add_argument("--fused_preprocess", action="store_true",
                         help="ship uint8 pixels; normalize on device inside "
                              "the patch-embed matmul (default with bf16)")
@@ -152,6 +157,7 @@ def main(argv=None):
         if args.aupro:
             columns.append("pixel AUPRO")
         df = DataFrame(columns=columns)
+        score_rows = []  # --dump_scores accumulator
         timer = StepTimer()
         for class_name, dataset in image_datasets.items():
             # per-class size logging (reference dataset/__init__.py:145-148)
@@ -169,6 +175,9 @@ def main(argv=None):
                     text_embeddings[class_name], domain,
                     args.img_size, grid)
             timer.tick(len(file_names))
+            if args.dump_scores:
+                for fn, lab, sc in zip(file_names, labels, preds_image):
+                    score_rows.append((class_name, fn, int(lab), float(sc)))
             if args.visualize:
                 visualize(masks, preds, file_names, args.save_path,
                           args.dataset, class_name)
@@ -190,6 +199,12 @@ def main(argv=None):
             csv_path = os.path.join(args.save_path, f"results_{label}.csv")
             df.to_csv(csv_path, index=False)
             logger.info("wrote %s", csv_path)
+        if args.dump_scores:
+            sdf = DataFrame(score_rows, columns=["class name", "file",
+                                                 "label", "image_score"])
+            spath = os.path.join(args.save_path, f"scores_{label}.csv")
+            sdf.to_csv(spath, index=False)
+            logger.info("wrote %s", spath)
 
     if args.artifact:
         # evaluate the exact frozen bytes that serve.py --artifact runs:

@@ -76,3 +76,91 @@ def test_compare_golden_detects_regression(tmp_path):
          "--golden", GOLDEN, "--table_index", "0"],
         capture_output=True, text=True, cwd=REPO)
     assert r.returncode == 1, r.stdout
+
+
+def test_spearman_helper():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import numpy as np
+    import precision_ab as pab
+
+    x = np.arange(10, dtype=float)
+    assert pab._spearman(x, x) == pytest.approx(1.0)
+    assert pab._spearman(x, -x) == pytest.approx(-1.0)
+    # monotone transform leaves rho at 1 (rank-based)
+    assert pab._spearman(x, np.exp(x / 3)) == pytest.approx(1.0)
+    # ties handled via average ranks: still symmetric
+    a = np.array([1.0, 1.0, 2.0, 3.0])
+    b = np.array([3.0, 2.0, 1.0, 1.0])
+    assert pab._spearman(a, b) == pytest.approx(pab._spearman(b, a))
+
+
+def test_hard_synthetic_dataset_shape(tmp_path):
+    """--hard mode: variable defects, distractors on normals, masks only on
+    anomalous images; record counts match the requested shape."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from aaclip_tpu.data.synthetic import make_synthetic_dataset
+
+    data_root, meta_root = make_synthetic_dataset(
+        str(tmp_path), n_normal=6, n_anomalous=6, img_px=64, hard=True)
+    recs = [json.loads(l) for l in
+            open(os.path.join(meta_root, "MVTec", "full-shot.jsonl"))]
+    assert len(recs) == 2 * 12
+    labels = [r["label"] for r in recs]
+    assert sum(labels) == 12
+    areas = []
+    for r in recs:
+        if r["label"]:
+            assert "mask_path" in r
+            from aaclip_tpu.data.registry import DATASETS
+            m = np.asarray(Image.open(os.path.join(
+                data_root, DATASETS["MVTec"].rel_path, r["mask_path"])))
+            areas.append(int((m > 0).sum()))
+        else:
+            assert "mask_path" not in r
+    # hard mode draws variable defect sizes — they must actually vary
+    assert len(set(areas)) > 1
+
+
+def test_precision_ab_smoke(tmp_path, monkeypatch):
+    """End-to-end A/B harness on the tiny model (CPU): fp32 vs fp32_high
+    must pass the granularity-aware verdict including the Spearman gate,
+    and the stash/compare_only plumbing must round-trip."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import precision_ab as pab
+
+    monkeypatch.chdir(REPO)
+    work = str(tmp_path / "ab")
+    common = [
+        "--workdir", work, "--keep",
+        "--model_name", "tiny-test", "--img_size", "70",
+        "--levels", "1", "2",
+        "--text_adapt_until", "1", "--image_adapt_until", "1",
+        "--n_classes", "1", "--n_normal", "4", "--n_anomalous", "4",
+        "--hard", "--baseline", "fp32", "--candidate", "fp32_high",
+        "--text_batch_size", "4", "--image_batch_size", "4",
+        "--eval_batch_size", "4", "--num_workers", "2",
+        "--pixel_tol", "0.5",
+    ]
+    pab.main(common)  # exit 0 = no SystemExit raised
+    # stashed pair exists exactly once per tag, scores alongside
+    import glob as g
+    ckpt = os.path.join(work, "ckpt_ab")
+    for tag in ("fp32", "fp32_high"):
+        assert len(g.glob(os.path.join(ckpt, f"ab__{tag}__results_*.csv"))) == 1
+        assert len(g.glob(os.path.join(ckpt, f"ab__{tag}__scores_*.csv"))) == 1
+    # --compare_only re-verdicts the stashed pair without retraining
+    pab.main(["--compare_only", ckpt,
+              "--baseline", "fp32", "--candidate", "fp32_high",
+              "--n_normal", "4", "--n_anomalous", "4", "--pixel_tol", "0.5"])
+    # ambiguous stash (a second results CSV for one tag) must be rejected
+    dup = g.glob(os.path.join(ckpt, "ab__fp32__results_*.csv"))[0]
+    import shutil
+    shutil.copy(dup, dup.replace("results_1", "results_2"))
+    with pytest.raises(SystemExit, match="exactly one"):
+        pab.main(["--compare_only", ckpt,
+                  "--baseline", "fp32", "--candidate", "fp32_high",
+                  "--n_normal", "4", "--n_anomalous", "4"])
