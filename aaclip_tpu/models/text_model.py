@@ -29,8 +29,17 @@ from aaclip_tpu.models.vit import run_block_range, slice_blocks
 def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
            adapters=None, adapt_weight: float = 0.1,
            policy: DtypePolicy = DtypePolicy(), act=None,
-           remat: bool = False) -> jax.Array:
-    """Shared embed + causal transformer + per-layer adapter blends."""
+           remat: bool = False, attn_fn=None, resid_fn=None) -> jax.Array:
+    """Shared embed + causal transformer + per-layer adapter blends.
+
+    ``attn_fn`` optionally overrides the attention implementation; because
+    this tower is causal and attn_fn overrides are unmasked by contract
+    (layers.residual_block), the override must apply the causal mask itself
+    and advertise it via a truthy ``causal`` attribute
+    (parallel/tensor.make_tp_attn_fn(causal=True) does).  ``resid_fn`` is
+    the per-block residual-stream constraint hook (sequence/data sharding
+    under a mesh — vit.run_block_range).
+    """
     if act is None:
         act = L.config_act(cfg, policy)
     t = cfg.text
@@ -41,7 +50,17 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
     # save FLOPs get a correct causal prefix instead of a broadcast crash
     Lt = text.shape[1]
     x = x + params["positional_embedding"][:Lt].astype(x.dtype)[None]
-    mask = L.causal_mask(Lt)
+    if attn_fn is not None:
+        if not getattr(attn_fn, "causal", False):
+            raise ValueError(
+                "text-tower attn_fn overrides must apply the causal mask "
+                "internally and set fn.causal=True "
+                "(parallel/tensor.make_tp_attn_fn(causal=True)); an "
+                "unmasked override would silently compute non-causal "
+                "attention")
+        mask = None  # the override masks internally
+    else:
+        mask = L.causal_mask(Lt)
     n_adapt = 0
     if adapters is not None:
         n_adapt = jax.tree.leaves(adapters)[0].shape[0]
@@ -55,10 +74,12 @@ def _trunk(params: dict, cfg: CLIPConfig, text: jax.Array, *,
         x = run_block_range(
             x, slice_blocks(params["blocks"], 0, n_adapt), t.heads,
             mask=mask, adapters=adapters, adapt_weight=adapt_weight,
-            act=act, policy=policy, remat=remat)
+            act=act, policy=policy, remat=remat, attn_fn=attn_fn,
+            resid_fn=resid_fn)
     x = run_block_range(
         x, slice_blocks(params["blocks"], n_adapt, t.layers), t.heads,
-        mask=mask, act=act, policy=policy, remat=remat)
+        mask=mask, act=act, policy=policy, remat=remat, attn_fn=attn_fn,
+        resid_fn=resid_fn)
     return L.layer_norm(x, params["ln_final"])
 
 
@@ -81,13 +102,14 @@ def encode_text(params: dict, cfg: CLIPConfig, text: jax.Array, *,
 def adapted_encode_text(params: dict, text_adapter: dict, cfg: CLIPConfig,
                         text: jax.Array, *, text_adapt_weight: float = 0.1,
                         policy: DtypePolicy = DtypePolicy(), act=None,
-                        remat: bool = False) -> jax.Array:
+                        remat: bool = False, attn_fn=None,
+                        resid_fn=None) -> jax.Array:
     """AdaptedCLIP text encoding: trainable blends + trainable final proj
     (reference model/adapter.py:114-145).  The SimpleProj always applies
     LeakyReLU (model/adapter.py:43)."""
     x = _trunk(params, cfg, text,
                adapters=text_adapter["layer_adapters"],
                adapt_weight=text_adapt_weight, policy=policy, act=act,
-               remat=remat)
+               remat=remat, attn_fn=attn_fn, resid_fn=resid_fn)
     pooled = _eot_pool(x, text)
     return L.simple_proj(pooled, text_adapter["proj"], relu=True, policy=policy)

@@ -95,15 +95,16 @@ def repack_qkv_head_major(w_qkv: jax.Array, b_qkv: jax.Array,
     return w, b
 
 
-def visual_partition_specs(visual: dict) -> dict:
-    """PartitionSpec pytree for the (stacked-block) visual param tree.
+def _tower_partition_specs(tower: dict) -> dict:
+    """PartitionSpec pytree for a (stacked-block) tower param tree.
 
     Embeddings / LayerNorms / output proj are tiny — replicated; the block
     matmuls carry the Megatron layout described in the module docstring.
     Leading axis of every block leaf is the stacked layer axis (unsharded —
-    ``lax.scan`` consumes it).
+    ``lax.scan`` consumes it).  Works for both the visual and the text
+    tower: their block pytrees share the attn/mlp leaf schema.
     """
-    specs = jax.tree.map(lambda _: P(), visual)
+    specs = jax.tree.map(lambda _: P(), tower)
     tables = {
         "attn": {
             "w_qkv": P(None, None, "model"),  # [L,D,3D] col-parallel (heads)
@@ -119,7 +120,7 @@ def visual_partition_specs(visual: dict) -> dict:
         },
     }
     for part, table in tables.items():
-        leaves = visual["blocks"][part]
+        leaves = tower["blocks"][part]
         extra = set(leaves) - set(table)
         if extra:
             # fail with a named error instead of device_put's opaque
@@ -132,6 +133,12 @@ def visual_partition_specs(visual: dict) -> dict:
                 "not compose with --tensor_parallel")
         specs["blocks"][part] = {k: table[k] for k in leaves}
     return specs
+
+
+def visual_partition_specs(visual: dict) -> dict:
+    """PartitionSpec pytree for the visual tower (see
+    ``_tower_partition_specs``)."""
+    return _tower_partition_specs(visual)
 
 
 def shard_visual(visual: dict, cfg: CLIPConfig, mesh: Mesh):
@@ -147,26 +154,37 @@ def shard_visual(visual: dict, cfg: CLIPConfig, mesh: Mesh):
     silently compute garbage on it. Do not route this tree through
     ``encode_image``'s V-V path or any block without the TP attn_fn.
     """
-    heads = cfg.vision.heads
+    return _shard_tower(visual, cfg.vision.heads, mesh)
+
+
+def shard_text(text: dict, cfg: CLIPConfig, mesh: Mesh):
+    """Text-tower analogue of ``shard_visual`` (same Megatron layout, same
+    head-major repack, same WARNING about the repacked QKV columns).  Used
+    by the tensor-parallel stage-1 step, where the text tower carries the
+    gradient path (reference train.py:38-114)."""
+    return _shard_tower(text, cfg.text.heads, mesh)
+
+
+def _shard_tower(tower: dict, heads: int, mesh: Mesh):
     tp = mesh.shape["model"]
     if heads % tp:
         raise ValueError(
             f"model-parallel size {tp} must divide head count {heads}")
-    hidden = visual["blocks"]["mlp"]["w_fc"].shape[-1]
+    hidden = tower["blocks"]["mlp"]["w_fc"].shape[-1]
     if hidden % tp:
         raise ValueError(
             f"model-parallel size {tp} must divide MLP hidden dim {hidden}")
-    visual = dict(visual)
-    blocks = dict(visual["blocks"])
+    tower = dict(tower)
+    blocks = dict(tower["blocks"])
     attn = dict(blocks["attn"])
     attn["w_qkv"], attn["b_qkv"] = repack_qkv_head_major(
         attn["w_qkv"], attn["b_qkv"], heads)
     blocks["attn"] = attn
-    visual["blocks"] = blocks
-    specs = visual_partition_specs(visual)
+    tower["blocks"] = blocks
+    specs = _tower_partition_specs(tower)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                              is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(visual, shardings), shardings
+    return jax.device_put(tower, shardings), shardings
 
 
 def make_sp_constraint(mesh: Mesh):
@@ -190,8 +208,24 @@ def make_sp_constraint(mesh: Mesh):
     return constrain
 
 
+def make_batch_dp_constraint(mesh: Mesh):
+    """Constraint pinning a ``[B, S, D]`` stream's BATCH axis to the data
+    axis.  Used on the stage-1 text tower's prompt batch (C*S sentences —
+    per-step constant work): without it GSPMD replicates the whole tower
+    forward+backward on every data shard; with it the sentences split
+    across data devices and the anchor reduction gathers [C*S, D] vectors
+    (tiny).  Numerics-neutral — sharding a batch axis splits no
+    reduction."""
+    s = NamedSharding(mesh, P("data", None, None))
+
+    def constrain(x: jax.Array) -> jax.Array:
+        return jax.lax.with_sharding_constraint(x, s)
+
+    return constrain
+
+
 def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
-                    sequence_parallel: bool = False):
+                    sequence_parallel: bool = False, causal: bool = False):
     """Attention closure for head-major-packed params under the TP mesh.
 
     Same math as ``layers.attention`` (fp32 accumulation, fp32 softmax)
@@ -202,7 +236,15 @@ def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
     there — or, with ``sequence_parallel=True``, a reduce-scatter into a
     sequence-sharded output (pair with ``make_sp_constraint`` on the
     residual stream).
+
+    ``causal=True`` applies the text tower's additive causal mask inside
+    the closure (reference model/transformer.py:629-635) — attn_fn
+    overrides are otherwise unmasked by contract (models.layers.
+    residual_block), so the closure advertises it via the ``causal``
+    attribute and text_model._trunk checks for it.
     """
+    from aaclip_tpu.models.layers import causal_mask
+
     qkv_s = NamedSharding(mesh, P("data", None, "model", None, None))
     ctx_s = NamedSharding(mesh, P("data", "model", None, None))
     out_s = NamedSharding(
@@ -229,6 +271,8 @@ def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
         scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(cd), k.astype(cd),
                             preferred_element_type=jnp.float32,
                             precision=policy.precision) * scale
+        if causal:
+            scores = scores + causal_mask(L)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cd), v.astype(cd),
                          preferred_element_type=jnp.float32,
@@ -242,4 +286,79 @@ def make_tp_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
         out = jax.lax.with_sharding_constraint(out.astype(x.dtype), out_s)
         return out
 
+    attn.causal = causal
     return attn
+
+
+def make_tp_vv_attn_fn(heads: int, mesh: Mesh, policy: DtypePolicy,
+                       batch_mode: bool = False, valid=None,
+                       sequence_parallel: bool = False):
+    """V-V (CLIP-Surgery) attention closure for head-major-packed params
+    under the TP mesh — the stage-1 surgery tail's kernel.
+
+    Only the V slice of the packed projection is needed; in head-major
+    column order it is index 2 of the per-head (q,k,v) triplet, NOT the
+    trailing third the standard-packing slice ``w_qkv[:, 2D:]`` takes
+    (layers.attention vv=True / attention_vv_batch) — slicing head-major
+    weights that way computes garbage, which is why shard_visual's repacked
+    trees must route through this closure.
+
+    ``batch_mode=True`` reproduces the reference's V-V layout quirk (the
+    softmax runs across the BATCH at each position — attention_vv_batch,
+    docs/PARITY.md); ``valid`` ([B] 0/1) masks pad rows out of that
+    cross-batch softmax exactly like layers.make_batch_vv_attn_fn.  The
+    default is the per-sample spatial form (layers.attention vv=True).
+    Head-sharding over ``'model'`` is valid in both modes: every score /
+    softmax / context reduction is per-head.
+    """
+    v_s = NamedSharding(mesh, P("data", None, "model", None))
+    out_s = NamedSharding(
+        mesh, P("data", "model", None) if sequence_parallel
+        else P("data", None, None))
+
+    def vv_attn(x: jax.Array, p: dict) -> jax.Array:
+        B, L, D = x.shape
+        hd = D // heads
+        scale = hd ** -0.5
+        cd = policy.compute_dtype
+        w = p["w_qkv"].reshape(D, heads, 3, hd)[:, :, 2, :]  # head-major V
+        b = p["b_qkv"].reshape(heads, 3, hd)[:, 2, :].reshape(-1)
+        v = jnp.dot(x.astype(cd), w.reshape(D, D).astype(cd),
+                    preferred_element_type=jnp.float32,
+                    precision=policy.precision)
+        v = v + b.astype(jnp.float32)
+        v = v.reshape(B, L, heads, hd)
+        v = jax.lax.with_sharding_constraint(v, v_s)
+        if batch_mode:
+            scores = jnp.einsum("alhd,blhd->lhab", v.astype(cd),
+                                v.astype(cd),
+                                preferred_element_type=jnp.float32,
+                                precision=policy.precision) * scale
+            if valid is not None:
+                scores = jnp.where(valid.astype(bool)[None, None, None, :],
+                                   scores, jnp.float32(-1e30))
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            ctx = jnp.einsum("lhab,blhd->alhd", probs.astype(cd),
+                             v.astype(cd),
+                             preferred_element_type=jnp.float32,
+                             precision=policy.precision)
+        else:
+            vh = v.transpose(0, 2, 1, 3)  # [B, H, L, hd]
+            scores = jnp.einsum("bhqd,bhkd->bhqk", vh.astype(cd),
+                                vh.astype(cd),
+                                preferred_element_type=jnp.float32,
+                                precision=policy.precision) * scale
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(cd),
+                             vh.astype(cd),
+                             preferred_element_type=jnp.float32,
+                             precision=policy.precision)
+            ctx = ctx.transpose(0, 2, 1, 3)  # -> [B, L, H, hd]
+        out = jnp.dot(ctx.reshape(B, L, D).astype(cd),
+                      p["w_out"].astype(cd),
+                      preferred_element_type=jnp.float32,
+                      precision=policy.precision)
+        out = out + p["b_out"].astype(jnp.float32)
+        return jax.lax.with_sharding_constraint(out.astype(x.dtype), out_s)
+
+    return vv_attn

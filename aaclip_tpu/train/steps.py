@@ -60,7 +60,8 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
                        policy: DtypePolicy = DtypePolicy(),
                        attn_fn=None, vv_attn_fn=None,
                        vv_mode: str = "batch",
-                       chunk: int | None = None):
+                       chunk: int | None = None,
+                       mesh=None, sequence_parallel: bool = False):
     """Returns a jitted fn images -> grad-free stage-1 supervision features:
     last-level surgery patch embedding, L2-normalized, plus the frozen
     model's normalized CLS token (reference train.py:74-85).
@@ -95,28 +96,62 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     whole-batch feature extraction thrashes HBM past batch 32; chunked
     extraction keeps peak memory at the chunk size (measured numbers in
     docs/PERFORMANCE.md "Stage-1").
+
+    ``mesh``: a 2-D ``('data','model')`` mesh Megatron-shards the frozen
+    trunk over the model axis (same layout as make_stage2_step); the TP
+    closures replace any given ``attn_fn``/``vv_attn_fn`` (Pallas kernels
+    are single-shard programs).  ``sequence_parallel=True`` (TP mesh only)
+    additionally shards the residual stream's sequence axis
+    (Megatron-SP).  Both V-V modes stay exact: head-sharding never splits
+    a softmax reduction, and the batch-coupled form's cross-batch mixing
+    is a GSPMD all-gather over the data axis.
     """
     from aaclip_tpu.models.vit import embed, run_block_range, slice_blocks
+    from aaclip_tpu.parallel.tensor import is_tp_mesh
 
     # training keeps the policy's uniform matmul precision: the staged
     # bf16-prefix trunk (bf16_until) is an inference-path feature; honoring
     # it here would silently change training numerics across resumes
     policy = policy.unstaged()
-    visual = clip_params["visual"]
     act = Lyr.config_act(cfg, policy)
     layers = cfg.vision.layers
     heads = cfg.vision.heads
     if chunk is not None and chunk < 1:
         raise ValueError(f"feature chunk must be >= 1, got {chunk}")
-    if vv_mode == "batch":
-        if vv_attn_fn is not None:
-            raise ValueError(
-                "a custom vv_attn_fn requires vv_mode='spatial': the "
-                "default batch mode installs the reference-exact "
-                "batch-coupled kernel and would silently replace yours")
-        vv_attn_fn = Lyr.make_batch_vv_attn_fn(heads, policy)
-    elif vv_mode != "spatial":
+    if vv_mode not in ("batch", "spatial"):
         raise ValueError(f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
+    if sequence_parallel and not is_tp_mesh(mesh):
+        raise ValueError("sequence_parallel requires a 2-D mesh with "
+                         "model-parallel size > 1 (make_mesh_2d)")
+    resid_fn = None
+    if is_tp_mesh(mesh):
+        from aaclip_tpu.parallel import tensor as tpar
+
+        visual, _ = tpar.shard_visual(clip_params["visual"], cfg, mesh)
+        attn_fn = tpar.make_tp_attn_fn(heads, mesh, policy,
+                                       sequence_parallel=sequence_parallel)
+        vv_attn_fn = tpar.make_tp_vv_attn_fn(
+            heads, mesh, policy, batch_mode=(vv_mode == "batch"),
+            sequence_parallel=sequence_parallel)
+        if sequence_parallel:
+            resid_fn = tpar.make_sp_constraint(mesh)
+
+        def make_masked_vv(valid):
+            return tpar.make_tp_vv_attn_fn(
+                heads, mesh, policy, batch_mode=True, valid=valid,
+                sequence_parallel=sequence_parallel)
+    else:
+        visual = clip_params["visual"]
+        if vv_mode == "batch":
+            if vv_attn_fn is not None:
+                raise ValueError(
+                    "a custom vv_attn_fn requires vv_mode='spatial': the "
+                    "default batch mode installs the reference-exact "
+                    "batch-coupled kernel and would silently replace yours")
+            vv_attn_fn = Lyr.make_batch_vv_attn_fn(heads, policy)
+
+        def make_masked_vv(valid):
+            return Lyr.make_batch_vv_attn_fn(heads, policy, valid)
     vv_start = Lyr.surgery_vv_start(layers, surgery_until_layer)
     cd_prec = dict(preferred_element_type=jnp.float32,
                    precision=policy.precision)
@@ -127,18 +162,18 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
         # shared prefix: blocks [0, vv_start) are the same in both towers
         x = run_block_range(
             x, slice_blocks(visual["blocks"], 0, vv_start), heads,
-            act=act, policy=policy, attn_fn=attn_fn)
+            act=act, policy=policy, attn_fn=attn_fn, resid_fn=resid_fn)
         # V-V surgery tail -> last-level patch features
         xs = run_block_range(
             x, slice_blocks(visual["blocks"], vv_start, layers), heads,
             vv=True, act=act, policy=policy, attn_fn=attn_fn,
-            vv_attn_fn=vv_fn)
+            vv_attn_fn=vv_fn, resid_fn=resid_fn)
         feats = Lyr.layer_norm(xs[:, 1:, :], visual["ln_post"])
         feats = jnp.dot(feats.astype(cd), visual["proj"].astype(cd), **cd_prec)
         # standard tail -> frozen CLS embedding
         xc = run_block_range(
             x, slice_blocks(visual["blocks"], vv_start, layers), heads,
-            act=act, policy=policy, attn_fn=attn_fn)
+            act=act, policy=policy, attn_fn=attn_fn, resid_fn=resid_fn)
         cls = Lyr.layer_norm(xc[:, 0, :], visual["ln_post"])
         cls = jnp.dot(cls.astype(cd), visual["proj"].astype(cd), **cd_prec)
         cls = Lyr.l2_normalize(cls)
@@ -153,7 +188,7 @@ def stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
     # never need this)
     _features_masked = jax.jit(
         lambda visual, images, valid: _features_impl(
-            visual, images, Lyr.make_batch_vv_attn_fn(heads, policy, valid)))
+            visual, images, make_masked_vv(valid)))
 
     if not chunk:
         def features(images, valid=None):
@@ -187,12 +222,23 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
                      *, text_norm_weight: float = 0.1,
                      img_size: int | None = None,
                      policy: DtypePolicy = DtypePolicy(),
-                     remat: bool | str = True):
+                     remat: bool | str = True, mesh=None,
+                     sequence_parallel: bool = False):
     """Build the jitted stage-1 update.
 
     ``prompt_tokens``: [n_classes, 16, 77] int32 (all classes of the
     training dataset).  The step takes (state, surgery_feats [B, L, D],
     mask [B, H, W], class_idx [B], valid [B]).
+
+    ``mesh``: a 2-D ``('data','model')`` mesh Megatron-shards the frozen
+    TEXT tower (the stage-1 gradient path, reference train.py:38-114) over
+    the model axis — forward AND backward — with a causal TP attention
+    closure; the prompt batch (C*S sentences, per-step constant work) is
+    additionally pinned over the data axis so the text tower's FLOPs split
+    across the whole mesh instead of replicating.  Adapter grads are
+    psummed over both axes by GSPMD.  ``sequence_parallel=True`` (TP mesh
+    only) shards the 77-token stream between matmul regions (Megatron-SP;
+    same schedule as make_stage2_step's).
     """
     img = img_size or cfg.vision.image_size
     policy = policy.unstaged()  # staging is inference-only (see features_fn)
@@ -200,12 +246,29 @@ def make_stage1_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
     C, S, _ = tokens.shape
     flat_tokens = tokens.reshape(C * S, -1)
     text_params = clip_params["text"]
+    attn_fn = None
+    resid_fn = None
+
+    from aaclip_tpu.parallel.tensor import is_tp_mesh
+
+    if sequence_parallel and not is_tp_mesh(mesh):
+        raise ValueError("sequence_parallel requires a 2-D mesh with "
+                         "model-parallel size > 1 (make_mesh_2d)")
+    if is_tp_mesh(mesh):
+        from aaclip_tpu.parallel import tensor as tpar
+
+        text_params, _ = tpar.shard_text(text_params, cfg, mesh)
+        attn_fn = tpar.make_tp_attn_fn(cfg.text.heads, mesh, policy,
+                                       causal=True,
+                                       sequence_parallel=sequence_parallel)
+        resid_fn = (tpar.make_sp_constraint(mesh) if sequence_parallel
+                    else tpar.make_batch_dp_constraint(mesh))
 
     def loss_fn(text_adapter, text_params, feats, mask, class_idx, valid):
         embeds = adapted_encode_text(
             text_params, text_adapter, cfg, flat_tokens,
             text_adapt_weight=acfg.text_adapt_weight, policy=policy,
-            remat=remat,
+            remat=remat, attn_fn=attn_fn, resid_fn=resid_fn,
         )
         anchors = reduce_to_anchors(embeds.reshape(C, S, -1))  # [C, D, 2]
         banchors = anchors[class_idx]                          # [B, D, 2]

@@ -254,6 +254,137 @@ def test_tp_stage2_grad_accum_composes(setup):
         st1.params, st0.params)
 
 
+def test_tp_causal_attention_matches_masked(setup):
+    """make_tp_attn_fn(causal=True) on head-major weights == the standard
+    attention with an explicit causal mask (the text-tower contract)."""
+    clip, *_ = setup
+    blk = jax.tree.map(lambda a: a[0], clip["text"]["blocks"])
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((4, 11, CFG.text.width)), jnp.float32)
+    want = L.attention(x, blk["attn"], CFG.text.heads,
+                       mask=L.causal_mask(11))
+    mesh = tpar.make_mesh_2d(tp=2)
+    w, b = tpar.repack_qkv_head_major(
+        blk["attn"]["w_qkv"], blk["attn"]["b_qkv"], CFG.text.heads)
+    p_hm = dict(blk["attn"], w_qkv=w, b_qkv=b)
+    fn = tpar.make_tp_attn_fn(CFG.text.heads, mesh, DtypePolicy(),
+                              causal=True)
+    assert fn.causal
+    got = fn(x, p_hm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_text_trunk_rejects_uncausal_attn_fn(setup):
+    """A text-tower attn_fn override that does not advertise causality must
+    be rejected (it would silently compute non-causal attention)."""
+    from aaclip_tpu.models.text_model import encode_text
+    clip, *_ = setup
+    tokens = jnp.zeros((2, 7), jnp.int32)
+    mesh = tpar.make_mesh_2d(tp=2)
+    fn = tpar.make_tp_attn_fn(CFG.text.heads, mesh, DtypePolicy())  # causal=False
+    from aaclip_tpu.models.text_model import _trunk
+    with pytest.raises(ValueError, match="causal"):
+        _trunk(clip["text"], CFG, tokens, attn_fn=fn)
+    del encode_text
+
+
+@pytest.mark.parametrize("vv_mode", ["batch", "spatial"])
+def test_tp_stage1_features_match_single_device(setup, vv_mode):
+    """Stage-1 surgery features through the TP-sharded trunk (both V-V
+    layouts, including the reference's batch-coupled quirk) == the
+    single-device features."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    clip, _, images, *_ = setup
+    ref = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                             vv_mode=vv_mode)(jnp.asarray(images))
+    mesh = tpar.make_mesh_2d(tp=2)
+    got = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                             vv_mode=vv_mode, mesh=mesh)(
+        sh.shard_batch(mesh, images))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_tp_stage1_features_masked_tail_batch(setup):
+    """Padded final batch under TP: the batch-coupled V-V softmax must see
+    only the valid rows (reference runs the smaller unpadded tail batch),
+    exactly like the single-device masked path."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    clip, _, images, *_ = setup
+    valid = np.array([1, 1, 1, 1, 1, 0, 0, 0], np.float32)
+    ref = stage1_features_fn(clip, CFG, surgery_until_layer=2)(
+        jnp.asarray(images), jnp.asarray(valid))
+    mesh = tpar.make_mesh_2d(tp=2)
+    imgs_s, valid_s = sh.shard_batch(mesh, images, valid)
+    got = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                             mesh=mesh)(imgs_s, valid_s)
+    n = int(valid.sum())
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(ref)[:n],
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp", [False, True])
+def test_tp_stage1_step_matches_single_device(setup, sp):
+    """One full stage-1 update (prompt encode through the Megatron-sharded
+    TEXT tower, seg+orthogonality losses, grads, Adam) on the
+    (data=4, model=2) mesh must reproduce the single-device loss and
+    updated text-adapter params — with and without Megatron-SP on the
+    token stream."""
+    from aaclip_tpu.core.params import init_adapter_params
+    from aaclip_tpu.text.anchors import dataset_prompt_tokens
+    from aaclip_tpu.train.optim import make_text_optimizer
+    from aaclip_tpu.train.steps import (init_state, make_stage1_step,
+                                        stage1_features_fn)
+
+    clip, _, images, *_ = setup
+    text_adapter = init_adapter_params(jax.random.PRNGKey(5), CFG,
+                                       ACFG)["text"]
+    feats = stage1_features_fn(clip, CFG, surgery_until_layer=2)(
+        jnp.asarray(images))
+    B, S = images.shape[0], CFG.vision.image_size
+    rng = np.random.default_rng(17)
+    mask = (rng.random((B, S, S)) > 0.8).astype(np.float32)
+    class_idx = (np.arange(B) % 2).astype(np.int32)
+    valid = np.ones((B,), np.float32)
+    tokens = dataset_prompt_tokens("MVTec", ["bottle", "cable"])
+
+    tx0 = make_text_optimizer(1e-3)
+    s0 = make_stage1_step(clip, CFG, ACFG, tx0, tokens)
+    st0, l0 = s0(init_state(text_adapter, tx0), feats, jnp.asarray(mask),
+                 jnp.asarray(class_idx), jnp.asarray(valid))
+
+    mesh = tpar.make_mesh_2d(tp=2)
+    tx1 = make_text_optimizer(1e-3)
+    s1 = make_stage1_step(clip, CFG, ACFG, tx1, tokens, mesh=mesh,
+                          sequence_parallel=sp)
+    batch = sh.shard_batch(mesh, np.asarray(feats), mask, class_idx, valid)
+    st1, l1 = s1(init_state(text_adapter, tx1), *batch)
+
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-5, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4),
+        st1.params, st0.params)
+
+
+def test_stage1_sp_requires_tp_mesh(setup):
+    from aaclip_tpu.text.anchors import dataset_prompt_tokens
+    from aaclip_tpu.train.optim import make_text_optimizer
+    from aaclip_tpu.train.steps import make_stage1_step, stage1_features_fn
+
+    clip, *_ = setup
+    with pytest.raises(ValueError, match="sequence_parallel requires"):
+        stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                           sequence_parallel=True)
+    tokens = dataset_prompt_tokens("MVTec", ["bottle"])
+    with pytest.raises(ValueError, match="sequence_parallel requires"):
+        make_stage1_step(clip, CFG, ACFG, make_text_optimizer(1e-3), tokens,
+                         mesh=sh.make_data_mesh(8), sequence_parallel=True)
+
+
 def test_sp_requires_tp_mesh(setup):
     clip, *_ = setup
     with pytest.raises(ValueError, match="sequence_parallel requires"):
