@@ -44,6 +44,79 @@ class StepTimer:
         return self._items / elapsed if elapsed > 0 else 0.0
 
 
+class HostLoopProfiler:
+    """Per-step host-loop phase decomposition for the training CLIs.
+
+    The device step rate (bench.py) and the CLI wall rate historically
+    differ ~2x; this names where the host loop spends its time.  Usage:
+
+        prof = HostLoopProfiler()
+        for batch in prof.wrap(loader):       # 'loader_wait' = q.get time
+            with prof.phase("h2d"): ...
+            with prof.phase("step_dispatch"): ...
+        prof.report(logger)
+
+    All times are wall (perf_counter).  Because jax dispatch is async,
+    'step_dispatch' measures trace/submit cost, not device compute; the
+    device time surfaces as 'loss_fetch' (the one-step-late scalar fetch
+    blocks until the PREVIOUS step finishes) plus whichever phase first
+    needs a device result.  The first step of each wrap() is skipped
+    (compile).
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._acc: dict = {}
+        self._skip = True
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if not self._skip:
+                e = self._acc.setdefault(name, [0, 0.0])
+                e[0] += 1
+                e[1] += time.perf_counter() - t0
+
+    def wrap(self, iterable):
+        if not self.enabled:
+            yield from iterable
+            return
+        it = iter(iterable)
+        self._skip = True  # first batch includes compile; exclude it
+        while True:
+            with self.phase("loader_wait"):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
+            yield batch
+            self._skip = False
+
+    def report(self, log=None) -> str:
+        if not self.enabled or not self._acc:
+            return ""
+        total = sum(s for _, s in self._acc.values())
+        lines = ["host-loop phase decomposition (per profiled step):"]
+        n_steps = max((n for n, _ in self._acc.values()), default=0)
+        for name, (n, s) in sorted(self._acc.items(),
+                                   key=lambda kv: -kv[1][1]):
+            lines.append(
+                f"  {name:<16} {s / max(n, 1) * 1e3:8.2f} ms/step  "
+                f"({100 * s / total:5.1f}% of accounted, n={n})")
+        lines.append(f"  accounted wall: {total:.2f} s over ~{n_steps} "
+                     "steps (unaccounted gaps = python overhead)")
+        text = "\n".join(lines)
+        if log is not None:
+            log.info("%s", text)
+        return text
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]):
     """jax.profiler trace scope; no-op when log_dir is None."""

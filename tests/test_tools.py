@@ -164,3 +164,31 @@ def test_precision_ab_smoke(tmp_path, monkeypatch):
         pab.main(["--compare_only", ckpt,
                   "--baseline", "fp32", "--candidate", "fp32_high",
                   "--n_normal", "4", "--n_anomalous", "4"])
+
+
+def test_host_loop_profiler():
+    """HostLoopProfiler: first (compile) step excluded, phases accumulate,
+    disabled mode is a transparent passthrough."""
+    import time
+
+    from aaclip_tpu.utils.profiling import HostLoopProfiler
+
+    prof = HostLoopProfiler()
+    seen = []
+    for batch in prof.wrap([1, 2, 3]):
+        with prof.phase("work"):
+            time.sleep(0.001)
+        seen.append(batch)
+    assert seen == [1, 2, 3]
+    report = prof.report()
+    assert "loader_wait" in report and "work" in report
+    # 3 batches, first skipped -> 2 profiled work phases; loader_wait also
+    # counts the terminal StopIteration wait (real end-of-epoch waiting)
+    assert prof._acc["work"][0] == 2
+    assert prof._acc["loader_wait"][0] in (2, 3)
+
+    off = HostLoopProfiler(enabled=False)
+    assert list(off.wrap([4, 5])) == [4, 5]
+    with off.phase("x"):
+        pass
+    assert off.report() == ""

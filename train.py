@@ -117,6 +117,11 @@ def parse_args(argv=None):
                         help="microbatch count for --pipeline_parallel "
                              "(default = stage count; image_batch_size "
                              "must divide by it)")
+    parser.add_argument("--profile_input", action="store_true",
+                        help="log a per-epoch host-loop phase "
+                             "decomposition (loader wait / H2D / augment "
+                             "/ step dispatch / loss fetch) — names where "
+                             "the CLI-wall vs device-step gap goes")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="split each stage-2 batch into this many "
                              "microbatches inside the jitted step, "
@@ -178,7 +183,7 @@ def main(argv=None):
     from aaclip_tpu.train.steps import (
         TrainState, init_state, make_stage1_step, make_stage2_step,
         stage1_features_fn)
-    from aaclip_tpu.utils.profiling import StepTimer
+    from aaclip_tpu.utils.profiling import HostLoopProfiler, StepTimer
 
     sh.initialize_multihost()
     host_id, num_hosts = jax.process_index(), jax.process_count()
@@ -322,15 +327,24 @@ def main(argv=None):
     # ---- stage 1 ----------------------------------------------------------
     if adapt_text and text_start_epoch < args.text_epoch:
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
-        attn_fn = maybe_make_attn_fn(cfg, policy)
-        # the packed Pallas V-V kernel implements the spatial semantics;
-        # the reference-exact batch mode builds its own (cheap) attention
-        vv_attn_fn = (maybe_make_attn_fn(cfg, policy, vv=True)
-                      if args.vv_mode == "spatial" else None)
+        s1_mesh = mesh if args.tensor_parallel > 1 else None
+        if s1_mesh is not None:
+            # tensor parallelism: the TP closures replace the Pallas
+            # kernels (single-shard programs) for both the surgery-feature
+            # trunk and the text tower — same contract as stage 2
+            attn_fn = vv_attn_fn = None
+        else:
+            attn_fn = maybe_make_attn_fn(cfg, policy)
+            # the packed Pallas V-V kernel implements the spatial
+            # semantics; the reference-exact batch mode builds its own
+            # (cheap) attention
+            vv_attn_fn = (maybe_make_attn_fn(cfg, policy, vv=True)
+                          if args.vv_mode == "spatial" else None)
         feats_fn = stage1_features_fn(
             clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
             policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
-            vv_mode=args.vv_mode, chunk=args.feature_chunk or None)
+            vv_mode=args.vv_mode, chunk=args.feature_chunk or None,
+            mesh=s1_mesh, sequence_parallel=args.sequence_parallel)
         # text-tower remat: 'selective' is always safe (the saved tensors
         # are context-length-sized) and measured fastest; 'off' can OOM at
         # large prompt batches with XLA-attention probabilities
@@ -340,7 +354,8 @@ def main(argv=None):
         step_fn = make_stage1_step(
             clip_params, cfg, acfg, text_tx, prompt_tokens,
             text_norm_weight=args.text_norm_weight,
-            img_size=args.img_size, policy=policy, remat=s1_remat)
+            img_size=args.img_size, policy=policy, remat=s1_remat,
+            mesh=s1_mesh, sequence_parallel=args.sequence_parallel)
         loader = BatchLoader(text_ds, args.text_batch_size, shuffle=True,
                              seed=args.seed, num_workers=args.num_workers,
                              host_id=host_id, num_hosts=num_hosts)
@@ -348,21 +363,28 @@ def main(argv=None):
         for epoch in range(text_start_epoch, args.text_epoch):
             logger.info("training text epoch %d:", epoch)
             timer = StepTimer()  # per-epoch: checkpoint saves excluded
+            prof = HostLoopProfiler(enabled=args.profile_input)
             losses = []
             pending = None  # materialize losses one step late: fetching a
             # scalar blocks on the device, so deferring it lets the next
             # batch's host->device transfer overlap this step's compute
-            for it, batch in enumerate(loader):
-                images, mask, label, class_idx, valid = device_batch(batch)
-                images, mask = maybe_augment(images, mask, 1, epoch, it)
+            for it, batch in enumerate(prof.wrap(loader)):
+                with prof.phase("h2d"):
+                    images, mask, label, class_idx, valid = \
+                        device_batch(batch)
+                with prof.phase("augment_dispatch"):
+                    images, mask = maybe_augment(images, mask, 1, epoch, it)
                 # valid: a padded final batch must not leak pad rows into
                 # the batch-coupled V-V softmax (reference runs the smaller
                 # unpadded tail batch); spatial mode ignores it
-                feats = feats_fn(images, valid)
-                text_state, loss = step_fn(text_state, feats, mask,
-                                           class_idx, valid)
+                with prof.phase("features_dispatch"):
+                    feats = feats_fn(images, valid)
+                with prof.phase("step_dispatch"):
+                    text_state, loss = step_fn(text_state, feats, mask,
+                                               class_idx, valid)
                 if pending is not None:
-                    losses.append(float(pending))
+                    with prof.phase("loss_fetch"):
+                        losses.append(float(pending))
                 pending = loss
                 timer.tick(images.shape[0])
             if pending is not None:
@@ -370,6 +392,7 @@ def main(argv=None):
             timer.stop()  # losses drained -> device idle; close the window
             logger.info("loss: %s", float(np.mean(losses)))
             logger.info("throughput: %.2f img/s", timer.rate())
+            prof.report(logger)
             ckpt.save_adapter_checkpoint_any(
                 text_ckpt, epoch + 1, text_state.params,
                 text_state.opt_state, int(text_state.step),
@@ -415,15 +438,20 @@ def main(argv=None):
     for epoch in range(image_start_epoch, args.image_epoch):
         logger.info("training image epoch %d:", epoch)
         timer = StepTimer()  # per-epoch: checkpoint saves excluded
+        prof = HostLoopProfiler(enabled=args.profile_input)
         losses = []
         pending = None  # one-step-late loss fetch (see stage-1 loop)
-        for it, batch in enumerate(loader):
-            images, mask, label, class_idx, valid = device_batch(batch)
-            images, mask = maybe_augment(images, mask, 2, epoch, it)
-            image_state, loss = step_fn(image_state, images, mask, label,
-                                        class_idx, valid)
+        for it, batch in enumerate(prof.wrap(loader)):
+            with prof.phase("h2d"):
+                images, mask, label, class_idx, valid = device_batch(batch)
+            with prof.phase("augment_dispatch"):
+                images, mask = maybe_augment(images, mask, 2, epoch, it)
+            with prof.phase("step_dispatch"):
+                image_state, loss = step_fn(image_state, images, mask,
+                                            label, class_idx, valid)
             if pending is not None:
-                losses.append(float(pending))
+                with prof.phase("loss_fetch"):
+                    losses.append(float(pending))
             pending = loss
             timer.tick(images.shape[0])
         if pending is not None:
@@ -431,6 +459,7 @@ def main(argv=None):
         timer.stop()  # losses drained -> device idle; close the window
         logger.info("loss: %s", float(np.mean(losses)))
         logger.info("throughput: %.2f img/s", timer.rate())
+        prof.report(logger)
         ckpt.save_adapter_checkpoint_any(
             image_ckpt, epoch + 1, image_state.params,
             image_state.opt_state, int(image_state.step),
