@@ -21,7 +21,13 @@ GET /healthz          -> {"status": "ok", "img_size": N,
                           "datasets": [...], "untrained": bool}
 GET /classes?dataset= -> per-dataset class list
 GET /statz            -> serving counters: requests, batches, mean batch
-                         occupancy, and request-latency p50/p95/max (ms)
+                         occupancy, request-latency p50/p95/max (ms), and
+                         a per-phase wall-time decomposition ("phases":
+                         http_read / decode / queue_wait / stack_pad /
+                         dispatch / device_wait / map_fetch / respond,
+                         each with n, total_s, mean/p50/p95 ms; set
+                         AACLIP_SERVE_PHASE_PROBE=1 to split input upload
+                         out as h2d_probe)
 
 Start with ``python serve.py`` (repo root) or
 ``python -m aaclip_tpu.serve.server``.
@@ -343,6 +349,14 @@ class InferenceEngine:
                        precompile: bool) -> None:
         import jax.numpy as jnp
 
+        # stats fields first: the precompile loop below goes through
+        # _dispatch, which notes phase timings
+        self._stats_lock = threading.Lock()
+        self._phase_stats: Dict[str, list] = {}   # name -> ring of ms
+        self._phase_total: Dict[str, list] = {}   # name -> [count, sum_ms]
+        self._phase_probe = False  # enabled after warmup (below) so the
+        # precompile dispatches don't pollute the h2d_probe numbers
+
         # postproc matrices live on device once (re-uploading ~77KB per
         # micro-batch through a slow host link is pure per-forward overhead)
         self._postproc_dev = {ds: jnp.asarray(m)
@@ -380,13 +394,25 @@ class InferenceEngine:
         depth = 2 if self._shard_batches else max(2, self._dp_devices)
         self._completion_q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
-        self._stats_lock = threading.Lock()
         self._n_requests = 0
         self._n_errors = 0
         self._n_rejected = 0
         self._n_batches = 0
         self._n_batched_requests = 0
         self._latencies_ms: list = []  # ring buffer, last 1024 requests
+        # request-path phase decomposition (/statz "phases"): cumulative
+        # totals + a recent-window ring per phase, fields initialized at
+        # the top of this method.  This is what turns "the 10.9 maps/s
+        # ceiling is relay-transfer-bound" from an inference into a
+        # measured split: http_read/decode are host request work,
+        # queue_wait is batching backpressure, stack_pad + dispatch are
+        # host batch assembly + async submit, device_wait is
+        # input-transfer + forward (blocks on the first fetched scalar),
+        # map_fetch is the [B, H, W] result readback.  The optional h2d
+        # probe (AACLIP_SERVE_PHASE_PROBE=1) splits input upload out of
+        # device_wait at the cost of one extra device roundtrip per batch.
+        self._phase_probe = os.environ.get(
+            "AACLIP_SERVE_PHASE_PROBE", "") == "1"
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
         # completion stage: jax dispatch is async, so materializing batch
@@ -403,7 +429,16 @@ class InferenceEngine:
         round-robin device placement."""
         import jax.numpy as jnp
 
-        return self._predict(self.image_adapter, jnp.asarray(imgs),
+        imgs_dev = jnp.asarray(imgs)
+        if self._phase_probe:
+            # measurement mode: force the input upload to finish and time
+            # it, splitting h2d out of device_wait. One extra scalar
+            # roundtrip per batch — off by default so steady-state numbers
+            # stay unperturbed (AACLIP_SERVE_PHASE_PROBE=1 to enable).
+            t0 = time.perf_counter()
+            float(imgs_dev[0, 0, 0, 0])
+            self._note_phase("h2d_probe", (time.perf_counter() - t0) * 1e3)
+        return self._predict(self.image_adapter, imgs_dev,
                              jnp.asarray(anch), self._postproc_dev[ds])
 
     def _bucket(self, n: int) -> int:
@@ -447,6 +482,7 @@ class InferenceEngine:
         done = threading.Event()
         slot: dict = {}
         t0 = time.perf_counter()
+        slot["t_enq"] = t0  # queue_wait phase start (read by _serve_loop)
         try:
             self._queue.put_nowait((image_u8, dataset, class_name, slot, done))
         except queue.Full:
@@ -472,18 +508,45 @@ class InferenceEngine:
             raise RuntimeError(slot["error"])
         return slot["map"], slot["score"]
 
+    def _note_phase(self, name: str, ms: float) -> None:
+        with self._stats_lock:
+            ring = self._phase_stats.setdefault(name, [])
+            ring.append(ms)
+            del ring[:-512]
+            tot = self._phase_total.setdefault(name, [0, 0.0])
+            tot[0] += 1
+            tot[1] += ms
+
     def stats(self) -> dict:
         """Serving counters for /statz (mean batch occupancy measures how
-        well micro-batching amortizes forwards under the current load)."""
+        well micro-batching amortizes forwards under the current load;
+        "phases" decomposes where request wall time goes — see
+        _start_runtime's field comment)."""
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
             nb, nr = self._n_batches, self._n_batched_requests
             total, errors = self._n_requests, self._n_errors
             rejected = self._n_rejected
+            phases = {
+                name: (sorted(ring), list(self._phase_total[name]))
+                for name, ring in self._phase_stats.items()
+            }
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) \
                 if lat else None
+
+        def phase_row(ring, tot):
+            n, s = tot
+            return {
+                "n": n,
+                "total_s": round(s / 1e3, 3),
+                "mean_ms": round(s / n, 2) if n else None,
+                "p50_ms": round(ring[min(len(ring) - 1,
+                                         len(ring) // 2)], 2),
+                "p95_ms": round(ring[min(len(ring) - 1,
+                                         int(0.95 * len(ring)))], 2),
+            }
 
         return {
             "requests": total,
@@ -495,6 +558,8 @@ class InferenceEngine:
             "max_queue": self.max_queue,
             "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
                            "max": round(lat[-1], 2) if lat else None},
+            "phases": {name: phase_row(ring, tot)
+                       for name, (ring, tot) in sorted(phases.items())},
         }
 
     def _serve_loop(self):
@@ -524,6 +589,10 @@ class InferenceEngine:
                     self._n_batches += 1
                     self._n_batched_requests += len(items)
                 try:
+                    t_group = time.perf_counter()
+                    for it in items:  # queue_wait: enqueue -> group start
+                        self._note_phase(
+                            "queue_wait", (t_group - it[3]["t_enq"]) * 1e3)
                     imgs = np.stack([it[0] for it in items])
                     anch = np.stack([self.anchors[ds][it[2]] for it in items])
                     n = imgs.shape[0]
@@ -534,7 +603,12 @@ class InferenceEngine:
                             [imgs, np.repeat(imgs[-1:], pad, axis=0)])
                         anch = np.concatenate(
                             [anch, np.repeat(anch[-1:], pad, axis=0)])
+                    t_stacked = time.perf_counter()
+                    self._note_phase("stack_pad",
+                                     (t_stacked - t_group) * 1e3)
                     pix, score = self._dispatch(imgs, anch, ds)
+                    self._note_phase(
+                        "dispatch", (time.perf_counter() - t_stacked) * 1e3)
                     # hand the (async) device arrays to the completion
                     # stage; this thread immediately collects the next batch
                     self._completion_q.put((items, pix, score))
@@ -550,8 +624,18 @@ class InferenceEngine:
             except queue.Empty:
                 continue
             try:
-                pix = np.asarray(pix)
+                # fetch the [B] scores FIRST: the small array materializes
+                # when the forward (and its input transfer) completes, so
+                # this wait is the device phase; the big [B, H, W] map
+                # readback is then pure result D2H — the split the
+                # "relay-transfer-bound" analysis needs
+                t0 = time.perf_counter()
                 score = np.asarray(score)
+                t1 = time.perf_counter()
+                self._note_phase("device_wait", (t1 - t0) * 1e3)
+                pix = np.asarray(pix)
+                self._note_phase("map_fetch",
+                                 (time.perf_counter() - t1) * 1e3)
                 for i, (_, _, _, slot, done) in enumerate(items):
                     slot["map"] = pix[i]
                     slot["score"] = float(score[i])
@@ -693,12 +777,16 @@ def make_handler(engine: InferenceEngine):
                     remaining -= len(chunk)
                 self.close_connection = True
                 return
+            t0 = time.perf_counter()
             body = self.rfile.read(length)
+            t1 = time.perf_counter()
+            engine._note_phase("http_read", (t1 - t0) * 1e3)
             try:
                 img = _decode_image(body, engine.img_size)
             except Exception as e:
                 self._json(400, {"error": f"could not decode image: {e}"})
                 return
+            engine._note_phase("decode", (time.perf_counter() - t1) * 1e3)
             try:
                 amap, score = engine.submit(img, ds, cls)
             except KeyError as e:
@@ -714,6 +802,7 @@ def make_handler(engine: InferenceEngine):
             except Exception as e:
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            t2 = time.perf_counter()
             payload = {
                 "image_score": score,
                 "map_shape": list(amap[::stride, ::stride].shape),
@@ -723,6 +812,10 @@ def make_handler(engine: InferenceEngine):
             if engine.untrained:
                 payload["untrained"] = True
             self._json(200, payload)
+            # JSON-encoding + writing a full-resolution 518^2 map is
+            # megabytes per request — measured, not assumed (clients can
+            # shrink it with map_stride)
+            engine._note_phase("respond", (time.perf_counter() - t2) * 1e3)
 
     return Handler
 

@@ -189,6 +189,47 @@ def test_http_statz(server, engine):
     assert 1.0 <= s["mean_batch_occupancy"] <= engine.max_batch
     assert s["latency_ms"]["p50"] > 0
     assert s["latency_ms"]["p95"] >= s["latency_ms"]["p50"]
+    # phase decomposition: the engine-side phases must be present after a
+    # served request (http_read/decode/respond need an HTTP-path request)
+    for phase in ("queue_wait", "stack_pad", "dispatch", "device_wait",
+                  "map_fetch"):
+        row = s["phases"][phase]
+        assert row["n"] >= 1, (phase, row)
+        assert row["total_s"] >= 0 and row["p95_ms"] >= row["p50_ms"] >= 0
+
+
+def test_http_statz_http_phases(server):
+    """The HTTP-handler phases (body read / decode / response write) land
+    in /statz after a POST /predict."""
+    req = urllib.request.Request(
+        server + "/predict?dataset=MVTec&class_name=bottle&map_stride=7",
+        data=_png_bytes(), method="POST")
+    with urllib.request.urlopen(req, timeout=30):
+        pass
+    with urllib.request.urlopen(server + "/statz", timeout=10) as r:
+        s = json.loads(r.read())
+    for phase in ("http_read", "decode", "respond"):
+        assert s["phases"][phase]["n"] >= 1, phase
+
+
+def test_engine_phase_probe(monkeypatch):
+    """AACLIP_SERVE_PHASE_PROBE=1 splits input upload out of device_wait
+    (h2d_probe phase appears; numbers stay sane)."""
+    monkeypatch.setenv("AACLIP_SERVE_PHASE_PROBE", "1")
+    eng = InferenceEngine(model_name="tiny-test", img_size=70,
+                          datasets=["MVTec"], max_batch=2, seed=0,
+                          adapter_cfg=dict(levels=(1, 2),
+                                           image_adapt_until=1,
+                                           text_adapt_until=1))
+    try:
+        img = np.random.default_rng(3).integers(0, 256, (3, 70, 70),
+                                                dtype=np.uint8)
+        eng.submit(img, "MVTec", "bottle")
+        s = eng.stats()
+        assert s["phases"]["h2d_probe"]["n"] >= 1
+        assert s["phases"]["device_wait"]["n"] >= 1
+    finally:
+        eng.shutdown()
 
 
 def test_http_error_paths(server):
