@@ -41,11 +41,11 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--precision", default=None,
                         choices=["fp32", "fp32_high", "bf16", "int8"],
-                        help="default: int8 for --mode infer (the fastest "
-                             "serving config — task metric table "
-                             "chip-verified identical to bf16, "
-                             "docs/PERFORMANCE.md 'int8 quantized "
-                             "inference'), bf16 for the other modes")
+                        help="default: bf16 (int8 is +5% but failed the "
+                             "round-4 scaled image-metric fidelity gate — "
+                             "docs/PERFORMANCE.md 'Task-level fidelity'; "
+                             "opt in explicitly if pixel-level metrics "
+                             "are all you serve)")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--bf16_until", type=int, default=None,
                         help="override the policy's staged-precision trunk "
@@ -108,10 +108,15 @@ def main(argv=None):
     if args.artifact and args.mode != "serve":
         parser.error("--artifact applies to --mode serve only")
     if args.precision is None:
-        # headline default: the fastest serving precision whose task
-        # metrics are chip-verified identical to bf16's (int8 is
-        # inference-only; train/serve modes keep the bf16 fast path)
-        args.precision = "int8" if args.mode == "infer" else "bf16"
+        # headline default: bf16.  int8 (+5%) was the round-3 headline on
+        # the strength of a 16-image A/B; the round-4 SCALED chip A/B
+        # (tools/precision_ab.py, 256 images, unsaturated-by-construction)
+        # failed the granularity-aware image-metric gate (image AUC delta
+        # up to 1.66 points vs a 0.29 tolerance, worst-class score
+        # Spearman 0.961, pixel AUPRO delta 0.46; pixel AUC/AP hold within
+        # 0.17) — docs/PERFORMANCE.md "Task-level fidelity".  int8 stays
+        # an explicit opt-in via --precision int8.
+        args.precision = "bf16"
 
     from aaclip_tpu.utils.platform import (honor_env_platform,
                                            probe_devices_or_exit)

@@ -41,12 +41,13 @@ def test_bench_modes_emit_contract(mode, metric):
 
 
 def test_bench_default_precision_resolution():
-    """The driver runs bare `python bench.py`: with no --precision the
-    infer headline resolves to int8 (the fastest chip-verified-identical
-    serving config) while train modes keep bf16 (int8 is inference-only)."""
+    """The driver runs bare `python bench.py`: with no --precision every
+    mode resolves to bf16.  int8 was the round-3 infer headline but failed
+    the round-4 scaled image-metric fidelity gate (PERFORMANCE.md
+    "Task-level fidelity"), so it is opt-in only."""
     base = [a for a in COMMON if a not in ("--precision", "fp32")]
     payload = _run(base)
-    assert "int8" in payload["unit"]
+    assert "bf16" in payload["unit"] and "int8" not in payload["unit"]
     payload = _run(base + ["--mode", "train"])
     assert "bf16" in payload["unit"]
 
