@@ -94,6 +94,22 @@ def parse_args(argv=None):
                         help="microbatch count for --pipeline_parallel "
                              "(default = stage count; batch_size must "
                              "divide by it)")
+    parser.add_argument("--memory_bank", action="store_true",
+                        help="few-shot mode: build a per-class memory bank "
+                             "of adapted patch features from --shot normal "
+                             "TRAINING images (the reference's dead "
+                             "get_support_features construction, reference "
+                             "test.py:39-50) and fuse nearest-neighbor "
+                             "bank scores with the text-anchor prediction "
+                             "at --bank_weight (the scoring side is this "
+                             "framework's documented extension — "
+                             "eval/memory_bank.py)")
+    parser.add_argument("--bank_weight", type=float, default=0.5,
+                        help="fusion weight of the memory-bank scores "
+                             "(0 = pure text anchors, 1 = pure bank)")
+    parser.add_argument("--bank_chunk", type=int, default=1024,
+                        help="bank-axis chunk of the max-similarity scan "
+                             "(peak memory ~ [levels, B, L, chunk])")
     parser.add_argument("--artifact", type=str, default=None,
                         help="evaluate a frozen jax.export artifact dir "
                              "(tools/export_artifact.py) instead of "
@@ -108,6 +124,13 @@ def parse_args(argv=None):
                           or args.pipeline_parallel > 1):
         parser.error("--artifact serves frozen single-device graphs; "
                      "parallel flags need the live model path")
+    if args.memory_bank and (args.artifact or args.data_parallel
+                             or args.tensor_parallel > 1
+                             or args.pipeline_parallel > 1):
+        parser.error("--memory_bank runs the live single-device predictor "
+                     "(banks are per-class, per-snapshot device arrays)")
+    if args.memory_bank and args.shot < 1:
+        parser.error("--memory_bank needs --shot >= 1 support images")
     return args
 
 
@@ -143,11 +166,13 @@ def main(argv=None):
     from aaclip_tpu.train import checkpoint as ckpt
     from aaclip_tpu.utils.profiling import StepTimer
 
+    mb_ctx = None  # set by the live path when --memory_bank is on
+
     def _eval_one(predict_fn, image_adapter, label):
         """One results table (the reference's per-snapshot block,
         test.py:179-250); reads image_datasets / text_embeddings / domain
-        from the enclosing scope — both the live and the artifact path
-        assign them before calling."""
+        (and mb_ctx) from the enclosing scope — both the live and the
+        artifact path assign them before calling."""
         logger.info("-----------------------------------------------")
         logger.info("load model from epoch %s", label)
         logger.info("-----------------------------------------------")
@@ -169,9 +194,32 @@ def main(argv=None):
                 continue
             loader = BatchLoader(dataset, args.batch_size, shuffle=False,
                                  num_workers=args.num_workers)
+            fn = predict_fn
+            if mb_ctx is not None and class_name not in mb_ctx["support"]:
+                # test records exist but the train metadata has no rows
+                # for this class — bank-less fallback would silently mix
+                # protocols across classes; fail loudly instead
+                raise SystemExit(
+                    f"--memory_bank: class {class_name!r} has test images "
+                    "but no training metadata to draw support from")
+            if mb_ctx is not None:
+                # per-snapshot, per-class: the bank is built from the
+                # adapters under evaluation (reference test.py:41 comment —
+                # train first, then construct the bank from that model)
+                from aaclip_tpu.eval.memory_bank import collect_bank
+                bank = collect_bank(
+                    mb_ctx["predict"].features_fn, image_adapter,
+                    mb_ctx["support"][class_name],
+                    batch_size=args.batch_size)
+                logger.info("memory bank: %d patch vectors/level x %d "
+                            "levels (%d-shot)", bank.shape[1], bank.shape[0],
+                            args.shot)
+
+                def fn(ia, im, an, M, _bank=bank):
+                    return mb_ctx["predict"](ia, im, an, M, _bank)
             masks, labels, preds, preds_image, file_names = \
                 run_class_predictions(
-                    predict_fn, image_adapter, loader,
+                    fn, image_adapter, loader,
                     text_embeddings[class_name], domain,
                     args.img_size, grid)
             timer.tick(len(file_names))
@@ -362,6 +410,45 @@ def main(argv=None):
                                      attn_fn=attn_fn,
                                      uint8_inputs=uint8_inputs, mesh=mesh,
                                      sequence_parallel=args.sequence_parallel)
+    if args.memory_bank:
+        import numpy as np
+
+        from aaclip_tpu.data.datasets import (TestDataset, metadata_path,
+                                              read_jsonl)
+        from aaclip_tpu.data.registry import CLASS_NAMES, DATASETS
+        from aaclip_tpu.eval import memory_bank as mb
+
+        mb_predict = mb.make_mb_predict_fn(
+            clip_params, cfg, acfg, img_size=args.img_size, policy=policy,
+            attn_fn=attn_fn, uint8_inputs=uint8_inputs,
+            bank_weight=args.bank_weight, chunk=args.bank_chunk)
+        # support draw: the dataset's k-shot train metadata when it exists
+        # (the reference's pre-subsampled few-shot files), else the first
+        # --shot normals of the full-shot metadata
+        meta = metadata_path(args.dataset, args.shot)
+        if not os.path.exists(meta):
+            meta = metadata_path(args.dataset, -1)
+        records = read_jsonl(meta)
+        spec = DATASETS[args.dataset]
+        support = {}
+        for class_name in CLASS_NAMES[args.dataset]:
+            cls_records = [r for r in records
+                           if r.class_name == class_name]
+            if not cls_records:
+                continue  # class absent from this metadata (subset runs);
+                # its test split is empty too and _eval_one skips it
+            recs = mb.support_records(cls_records, args.shot)
+            sds = TestDataset(spec, recs, args.img_size, class_name,
+                              uint8=uint8_inputs)
+            support[class_name] = np.stack(
+                [sds.get(i)["image"] for i in range(len(sds))])
+            if len(recs) < args.shot:
+                logger.warning("memory_bank: class %s has only %d normal "
+                               "training images (< --shot %d)", class_name,
+                               len(recs), args.shot)
+        mb_ctx = {"predict": mb_predict, "support": support}
+        logger.info("memory_bank: fusing %d-shot nearest-neighbor scores "
+                    "at weight %.2f", args.shot, args.bank_weight)
     domain = DOMAINS[args.dataset]
 
     # loop-invariant across image-adapter snapshots: the datasets and the

@@ -491,6 +491,37 @@ def test_medical_domain_eval(env, tmp_path):
         os.environ["AACLIP_DATA"], os.environ["AACLIP_METADATA"] = old
 
 
+def test_eval_memory_bank_cli(env):
+    """test.py --memory_bank: per-class few-shot banks from training
+    normals fused with the text-anchor prediction at --bank_weight; the
+    flag guard rejects parallel/artifact composition."""
+    import test as test_cli
+
+    save = os.path.join(env, "ckpt")  # reuses test_train_then_eval's run
+    assert os.path.isfile(os.path.join(save, "image_adapter_2.npz"))
+    test_cli.main(COMMON + [
+        "--save_path", save, "--batch_size", "4", "--csv",
+        "--memory_bank", "--shot", "2", "--bank_weight", "0.5",
+        "--bank_chunk", "5",
+    ])
+    tlog = open(os.path.join(save, "test.log")).read()
+    assert "memory_bank: fusing 2-shot" in tlog
+    assert "memory bank: " in tlog  # per-class bank size line
+    assert "final results" in tlog and "Average" in tlog
+    import pandas as pd
+    df = pd.read_csv(os.path.join(save, "results_2.csv"))
+    assert list(df["class name"])[-1] == "Average"
+    assert np.isfinite(df["image AUC"].astype(float)).all()
+
+    import pytest
+    with pytest.raises(SystemExit):
+        test_cli.main(COMMON + ["--save_path", save, "--memory_bank",
+                                "--data_parallel"])
+    with pytest.raises(SystemExit):
+        test_cli.main(COMMON + ["--save_path", save, "--memory_bank",
+                                "--shot", "0"])
+
+
 def test_few_shot_flow(env):
     """tools/make_few_shot.py generates K-shot metadata; train.py consumes
     it in few_shot mode (the reference's default training mode)."""
