@@ -47,8 +47,14 @@ D, F, HEADS, S = 1024, 4096, 16, 1370
 
 def timeit(fn, *args, steps=8):
     """Relay-safe timing: chain iterations through a data dependency and
-    fetch one scalar at the end (block_until_ready lies under axon)."""
+    fetch one scalar at the end (block_until_ready lies under axon).
+
+    The warmup MUST include a ``bias=...`` call: the chained form is a
+    different jit signature (bias=None vs array), and warming only the
+    bias-less form put its compile inside the timed loop — the first
+    capture of this tool reported 50-100x-too-slow bf16 numbers."""
     out = fn(*args)
+    out = fn(*args, bias=out.astype(args[0].dtype)[..., :1])
     float(jnp.sum(out.astype(jnp.float32)[..., :1]))
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -59,7 +65,7 @@ def timeit(fn, *args, steps=8):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args()
     enable_compilation_cache()
