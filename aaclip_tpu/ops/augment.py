@@ -81,6 +81,74 @@ def joint_geometric_augment_device(key: jax.Array, images: jax.Array,
     return jax.vmap(_augment_one)(keys, images, masks)
 
 
+def _pil_gray(img_u8f: jax.Array) -> jax.Array:
+    """PIL ``convert("L")`` on [3, H, W] float-held uint8 values:
+    ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` (ITU-R 601-2 in
+    16.16 fixed point — verified bit-exact against Pillow)."""
+    r = img_u8f[0].astype(jnp.int32)
+    g = img_u8f[1].astype(jnp.int32)
+    b = img_u8f[2].astype(jnp.int32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        jnp.float32)
+
+
+def _pil_blend(base: jax.Array, img: jax.Array, f: jax.Array) -> jax.Array:
+    """PIL ``Image.blend(degenerate, image, factor)`` on uint8 values held
+    as float32: float math, TRUNCATE toward zero, clip to [0, 255]
+    (probed against Pillow: truncation, not rounding)."""
+    return jnp.floor(jnp.clip(base + f * (img - base), 0.0, 255.0))
+
+
+def jitter_chain(img_u8: jax.Array, fb: jax.Array, fc: jax.Array,
+                 fs: jax.Array) -> jax.Array:
+    """Deterministic PIL ImageEnhance chain on one [3, H, W] uint8 image:
+    Brightness(fb) -> Contrast(fc) -> Color(fs)
+    (data/transforms.color_jitter's fixed order).  Each factor of 1.0 is
+    an exact identity through the blend (integers <= 382 are exact in
+    float32), so gating via a ``where`` on the factor matches skipping
+    the enhancer entirely."""
+    x = img_u8.astype(jnp.float32)
+    # brightness: blend with black
+    x = _pil_blend(jnp.float32(0.0), x, fb)
+    # contrast: blend with the solid gray at int(mean(L) + 0.5), where L
+    # is recomputed from the CURRENT (post-brightness) image — PIL
+    # constructs each enhancer from the previous step's output
+    mean = jnp.floor(jnp.mean(_pil_gray(x)) + 0.5)
+    x = _pil_blend(mean, x, fc)
+    # saturation ("Color"): blend with the per-pixel grayscale
+    x = _pil_blend(_pil_gray(x)[None], x, fs)
+    return x.astype(jnp.uint8)
+
+
+def _jitter_one(key: jax.Array, img_u8: jax.Array, strength: float,
+                p: float) -> jax.Array:
+    """One image: each enhancer gated at probability ``p`` with factor
+    U[1-strength, 1+strength] (host color_jitter's distribution)."""
+    k = jax.random.split(key, 6)
+
+    def factor(kg, kf):
+        f = jax.random.uniform(kf, minval=1.0 - strength,
+                               maxval=1.0 + strength)
+        return jnp.where(jax.random.uniform(kg) < p, f, 1.0)
+
+    return jitter_chain(img_u8, factor(k[0], k[1]), factor(k[2], k[3]),
+                        factor(k[4], k[5]))
+
+
+def color_jitter_device(key: jax.Array, images_u8: jax.Array,
+                        strength: float = 0.5, p: float = 0.7) -> jax.Array:
+    """Batched device twin of data/transforms.color_jitter: [B, 3, H, W]
+    uint8 -> uint8, independent per-sample keys.  Bit-exact to Pillow for
+    dyadic factors (tests/test_augment_device.py); for arbitrary factors
+    PIL's C float truncation can differ by 1 LSB at truncation
+    boundaries.  Same distribution as the host path, different RNG stream
+    (docs/PARITY.md intentional deviation 3 — the device_augment rubric).
+    """
+    keys = jax.random.split(key, images_u8.shape[0])
+    return jax.vmap(lambda kk, im: _jitter_one(kk, im, strength, p))(
+        keys, images_u8)
+
+
 def make_device_augment(uint8_inputs: bool = False):
     """jitted (key, images, masks) -> (float images, float masks).
 

@@ -117,6 +117,16 @@ def parse_args(argv=None):
                         help="microbatch count for --pipeline_parallel "
                              "(default = stage count; image_batch_size "
                              "must divide by it)")
+    parser.add_argument("--cache_device", action="store_true",
+                        help="with --device_augment: upload the raw uint8 "
+                             "dataset to device memory ONCE and assemble "
+                             "batches on device (gather + color jitter + "
+                             "normalize + geometric augment in one jitted "
+                             "program) — steady-state epochs move only "
+                             "[B] index vectors over the host link. "
+                             "Fits when n_images*(3+1)*img_size^2 bytes "
+                             "spare HBM; single-host, no tensor/pipeline "
+                             "parallelism")
     parser.add_argument("--profile_input", action="store_true",
                         help="log a per-epoch host-loop phase "
                              "decomposition (loader wait / H2D / augment "
@@ -148,7 +158,17 @@ def parse_args(argv=None):
                              "custom-VJP attention). 'auto' = selective "
                              "when that kernel is active, else full. 'off' "
                              "OOMs at production shapes with XLA attention.")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.cache_device and not args.device_augment:
+        parser.error("--cache_device requires --device_augment (batch "
+                     "assembly, jitter and augmentation all run on device)")
+    if args.cache_device and (args.tensor_parallel > 1
+                              or args.pipeline_parallel > 1
+                              or args.data_parallel):
+        parser.error("--cache_device assembles single-device batches; it "
+                     "does not compose with data/tensor/pipeline "
+                     "parallelism")
+    return args
 
 
 def main(argv=None):
@@ -324,6 +344,42 @@ def main(argv=None):
                                   valid_arr)
         return tuple(jnp.asarray(a) for a in arrays)
 
+    if args.cache_device and num_hosts > 1:
+        raise SystemExit("--cache_device is single-host (per-host caches "
+                         "would duplicate the dataset; use the loader's "
+                         "host sharding instead)")
+
+    def make_train_loader(ds, batch_size, text_stage, seed):
+        """BatchLoader, or the device-resident cache when --cache_device:
+        raw uint8 dataset uploaded to HBM once, batches gathered +
+        jittered + normalized + augmented on device (the round-4 fix for
+        the input-transfer-bound train wall rate, docs/PERFORMANCE.md).
+        ``seed`` drives the shuffle permutation (stage-2 historically uses
+        seed+1 — preserved in both loader kinds)."""
+        if args.cache_device:
+            from aaclip_tpu.data.device_cache import (DeviceCacheLoader,
+                                                      cache_nbytes)
+            nb = cache_nbytes(len(ds), args.img_size)
+            logger.info("cache_device: uploading %d raw samples "
+                        "(~%.2f GB uint8) to device memory", len(ds),
+                        nb / 1e9)
+            return DeviceCacheLoader(ds, cls_to_idx, batch_size,
+                                     seed, text_stage=text_stage,
+                                     aug_base=aug_base)
+        return BatchLoader(ds, batch_size, shuffle=True, seed=seed,
+                           num_workers=args.num_workers, host_id=host_id,
+                           num_hosts=num_hosts)
+
+    def prepare_batch(prof, batch, stage, epoch, it):
+        """Batch -> 5 device arrays; cache batches arrive pre-assembled."""
+        if args.cache_device:
+            return batch
+        with prof.phase("h2d"):
+            images, mask, label, class_idx, valid = device_batch(batch)
+        with prof.phase("augment_dispatch"):
+            images, mask = maybe_augment(images, mask, stage, epoch, it)
+        return images, mask, label, class_idx, valid
+
     # ---- stage 1 ----------------------------------------------------------
     if adapt_text and text_start_epoch < args.text_epoch:
         from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
@@ -356,9 +412,8 @@ def main(argv=None):
             text_norm_weight=args.text_norm_weight,
             img_size=args.img_size, policy=policy, remat=s1_remat,
             mesh=s1_mesh, sequence_parallel=args.sequence_parallel)
-        loader = BatchLoader(text_ds, args.text_batch_size, shuffle=True,
-                             seed=args.seed, num_workers=args.num_workers,
-                             host_id=host_id, num_hosts=num_hosts)
+        loader = make_train_loader(text_ds, args.text_batch_size,
+                                   text_stage=True, seed=args.seed)
         loader.epoch = text_start_epoch
         for epoch in range(text_start_epoch, args.text_epoch):
             logger.info("training text epoch %d:", epoch)
@@ -369,11 +424,8 @@ def main(argv=None):
             # scalar blocks on the device, so deferring it lets the next
             # batch's host->device transfer overlap this step's compute
             for it, batch in enumerate(prof.wrap(loader)):
-                with prof.phase("h2d"):
-                    images, mask, label, class_idx, valid = \
-                        device_batch(batch)
-                with prof.phase("augment_dispatch"):
-                    images, mask = maybe_augment(images, mask, 1, epoch, it)
+                images, mask, label, class_idx, valid = \
+                    prepare_batch(prof, batch, 1, epoch, it)
                 # valid: a padded final batch must not leak pad rows into
                 # the batch-coupled V-V softmax (reference runs the smaller
                 # unpadded tail batch); spatial mode ignores it
@@ -431,9 +483,8 @@ def main(argv=None):
                                    else None,
                                    sequence_parallel=args.sequence_parallel,
                                    grad_accum=args.grad_accum)
-    loader = BatchLoader(image_ds, args.image_batch_size, shuffle=True,
-                         seed=args.seed + 1, num_workers=args.num_workers,
-                         host_id=host_id, num_hosts=num_hosts)
+    loader = make_train_loader(image_ds, args.image_batch_size,
+                               text_stage=False, seed=args.seed + 1)
     loader.epoch = image_start_epoch
     for epoch in range(image_start_epoch, args.image_epoch):
         logger.info("training image epoch %d:", epoch)
@@ -442,10 +493,8 @@ def main(argv=None):
         losses = []
         pending = None  # one-step-late loss fetch (see stage-1 loop)
         for it, batch in enumerate(prof.wrap(loader)):
-            with prof.phase("h2d"):
-                images, mask, label, class_idx, valid = device_batch(batch)
-            with prof.phase("augment_dispatch"):
-                images, mask = maybe_augment(images, mask, 2, epoch, it)
+            images, mask, label, class_idx, valid = \
+                prepare_batch(prof, batch, 2, epoch, it)
             with prof.phase("step_dispatch"):
                 image_state, loss = step_fn(image_state, images, mask,
                                             label, class_idx, valid)
