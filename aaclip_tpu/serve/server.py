@@ -459,13 +459,24 @@ class InferenceEngine:
     # -- request plumbing ---------------------------------------------------
 
     def submit(self, image_u8: np.ndarray, dataset: str, class_name: str,
-               timeout: float = 30.0):
+               timeout: float = 30.0, map_stride: int = 1):
         """image_u8: [3, img_size, img_size] uint8.  Blocks for the result.
 
         Shape/dtype are validated HERE: requests are co-batched, so one
         malformed array reaching the serve loop would fail (or silently
         recompile an unwarmed bucket for) every request in its group.
+
+        ``map_stride > 1`` returns ``map[::s, ::s]`` — sliced ON DEVICE
+        before the readback.  The phase split measured the full-map fetch
+        at ~45% of batch wall on the relay rig (docs/PERFORMANCE.md), so
+        striding at the engine (not the HTTP layer) turns a decorative
+        downsample into a serving-throughput lever.  Strides are
+        per-request and co-batchable (the completion stage groups by
+        stride); values must equal full-map-then-stride exactly.
         """
+        map_stride = int(map_stride)
+        if map_stride < 1:
+            raise ValueError(f"map_stride must be >= 1, got {map_stride}")
         image_u8 = np.asarray(image_u8)
         want = (3, self.img_size, self.img_size)
         if image_u8.dtype != np.uint8 or image_u8.shape != want:
@@ -480,7 +491,7 @@ class InferenceEngine:
                 f"class {class_name} unknown for {dataset}; have "
                 f"{sorted(self.anchors[dataset])}")
         done = threading.Event()
-        slot: dict = {}
+        slot: dict = {"stride": map_stride}
         t0 = time.perf_counter()
         slot["t_enq"] = t0  # queue_wait phase start (read by _serve_loop)
         try:
@@ -633,11 +644,27 @@ class InferenceEngine:
                 score = np.asarray(score)
                 t1 = time.perf_counter()
                 self._note_phase("device_wait", (t1 - t0) * 1e3)
-                pix = np.asarray(pix)
+                # map readback, grouped by requested stride: striding on
+                # DEVICE shrinks the dominant D2H phase by stride^2, and
+                # indexing by item (not the whole padded bucket) skips the
+                # pad rows' readback entirely
+                groups: Dict[int, list] = {}
+                for i, (_, _, _, slot, _) in enumerate(items):
+                    groups.setdefault(slot.get("stride", 1), []).append(i)
+                fetched = {}
+                for s, idxs in groups.items():
+                    if isinstance(pix, np.ndarray):
+                        sub = pix[np.asarray(idxs)]
+                    else:
+                        import jax.numpy as jnp
+                        sub = pix[jnp.asarray(idxs, jnp.int32)]
+                    if s > 1:
+                        sub = sub[:, ::s, ::s]
+                    fetched[s] = dict(zip(idxs, np.asarray(sub)))
                 self._note_phase("map_fetch",
                                  (time.perf_counter() - t1) * 1e3)
                 for i, (_, _, _, slot, done) in enumerate(items):
-                    slot["map"] = pix[i]
+                    slot["map"] = fetched[slot.get("stride", 1)][i]
                     slot["score"] = float(score[i])
                     done.set()
             except Exception as e:
@@ -788,7 +815,11 @@ def make_handler(engine: InferenceEngine):
                 return
             engine._note_phase("decode", (time.perf_counter() - t1) * 1e3)
             try:
-                amap, score = engine.submit(img, ds, cls)
+                # stride inside the engine: the map is sliced on DEVICE,
+                # so the readback (the dominant phase on relay rigs)
+                # shrinks by stride^2 instead of only the JSON payload
+                amap, score = engine.submit(img, ds, cls,
+                                            map_stride=stride)
             except KeyError as e:
                 self._json(404, {"error": str(e)})
                 return
@@ -805,9 +836,8 @@ def make_handler(engine: InferenceEngine):
             t2 = time.perf_counter()
             payload = {
                 "image_score": score,
-                "map_shape": list(amap[::stride, ::stride].shape),
-                "anomaly_map": np.round(
-                    amap[::stride, ::stride], 4).tolist(),
+                "map_shape": list(amap.shape),  # engine already strided
+                "anomaly_map": np.round(amap, 4).tolist(),
             }
             if engine.untrained:
                 payload["untrained"] = True

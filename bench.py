@@ -65,6 +65,12 @@ def main(argv=None):
                              "concurrent-client load")
     parser.add_argument("--clients", type=int, default=8,
                         help="serve mode: concurrent client threads")
+    parser.add_argument("--map_stride", type=int, default=1,
+                        help="serve mode: clients request map[::s, ::s] — "
+                             "sliced ON DEVICE by the engine, shrinking "
+                             "the map-readback phase by s^2 (the dominant "
+                             "serving phase on relay rigs; measured split "
+                             "in docs/PERFORMANCE.md). 1 = full maps")
     parser.add_argument("--open_loop", type=float, default=None, metavar="RPS",
                         help="serve mode: submit at a fixed aggregate rate "
                              "(requests/sec) for --steps SECONDS instead of "
@@ -140,6 +146,8 @@ def main(argv=None):
         return bench_serve(args)  # the engine builds its own params
     if args.open_loop is not None:
         parser.error("--open_loop applies to --mode serve only")
+    if args.map_stride != 1:
+        parser.error("--map_stride applies to --mode serve only")
 
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig() if args.model_name != "tiny-test" else AdapterConfig(
@@ -327,6 +335,8 @@ def bench_serve(args):
         print(f"# served {n_ok} requests in {elapsed:.2f}s; stats={stats}")
     n_chips = engine._dp_devices
     dp = f", dp={n_chips} chips" if args.data_parallel else ""
+    if args.map_stride != 1:
+        dp += f", map_stride={args.map_stride}"
     print(json.dumps({
         "metric": "serve_maps_per_sec_per_chip",
         "value": round(rate / n_chips, 2),
@@ -354,7 +364,7 @@ def _serve_closed_loop(args, engine, imgs, ds, classes):
     def client(i):
         for k in range(per_client):
             engine.submit(imgs[i], ds, classes[k % len(classes)],
-                          timeout=600)
+                          timeout=600, map_stride=args.map_stride)
             done[i] += 1
 
     t0 = time.perf_counter()
@@ -384,7 +394,8 @@ def _serve_open_loop(args, engine, imgs, ds, classes, EngineOverloadedError):
     def fire(k):
         try:
             engine.submit(imgs[k % len(imgs)], ds,
-                          classes[k % len(classes)], timeout=600)
+                          classes[k % len(classes)], timeout=600,
+                          map_stride=args.map_stride)
             outcome = "ok"
         except EngineOverloadedError:
             outcome = "rejected"

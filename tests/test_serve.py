@@ -51,6 +51,39 @@ def test_engine_submit(engine):
     assert 0.0 <= score <= 1.0
 
 
+def test_engine_map_stride_device_slice(engine):
+    """map_stride slices on device; values must equal the full map's
+    stride view exactly, scores unchanged; strides co-batch per request."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (3, 70, 70), dtype=np.uint8)
+    full, s_full = engine.submit(img, "MVTec", "bottle")
+    strided, s7 = engine.submit(img, "MVTec", "bottle", map_stride=7)
+    assert strided.shape == (10, 10)
+    np.testing.assert_array_equal(strided, full[::7, ::7])
+    assert s7 == s_full
+    # mixed strides in ONE batch: concurrent submits group by stride
+    results = {}
+
+    def go(stride):
+        results[stride] = engine.submit(img, "MVTec", "bottle",
+                                        map_stride=stride)
+
+    ts = [threading.Thread(target=go, args=(s,)) for s in (1, 5, 7)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # strided results must equal the SAME batch's full map sliced (exact:
+    # one device buffer); vs the solo-run `full` only to fp tolerance
+    # (different batch buckets compile different XLA programs)
+    base = results[1][0]
+    np.testing.assert_allclose(base, full, atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(results[5][0], base[::5, ::5])
+    np.testing.assert_array_equal(results[7][0], base[::7, ::7])
+    with pytest.raises(ValueError, match="map_stride"):
+        engine.submit(img, "MVTec", "bottle", map_stride=0)
+
+
 def test_engine_int8_precision():
     """precision='int8' serves through the quantized trunk and tracks the
     fp32 engine's outputs (quality bounds in test_quant.py)."""

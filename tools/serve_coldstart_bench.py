@@ -93,8 +93,15 @@ def smoke(port, img_size, n=3):
         req = urllib.request.Request(
             f"{base}/predict?dataset={ds}&class_name={cls}&map_stride=14",
             data=buf.getvalue(), method="POST")
-        with urllib.request.urlopen(req, timeout=300) as r:
-            json.load(r)
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                json.load(r)
+        except urllib.error.HTTPError as e:
+            # surface the engine's error body — a bare "HTTP 500" hides
+            # the actual server-side exception
+            raise SystemExit(
+                f"smoke request failed: HTTP {e.code}: "
+                f"{e.read().decode(errors='replace')[:500]}")
         lat.append(round(time.time() - t0, 3))
     return lat
 
