@@ -645,22 +645,19 @@ class InferenceEngine:
                 t1 = time.perf_counter()
                 self._note_phase("device_wait", (t1 - t0) * 1e3)
                 # map readback, grouped by requested stride: striding on
-                # DEVICE shrinks the dominant D2H phase by stride^2, and
-                # indexing by item (not the whole padded bucket) skips the
-                # pad rows' readback entirely
-                groups: Dict[int, list] = {}
-                for i, (_, _, _, slot, _) in enumerate(items):
-                    groups.setdefault(slot.get("stride", 1), []).append(i)
+                # DEVICE shrinks the dominant D2H phase by stride^2.
+                # Each stride slices the WHOLE padded bucket — a STATIC
+                # shape, so XLA compiles one slice program per
+                # (bucket, stride) pair and every later batch reuses it
+                # (a dynamic per-item gather here compiled per occupancy
+                # and burned seconds per fresh shape through the relay —
+                # measured, docs/PERFORMANCE.md serving section)
+                strides = {slot.get("stride", 1)
+                           for _, _, _, slot, _ in items}
                 fetched = {}
-                for s, idxs in groups.items():
-                    if isinstance(pix, np.ndarray):
-                        sub = pix[np.asarray(idxs)]
-                    else:
-                        import jax.numpy as jnp
-                        sub = pix[jnp.asarray(idxs, jnp.int32)]
-                    if s > 1:
-                        sub = sub[:, ::s, ::s]
-                    fetched[s] = dict(zip(idxs, np.asarray(sub)))
+                for s in strides:
+                    sub = pix if s == 1 else pix[:, ::s, ::s]
+                    fetched[s] = np.asarray(sub)
                 self._note_phase("map_fetch",
                                  (time.perf_counter() - t1) * 1e3)
                 for i, (_, _, _, slot, done) in enumerate(items):
