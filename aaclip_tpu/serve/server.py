@@ -375,7 +375,15 @@ class InferenceEngine:
                 anch = np.tile(a0[None], (b, 1, 1))
                 for _ in range(self._dp_devices
                                if not self._shard_batches else 1):
-                    self._dispatch(imgs, anch, ds0)
+                    _, sc = self._dispatch(imgs, anch, ds0)
+                    # MATERIALIZE: dispatch alone only queues the work —
+                    # on relay backends the compile+run happen remotely
+                    # and /healthz would report ready while minutes of
+                    # bucket compiles still sit in front of the first
+                    # request, which then burns its submit timeout (the
+                    # exact failure the chip artifact smoke hit —
+                    # docs/PERFORMANCE.md "Artifact serving")
+                    np.asarray(sc)
 
         # admission control: reject (fast-fail) once the backlog exceeds
         # max_queue instead of letting requests pile up to burn their full
