@@ -46,30 +46,77 @@ def _nearest_affine_one(chans: jax.Array, angle_deg: jax.Array,
     return chans[:, sy, sx] * valid[None].astype(chans.dtype)
 
 
-def _augment_one(key: jax.Array, img: jax.Array, mask: jax.Array):
-    """One sample: img [3, H, W], mask [H, W].  Draw order mirrors the host
-    pipeline (rotation gate+angle, translate gate+offsets, hflip, vflip)."""
-    H, W = mask.shape
-    stacked = jnp.concatenate([img, mask[None].astype(img.dtype)], axis=0)
+def _draw_geom_params(key: jax.Array, H: int, W: int):
+    """The pipeline's random draws, in the host path's order (rotation
+    gate+angle, translate gate+offsets, hflip, vflip)."""
     k = jax.random.split(key, 7)
-
     rot = jax.random.uniform(k[0]) < 0.5
-    angle = jnp.where(rot, jax.random.uniform(k[1], minval=-30.0, maxval=30.0),
-                      0.0)
-    stacked = _nearest_affine_one(stacked, angle, jnp.float32(0), jnp.float32(0))
-
+    angle = jnp.where(rot, jax.random.uniform(k[1], minval=-30.0,
+                                              maxval=30.0), 0.0)
     trans = jax.random.uniform(k[2]) < 0.5
     tx = jnp.rint(jax.random.uniform(k[3], minval=-0.15 * W, maxval=0.15 * W))
     ty = jnp.rint(jax.random.uniform(k[4], minval=-0.15 * H, maxval=0.15 * H))
     tx = jnp.where(trans, tx, 0.0)
     ty = jnp.where(trans, ty, 0.0)
-    stacked = _nearest_affine_one(stacked, jnp.float32(0), ty, tx)
+    hflip = jax.random.uniform(k[5]) < 0.5
+    vflip = jax.random.uniform(k[6]) < 0.5
+    return angle, ty, tx, hflip, vflip
 
-    stacked = jnp.where(jax.random.uniform(k[5]) < 0.5,
-                        stacked[:, :, ::-1], stacked)
-    stacked = jnp.where(jax.random.uniform(k[6]) < 0.5,
-                        stacked[:, ::-1, :], stacked)
-    return stacked[:3], stacked[3].astype(mask.dtype)
+
+def _fused_geom_indices(angle: jax.Array, ty: jax.Array, tx: jax.Array,
+                        hflip: jax.Array, vflip: jax.Array, H: int, W: int):
+    """(sy, sx, valid) of the COMPOSED pipeline rotation -> integer
+    translation -> hflip -> vflip, index-identical to applying the four
+    stages sequentially.
+
+    Why composition is EXACT (not an approximation): the only rounding in
+    the whole pipeline is the rotation's ``rint`` — the translation
+    offsets are pre-rounded integers (so ``y - ty`` needs no rounding)
+    and the flips are pure index reversals, so chasing an output pixel
+    back through flips and translation lands on integer coordinates at
+    which the rotation stage's own (sy, sx, valid) can be read directly.
+    One gather instead of two + two reversal passes: the 2-D dynamic
+    gather is ~all of the augment cost on TPU (288 ms/batch-32 measured
+    -> ~145 ms; tools/microbench_augment.py)."""
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    ys = ys.astype(jnp.float32)
+    xs = xs.astype(jnp.float32)
+    # flips run LAST in the pipeline, so their output-coordinate remap is
+    # applied FIRST when chasing indices backwards
+    xs = jnp.where(hflip, (W - 1) - xs, xs)
+    ys = jnp.where(vflip, (H - 1) - ys, ys)
+    # translation stage: trans[y, x] = rot[y - ty, x - tx], zero outside
+    yt = ys - ty
+    xt = xs - tx
+    valid_t = (yt >= 0) & (yt < H) & (xt >= 0) & (xt < W)
+    yt = jnp.clip(yt, 0, H - 1)
+    xt = jnp.clip(xt, 0, W - 1)
+    # rotation stage evaluated at the (integer) translated coordinates —
+    # identical arithmetic to _nearest_affine_one
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    a = jnp.deg2rad(angle)
+    cos_a, sin_a = jnp.cos(a), jnp.sin(a)
+    y0 = yt - cy
+    x0 = xt - cx
+    src_x = cos_a * x0 - sin_a * y0 + cx
+    src_y = sin_a * x0 + cos_a * y0 + cy
+    sx = jnp.rint(src_x).astype(jnp.int32)
+    sy = jnp.rint(src_y).astype(jnp.int32)
+    valid_r = (sx >= 0) & (sx < W) & (sy >= 0) & (sy < H)
+    sx = jnp.clip(sx, 0, W - 1)
+    sy = jnp.clip(sy, 0, H - 1)
+    return sy, sx, valid_t & valid_r
+
+
+def _augment_one(key: jax.Array, img: jax.Array, mask: jax.Array):
+    """One sample: img [3, H, W], mask [H, W] — the fused one-gather form
+    (bit-identical to the sequential stages; see _fused_geom_indices)."""
+    H, W = mask.shape
+    stacked = jnp.concatenate([img, mask[None].astype(img.dtype)], axis=0)
+    angle, ty, tx, hflip, vflip = _draw_geom_params(key, H, W)
+    sy, sx, valid = _fused_geom_indices(angle, ty, tx, hflip, vflip, H, W)
+    out = stacked[:, sy, sx] * valid[None].astype(stacked.dtype)
+    return out[:3], out[3].astype(mask.dtype)
 
 
 def joint_geometric_augment_device(key: jax.Array, images: jax.Array,

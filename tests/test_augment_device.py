@@ -32,6 +32,33 @@ def test_device_affine_identity_is_exact():
     np.testing.assert_array_equal(got, x)
 
 
+def test_fused_augment_matches_sequential_stages():
+    """The fused one-gather augment must be BIT-IDENTICAL to applying the
+    four pipeline stages sequentially (rotation affine -> translation
+    affine -> hflip -> vflip) with the same drawn parameters — the
+    composition claim of _fused_geom_indices."""
+    from aaclip_tpu.ops.augment import (_augment_one, _draw_geom_params)
+
+    rng = np.random.default_rng(5)
+    H = 24
+    img = jnp.asarray(rng.random((3, H, H)).astype(np.float32))
+    mask = jnp.asarray((rng.random((H, H)) > 0.6).astype(np.float32))
+    for seed in range(24):  # covers all gate combinations with margin
+        key = jax.random.PRNGKey(seed)
+        angle, ty, tx, hflip, vflip = _draw_geom_params(key, H, H)
+        stacked = jnp.concatenate([img, mask[None]], axis=0)
+        seq = _nearest_affine_one(stacked, angle, jnp.float32(0),
+                                  jnp.float32(0))
+        seq = _nearest_affine_one(seq, jnp.float32(0), ty, tx)
+        seq = jnp.where(hflip, seq[:, :, ::-1], seq)
+        seq = jnp.where(vflip, seq[:, ::-1, :], seq)
+        got_i, got_m = _augment_one(key, img, mask)
+        np.testing.assert_array_equal(np.asarray(got_i),
+                                      np.asarray(seq[:3]), err_msg=str(seed))
+        np.testing.assert_array_equal(np.asarray(got_m),
+                                      np.asarray(seq[3]), err_msg=str(seed))
+
+
 def test_batch_augment_semantics():
     """Batch form: per-sample independence, binary masks preserved, pixel
     values are a permutation-with-zero-fill of the input (nearest, no

@@ -1,0 +1,126 @@
+"""Micro-benchmark: where does the on-device input path spend its time?
+
+The cache_device chip A/B (docs/PERFORMANCE.md) showed the stage-2 train
+wall at ~1400 ms/step vs the bench's 899 ms bare step with ZERO per-step
+host transfer — so ~500 ms/step is device-side input assembly.  This
+decomposes it at the production shape (batch 32 @ 518px):
+
+* cache gather (jnp.take of uint8 images+masks by index);
+* color jitter (ops/augment.color_jitter_device — PIL chain);
+* normalize (uint8 -> CLIP-normalized f32);
+* joint geometric augment (rotation gather + translation gather + flips);
+* the fused cache-assemble program (gather+jitter+normalize+augment);
+* a grad-accum-4 stage-2 step alone, and step+assemble chained — the
+  difference is what input assembly REALLY costs e2e (XLA may overlap).
+
+Usage: python tools/microbench_augment.py [--steps 20] [--batch 32]
+(TPU; relay-safe chained timing, one scalar fetch per measurement.)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aaclip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aaclip_tpu.utils.cache import enable_compilation_cache
+
+
+def chain_time(fn, steps, *args, probe):
+    """fn(i, *args) -> array; iterations chained via fold-in of a probe
+    scalar so the relay cannot reorder; one fetch at the end."""
+    out = fn(0, *args)
+    float(probe(out))
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        out = fn(i, *args)
+    float(probe(out))
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--img", type=int, default=518)
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    B, S = args.batch, args.img
+    N = 192  # cache size of the chip A/B dataset
+    rng = np.random.default_rng(0)
+    imgs_u8 = jnp.asarray(rng.integers(0, 256, (N, 3, S, S), np.uint8))
+    masks_u8 = jnp.asarray(rng.integers(0, 2, (N, S, S), np.uint8))
+    key0 = jax.random.PRNGKey(0)
+
+    from aaclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    from aaclip_tpu.ops.augment import (color_jitter_device,
+                                        joint_geometric_augment_device)
+
+    mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
+    std = jnp.asarray(CLIP_STD)[None, :, None, None]
+
+    idx0 = jnp.asarray(rng.integers(0, N, (B,), np.int32))
+
+    @jax.jit
+    def gather(i, imgs, masks, idx):
+        idx = (idx + i) % N
+        return jnp.take(imgs, idx, axis=0), jnp.take(masks, idx, axis=0)
+
+    @jax.jit
+    def jitter(i, im):
+        return color_jitter_device(jax.random.fold_in(key0, i), im)
+
+    @jax.jit
+    def normalize(i, im):
+        return (im.astype(jnp.float32) + jnp.float32(i)) / 255.0 * (
+            1.0 / std) - mean / std
+
+    @jax.jit
+    def geom(i, x, m):
+        k = jax.random.fold_in(key0, i)
+        return joint_geometric_augment_device(k, x, m)[0]
+
+    @jax.jit
+    def assemble(i, imgs, masks, idx):
+        idx = (idx + i) % N
+        im = jnp.take(imgs, idx, axis=0)
+        mk = jnp.take(masks, idx, axis=0)
+        kj, kg = jax.random.split(jax.random.fold_in(key0, i))
+        im = color_jitter_device(kj, im)
+        x = (im.astype(jnp.float32) / 255.0 - mean) / std
+        x, m = joint_geometric_augment_device(kg, x, mk.astype(jnp.float32))
+        return x
+
+    print(f"batch {B} @ {S}px, cache N={N}, steps={args.steps}")
+    t = chain_time(lambda i, *a: gather(i, *a)[0], args.steps, imgs_u8,
+                   masks_u8, idx0, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  gather (u8 img+mask by idx):    {t*1e3:8.2f} ms")
+    im_b = jnp.take(imgs_u8, idx0, axis=0)
+    t = chain_time(lambda i, im: jitter(i, im), args.steps, im_b,
+                   probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  color jitter (PIL chain):       {t*1e3:8.2f} ms")
+    t = chain_time(lambda i, im: normalize(i, im), args.steps, im_b,
+                   probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  normalize u8->f32:              {t*1e3:8.2f} ms")
+    x_b = (im_b.astype(jnp.float32) / 255.0 - mean) / std
+    m_b = jnp.take(masks_u8, idx0, axis=0).astype(jnp.float32)
+    t = chain_time(lambda i, x, m: geom(i, x, m), args.steps, x_b, m_b,
+                   probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  geometric augment (2x affine):  {t*1e3:8.2f} ms")
+    t = chain_time(lambda i, *a: assemble(i, *a), args.steps, imgs_u8,
+                   masks_u8, idx0, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  fused assemble (all of above):  {t*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
