@@ -101,7 +101,7 @@ class DeviceCacheLoader:
 
         from aaclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
         from aaclip_tpu.ops.augment import (color_jitter_device,
-                                            joint_geometric_augment_device)
+                                            joint_geometric_augment_device_u8)
 
         mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
         std = jnp.asarray(CLIP_STD)[None, :, None, None]
@@ -113,9 +113,15 @@ class DeviceCacheLoader:
             if jitter:
                 kj, key = jax.random.split(key)
                 im = color_jitter_device(kj, im)
-            x = (im.astype(jnp.float32) / 255.0 - mean) / std
-            x, m = joint_geometric_augment_device(key, x,
-                                                  mk.astype(jnp.float32))
+            # packed uint32 geometric gather (1/4 the gather elements);
+            # normalize AFTER — bit-identical to the normalize-then-
+            # gather float form (test_packed_augment_matches_float_path)
+            out_u8, out_m, valid = joint_geometric_augment_device_u8(
+                key, im, mk)
+            x = jnp.where(
+                valid[:, None],
+                (out_u8.astype(jnp.float32) / 255.0 - mean) / std, 0.0)
+            m = out_m.astype(jnp.float32) * valid.astype(jnp.float32)
             return (x, m, jnp.take(labels_c, idx, axis=0),
                     jnp.take(cidx_c, idx, axis=0))
 

@@ -128,6 +128,43 @@ def joint_geometric_augment_device(key: jax.Array, images: jax.Array,
     return jax.vmap(_augment_one)(keys, images, masks)
 
 
+def _augment_one_u8_packed(key: jax.Array, img_u8: jax.Array,
+                           mask_u8: jax.Array):
+    """One sample, uint8 inputs, PACKED gather: r/g/b/mask bytes packed
+    into one uint32 per pixel so the geometric gather moves 1/4 the
+    elements of the 4-plane float32 form.  Returns
+    ``(aug_img_u8 [3,H,W], aug_mask_u8 [H,W], valid [H,W] bool)`` — the
+    caller normalizes AFTER the gather and applies ``valid``; elementwise
+    ops commute with gathers, so ``where(valid, normalize(out_u8), 0)``
+    is bit-identical to the normalize-then-gather float path
+    (test_packed_augment_matches_float_path)."""
+    H, W = mask_u8.shape
+    packed = (img_u8[0].astype(jnp.uint32)
+              | (img_u8[1].astype(jnp.uint32) << 8)
+              | (img_u8[2].astype(jnp.uint32) << 16)
+              | (mask_u8.astype(jnp.uint32) << 24))
+    angle, ty, tx, hflip, vflip = _draw_geom_params(key, H, W)
+    sy, sx, valid = _fused_geom_indices(angle, ty, tx, hflip, vflip, H, W)
+    g = jnp.take(packed.reshape(-1), (sy * W + sx).reshape(-1)).reshape(H, W)
+    out = jnp.stack([g & 0xFF, (g >> 8) & 0xFF, (g >> 16) & 0xFF],
+                    axis=0).astype(jnp.uint8)
+    return out, ((g >> 24) & 0xFF).astype(jnp.uint8), valid
+
+
+def joint_geometric_augment_device_u8(key: jax.Array, images_u8: jax.Array,
+                                      masks_u8: jax.Array):
+    """Batch form of the packed-gather augment: [B, 3, H, W] uint8 +
+    [B, H, W] uint8 -> (aug uint8 images, aug uint8 masks, valid bool).
+    Draws the SAME per-sample random stream as
+    joint_geometric_augment_device, and selects the same source pixels —
+    only the gathered payload changes (packed bytes vs normalized
+    floats).  Normalize after the gather with
+    ``where(valid, (u8/255 - mean)/std, 0)`` for bit-identical results to
+    the float path."""
+    keys = jax.random.split(key, images_u8.shape[0])
+    return jax.vmap(_augment_one_u8_packed)(keys, images_u8, masks_u8)
+
+
 def _pil_gray(img_u8f: jax.Array) -> jax.Array:
     """PIL ``convert("L")`` on [3, H, W] float-held uint8 values:
     ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` (ITU-R 601-2 in
@@ -217,8 +254,13 @@ def make_device_augment(uint8_inputs: bool = False):
     std = jnp.asarray(CLIP_STD)[None, :, None, None]
 
     def run(key, images_u8, masks_u8):
-        images = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
-        return joint_geometric_augment_device(
-            key, images, masks_u8.astype(jnp.float32))
+        # packed uint32 gather + post-gather normalize: bit-identical to
+        # normalize-then-augment (test_packed_augment_matches_float_path)
+        out_u8, out_m, valid = joint_geometric_augment_device_u8(
+            key, images_u8, masks_u8)
+        images = jnp.where(
+            valid[:, None],
+            (out_u8.astype(jnp.float32) / 255.0 - mean) / std, 0.0)
+        return images, out_m.astype(jnp.float32) * valid.astype(jnp.float32)
 
     return jax.jit(run)

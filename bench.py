@@ -41,7 +41,7 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--precision", default=None,
                         choices=["fp32", "fp32_high", "bf16", "int8"],
-                        help="default: bf16 (int8 is +5% but failed the "
+                        help="default: bf16 (int8 is +5%% but failed the "
                              "round-4 scaled image-metric fidelity gate — "
                              "docs/PERFORMANCE.md 'Task-level fidelity'; "
                              "opt in explicitly if pixel-level metrics "

@@ -117,6 +117,52 @@ def test_uint8_device_path_bitwise_matches_float_path():
     np.testing.assert_array_equal(np.asarray(u_masks), np.asarray(f_masks))
 
 
+def test_packed_augment_matches_float_path():
+    """Packed uint32 gather (joint_geometric_augment_device_u8) is
+    BIT-identical to the float path: same key -> same draws -> same
+    (sy, sx, valid); normalize commutes with the gather, and
+    where(valid, ., 0) == the float path's *valid (0*x = 0 for finite x).
+    """
+    from aaclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    from aaclip_tpu.ops.augment import (joint_geometric_augment_device,
+                                        joint_geometric_augment_device_u8)
+
+    rng = np.random.default_rng(11)
+    B, H = 4, 30
+    u8 = rng.integers(0, 256, (B, 3, H, H), dtype=np.uint8)
+    m8 = (rng.random((B, H, H)) > 0.8).astype(np.uint8)
+    mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
+    std = jnp.asarray(CLIP_STD)[None, :, None, None]
+    # both paths jitted whole (normalize INSIDE the program, as in
+    # device_cache._assemble) — outside jit the eager normalize lowers
+    # differently and only agrees to ~2 ulp
+    @jax.jit
+    def floatpath(key, u8j, m8j):
+        x = (u8j.astype(jnp.float32) / 255.0 - mean) / std
+        return joint_geometric_augment_device(key, x,
+                                              m8j.astype(jnp.float32))
+
+    @jax.jit
+    def packed(key, u8j, m8j):
+        out_u8, out_m, valid = joint_geometric_augment_device_u8(
+            key, u8j, m8j)
+        xo = jnp.where(
+            valid[:, None],
+            (out_u8.astype(jnp.float32) / 255.0 - mean) / std, 0.0)
+        return xo, out_m.astype(jnp.float32) * valid.astype(jnp.float32)
+
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        f_img, f_mask = floatpath(key, jnp.asarray(u8), jnp.asarray(m8))
+        p_img, p_mask = packed(key, jnp.asarray(u8), jnp.asarray(m8))
+        # signed zeros at fill positions may differ (where vs *0); compare
+        # with +0.0 folding, and pin value equality exactly
+        np.testing.assert_array_equal(np.asarray(p_img) + 0.0,
+                                      np.asarray(f_img) + 0.0)
+        assert np.abs(np.asarray(p_img) - np.asarray(f_img)).max() == 0.0
+        np.testing.assert_array_equal(np.asarray(p_mask), np.asarray(f_mask))
+
+
 def test_preprocess_train_uint8_mode(tmp_path):
     """Dataset uint8 mode ships post-jitter pixels whose device
     normalization equals the host-normalized float path exactly."""

@@ -121,6 +121,58 @@ def main():
                    masks_u8, idx0, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
     print(f"  fused assemble (all of above):  {t*1e3:8.2f} ms")
 
+    # ---- geometric-gather variants (the dominant cost) ----------------
+    from aaclip_tpu.ops.augment import _draw_geom_params, _fused_geom_indices
+
+    def geom_indices(i, B, H, W):
+        keys = jax.random.split(jax.random.fold_in(key0, i), B)
+        def one(k):
+            angle, ty, tx, hf, vf = _draw_geom_params(k, H, W)
+            return _fused_geom_indices(angle, ty, tx, hf, vf, H, W)
+        return jax.vmap(one)(keys)
+
+    @jax.jit
+    def geom_flat(i, x, m):
+        # 1-D gather: flatten [C, H, W] -> [C, H*W], take(sy*W+sx)
+        B, C, H, W = x.shape
+        sy, sx, valid = geom_indices(i, B, H, W)
+        flat = sy * W + sx                                  # [B, H, W]
+        def one(img, msk, fl, va):
+            st = jnp.concatenate([img, msk[None]], axis=0).reshape(C + 1, -1)
+            out = jnp.take(st, fl.reshape(-1), axis=1).reshape(C + 1, H, W)
+            return out * va[None].astype(out.dtype)
+        return jax.vmap(one)(x, m, flat, valid)[:, :3]
+
+    @jax.jit
+    def geom_packed(i, im_u8, mk_u8):
+        # pack r,g,b,mask into one uint32/pixel; gather 1/4 the elements;
+        # unpack + normalize + mask after (elementwise commutes w/ gather)
+        B, C, H, W = im_u8.shape
+        p = (im_u8[:, 0].astype(jnp.uint32)
+             | (im_u8[:, 1].astype(jnp.uint32) << 8)
+             | (im_u8[:, 2].astype(jnp.uint32) << 16)
+             | (mk_u8.astype(jnp.uint32) << 24))            # [B, H, W]
+        sy, sx, valid = geom_indices(i, B, H, W)
+        flat = sy * W + sx
+        g = jax.vmap(lambda pp, fl: jnp.take(pp.reshape(-1), fl.reshape(-1))
+                     .reshape(H, W))(p, flat)               # [B, H, W] u32
+        r = (g & 0xFF).astype(jnp.float32)
+        gg = ((g >> 8) & 0xFF).astype(jnp.float32)
+        b = ((g >> 16) & 0xFF).astype(jnp.float32)
+        mk = ((g >> 24) & 0xFF).astype(jnp.float32)
+        rgb = jnp.stack([r, gg, b], axis=1)
+        xo = ((rgb / 255.0 - mean) / std) * valid[:, None].astype(jnp.float32)
+        return xo, mk * valid.astype(jnp.float32)
+
+    im_u8b = jnp.take(imgs_u8, idx0, axis=0)
+    mk_u8b = jnp.take(masks_u8, idx0, axis=0)
+    t = chain_time(lambda i, x, m: geom_flat(i, x, m), args.steps, x_b, m_b,
+                   probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  geom variant: 1-D flat gather:  {t*1e3:8.2f} ms")
+    t = chain_time(lambda i, a, b: geom_packed(i, a, b)[0], args.steps,
+                   im_u8b, mk_u8b, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  geom variant: packed u32 gather:{t*1e3:8.2f} ms")
+
 
 if __name__ == "__main__":
     main()
