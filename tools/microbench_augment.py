@@ -9,11 +9,16 @@ decomposes it at the production shape (batch 32 @ 518px):
 * color jitter (ops/augment.color_jitter_device — PIL chain);
 * normalize (uint8 -> CLIP-normalized f32);
 * joint geometric augment (rotation gather + translation gather + flips);
-* the fused cache-assemble program (gather+jitter+normalize+augment);
-* a grad-accum-4 stage-2 step alone, and step+assemble chained — the
-  difference is what input assembly REALLY costs e2e (XLA may overlap).
+* the fused cache-assemble program (gather+jitter+normalize+augment) in
+  BOTH forms: the round-4-early float-gather form and the shipping
+  packed-uint32 form (ops/augment.joint_geometric_augment_device_u8);
+* with --with_step: a production stage-2 step (bf16, Pallas attention,
+  selective remat, --grad_accum) on pre-staged inputs, then
+  assemble+step chained — the difference is what input assembly REALLY
+  costs e2e (device programs serialize, so expect ~the assemble time).
 
 Usage: python tools/microbench_augment.py [--steps 20] [--batch 32]
+       [--with_step] [--grad_accum 4]
 (TPU; relay-safe chained timing, one scalar fetch per measurement.)
 """
 
@@ -52,6 +57,13 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--img", type=int, default=518)
+    ap.add_argument("--with_step", action="store_true",
+                    help="also time a production stage-2 step (bf16, "
+                         "Pallas attn, selective remat) alone vs chained "
+                         "behind the packed assemble")
+    ap.add_argument("--grad_accum", type=int, default=4)
+    ap.add_argument("--model", default="ViT-L-14-336",
+                    help="--with_step model (tiny-test for a CPU smoke)")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -64,7 +76,8 @@ def main():
 
     from aaclip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
     from aaclip_tpu.ops.augment import (color_jitter_device,
-                                        joint_geometric_augment_device)
+                                        joint_geometric_augment_device,
+                                        joint_geometric_augment_device_u8)
 
     mean = jnp.asarray(CLIP_MEAN)[None, :, None, None]
     std = jnp.asarray(CLIP_STD)[None, :, None, None]
@@ -101,6 +114,21 @@ def main():
         x, m = joint_geometric_augment_device(kg, x, mk.astype(jnp.float32))
         return x
 
+    @jax.jit
+    def assemble_packed(i, imgs, masks, idx):
+        # the SHIPPING device_cache._assemble form: packed u32 geometric
+        # gather, normalize after (bit-identical to `assemble` above —
+        # test_packed_augment_matches_float_path)
+        idx = (idx + i) % N
+        im = jnp.take(imgs, idx, axis=0)
+        mk = jnp.take(masks, idx, axis=0)
+        kj, kg = jax.random.split(jax.random.fold_in(key0, i))
+        im = color_jitter_device(kj, im)
+        out_u8, out_m, valid = joint_geometric_augment_device_u8(kg, im, mk)
+        x = jnp.where(valid[:, None],
+                      (out_u8.astype(jnp.float32) / 255.0 - mean) / std, 0.0)
+        return x, out_m.astype(jnp.float32) * valid.astype(jnp.float32)
+
     print(f"batch {B} @ {S}px, cache N={N}, steps={args.steps}")
     t = chain_time(lambda i, *a: gather(i, *a)[0], args.steps, imgs_u8,
                    masks_u8, idx0, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
@@ -119,7 +147,11 @@ def main():
     print(f"  geometric augment (2x affine):  {t*1e3:8.2f} ms")
     t = chain_time(lambda i, *a: assemble(i, *a), args.steps, imgs_u8,
                    masks_u8, idx0, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
-    print(f"  fused assemble (all of above):  {t*1e3:8.2f} ms")
+    print(f"  fused assemble (float gather):  {t*1e3:8.2f} ms")
+    t = chain_time(lambda i, *a: assemble_packed(i, *a)[0], args.steps,
+                   imgs_u8, masks_u8, idx0,
+                   probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
+    print(f"  fused assemble (packed, ships): {t*1e3:8.2f} ms")
 
     # ---- geometric-gather variants (the dominant cost) ----------------
     from aaclip_tpu.ops.augment import _draw_geom_params, _fused_geom_indices
@@ -172,6 +204,77 @@ def main():
     t = chain_time(lambda i, a, b: geom_packed(i, a, b)[0], args.steps,
                    im_u8b, mk_u8b, probe=lambda o: jnp.sum(o[0, 0, :2, 0]))
     print(f"  geom variant: packed u32 gather:{t*1e3:8.2f} ms")
+
+    if not args.with_step:
+        return
+
+    # ---- e2e: production stage-2 step alone vs assemble+step ----------
+    from aaclip_tpu.core.config import AdapterConfig, DtypePolicy, get_config
+    from aaclip_tpu.core.params import (create_clip_params,
+                                        init_adapter_params)
+    from aaclip_tpu.ops.flash_attention import maybe_make_attn_fn
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    cfg = get_config(args.model, S)
+    acfg = AdapterConfig() if args.model != "tiny-test" else AdapterConfig(
+        levels=(1, 2), image_adapt_until=1, text_adapt_until=1)
+    policy = DtypePolicy.from_name("bf16")
+    clip = create_clip_params(cfg, seed=0, policy=policy)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
+    attn_fn = maybe_make_attn_fn(cfg, policy, differentiable=True)
+    table = np.random.default_rng(1).standard_normal(
+        (2, cfg.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    tx = make_image_optimizer()
+    step = make_stage2_step(clip, cfg, acfg, tx, table, img_size=S,
+                            policy=policy, attn_fn=attn_fn,
+                            remat="selective", grad_accum=args.grad_accum)
+    state = init_state(adapters["image"], tx)
+    label = jnp.asarray(np.random.default_rng(2).integers(0, 2, B),
+                        jnp.int32)
+    cidx = jnp.asarray(np.random.default_rng(3).integers(0, 2, B),
+                       jnp.int32)
+    valid = jnp.ones((B,), jnp.float32)
+    x_stage, m_stage = assemble_packed(0, imgs_u8, masks_u8, idx0)
+
+    def step_alone(st):
+        prev = None
+        for i in range(args.steps):
+            st, loss = step(st, x_stage, m_stage, label, cidx, valid)
+            if prev is not None:
+                float(prev)          # one-step-late fetch (production)
+            prev = loss
+        float(prev)
+        return st
+
+    def step_chained(st):
+        prev = None
+        for i in range(args.steps):
+            x, m = assemble_packed(i, imgs_u8, masks_u8, idx0)
+            st, loss = step(st, x, m, label, cidx, valid)
+            if prev is not None:
+                float(prev)
+            prev = loss
+        float(prev)
+        return st
+
+    print(f"e2e stage-2 (bf16, selective remat, grad_accum="
+          f"{args.grad_accum}):")
+    state = step_alone(state)                      # warm both programs
+    t0 = time.perf_counter()
+    state = step_alone(state)
+    t_alone = (time.perf_counter() - t0) / args.steps
+    print(f"  step alone (pre-staged input):  {t_alone*1e3:8.2f} ms"
+          f"  ({B/t_alone:6.2f} img/s)")
+    state = step_chained(state)
+    t0 = time.perf_counter()
+    state = step_chained(state)
+    t_chain = (time.perf_counter() - t0) / args.steps
+    print(f"  assemble + step chained:        {t_chain*1e3:8.2f} ms"
+          f"  ({B/t_chain:6.2f} img/s)")
+    print(f"  e2e input-assembly cost:        {(t_chain-t_alone)*1e3:8.2f}"
+          f" ms/step")
 
 
 if __name__ == "__main__":
