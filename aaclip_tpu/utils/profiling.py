@@ -117,6 +117,47 @@ class HostLoopProfiler:
         return text
 
 
+class ThrottledLossDrain:
+    """Collects per-step device loss scalars, blocking only every
+    ``fetch_every`` appends.
+
+    ``float(loss)`` through the axon relay is a full host<->device round
+    trip; doing it once per step (even one step late) serializes the host
+    loop on the device and measured ~90% of the CLI host time at the
+    production point (--profile_input, docs/PERFORMANCE.md).  Instead each
+    scalar's D2H copy is issued async at dispatch time, and every
+    ``fetch_every`` appends we block on the value from ``fetch_every``
+    steps back — enough backpressure to bound in-flight input batches
+    without idling the device between fetches.  ``drain()`` blocks on the
+    rest (async copies already in flight, so the final device_get
+    pipelines) and returns every value in step order.
+    """
+
+    def __init__(self, fetch_every: int = 8):
+        self.fetch_every = max(1, int(fetch_every))
+        self._dev: list = []
+
+    def append(self, loss) -> None:
+        """Record one step's loss scalar; blocks only on throttle steps."""
+        copy_async = getattr(loss, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+        self._dev.append(loss)
+        k = self.fetch_every
+        if len(self._dev) > k and len(self._dev) % k == 0:
+            # block on the loss from k steps back: the device has then
+            # finished that step, so at most ~k+1 batches are in flight
+            float(self._dev[len(self._dev) - 1 - k])
+
+    def drain(self) -> list:
+        """Fetch all recorded losses (in order) and reset."""
+        import jax
+
+        vals = [float(v) for v in jax.device_get(self._dev)]
+        self._dev = []
+        return vals
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]):
     """jax.profiler trace scope; no-op when log_dir is None."""

@@ -192,3 +192,45 @@ def test_host_loop_profiler():
     with off.phase("x"):
         pass
     assert off.report() == ""
+
+
+def test_throttled_loss_drain():
+    """ThrottledLossDrain: values come back complete and in step order,
+    blocking fetches happen only on throttle boundaries, and device
+    arrays' async-copy hook is exercised."""
+    import jax.numpy as jnp
+
+    from aaclip_tpu.utils.profiling import ThrottledLossDrain
+
+    # device scalars (CPU backend under conftest): ordering + completeness
+    d = ThrottledLossDrain(fetch_every=4)
+    for i in range(11):
+        d.append(jnp.float32(i))
+    assert d.drain() == [float(i) for i in range(11)]
+    assert d.drain() == []  # reset after drain
+
+    # throttle boundaries: a probe type counts blocking float() calls
+    class Probe:
+        blocked = 0
+
+        def __init__(self, v):
+            self.v = v
+
+        def __float__(self):
+            Probe.blocked += 1
+            return float(self.v)
+
+    d = ThrottledLossDrain(fetch_every=3)
+    for i in range(9):
+        d.append(Probe(i))
+    # blocks at appends 6 and 9 (len>k and len%k==0), on items 2 and 5
+    assert Probe.blocked == 2
+    vals = d.drain()
+    assert vals == [float(i) for i in range(9)]
+
+    # fetch_every=1 ≈ the old per-step fetch: blocks every append past k
+    Probe.blocked = 0
+    d = ThrottledLossDrain(fetch_every=1)
+    for i in range(5):
+        d.append(Probe(i))
+    assert Probe.blocked == 4

@@ -127,6 +127,14 @@ def parse_args(argv=None):
                              "Fits when n_images*(3+1)*img_size^2 bytes "
                              "spare HBM; single-host, no tensor/pipeline "
                              "parallelism")
+    parser.add_argument("--loss_fetch_every", type=int, default=8,
+                        help="block on a loss scalar only every K steps "
+                             "(the rest are async-copied and drained at "
+                             "epoch end). Each float(loss) through the "
+                             "axon relay is a full round trip — per-step "
+                             "fetching serializes the host loop on the "
+                             "device. K bounds in-flight input batches "
+                             "to ~K+1; 1 recovers the old per-step fetch")
     parser.add_argument("--profile_input", action="store_true",
                         help="log a per-epoch host-loop phase "
                              "decomposition (loader wait / H2D / augment "
@@ -203,7 +211,8 @@ def main(argv=None):
     from aaclip_tpu.train.steps import (
         TrainState, init_state, make_stage1_step, make_stage2_step,
         stage1_features_fn)
-    from aaclip_tpu.utils.profiling import HostLoopProfiler, StepTimer
+    from aaclip_tpu.utils.profiling import (HostLoopProfiler, StepTimer,
+                                            ThrottledLossDrain)
 
     sh.initialize_multihost()
     host_id, num_hosts = jax.process_index(), jax.process_count()
@@ -419,10 +428,7 @@ def main(argv=None):
             logger.info("training text epoch %d:", epoch)
             timer = StepTimer()  # per-epoch: checkpoint saves excluded
             prof = HostLoopProfiler(enabled=args.profile_input)
-            losses = []
-            pending = None  # materialize losses one step late: fetching a
-            # scalar blocks on the device, so deferring it lets the next
-            # batch's host->device transfer overlap this step's compute
+            drain = ThrottledLossDrain(args.loss_fetch_every)
             for it, batch in enumerate(prof.wrap(loader)):
                 images, mask, label, class_idx, valid = \
                     prepare_batch(prof, batch, 1, epoch, it)
@@ -434,13 +440,10 @@ def main(argv=None):
                 with prof.phase("step_dispatch"):
                     text_state, loss = step_fn(text_state, feats, mask,
                                                class_idx, valid)
-                if pending is not None:
-                    with prof.phase("loss_fetch"):
-                        losses.append(float(pending))
-                pending = loss
+                with prof.phase("loss_fetch"):
+                    drain.append(loss)  # blocks only every K steps
                 timer.tick(images.shape[0])
-            if pending is not None:
-                losses.append(float(pending))
+            losses = drain.drain()
             timer.stop()  # losses drained -> device idle; close the window
             logger.info("loss: %s", float(np.mean(losses)))
             logger.info("throughput: %.2f img/s", timer.rate())
@@ -490,21 +493,17 @@ def main(argv=None):
         logger.info("training image epoch %d:", epoch)
         timer = StepTimer()  # per-epoch: checkpoint saves excluded
         prof = HostLoopProfiler(enabled=args.profile_input)
-        losses = []
-        pending = None  # one-step-late loss fetch (see stage-1 loop)
+        drain = ThrottledLossDrain(args.loss_fetch_every)
         for it, batch in enumerate(prof.wrap(loader)):
             images, mask, label, class_idx, valid = \
                 prepare_batch(prof, batch, 2, epoch, it)
             with prof.phase("step_dispatch"):
                 image_state, loss = step_fn(image_state, images, mask,
                                             label, class_idx, valid)
-            if pending is not None:
-                with prof.phase("loss_fetch"):
-                    losses.append(float(pending))
-            pending = loss
+            with prof.phase("loss_fetch"):
+                drain.append(loss)  # blocks only every K steps
             timer.tick(images.shape[0])
-        if pending is not None:
-            losses.append(float(pending))
+        losses = drain.drain()
         timer.stop()  # losses drained -> device idle; close the window
         logger.info("loss: %s", float(np.mean(losses)))
         logger.info("throughput: %.2f img/s", timer.rate())
