@@ -115,7 +115,11 @@ class DeviceCacheLoader:
                 im = color_jitter_device(kj, im)
             # packed uint32 geometric gather (1/4 the gather elements);
             # normalize AFTER — bit-identical to the normalize-then-
-            # gather float form (test_packed_augment_matches_float_path)
+            # gather float form on the CPU test backend
+            # (test_packed_augment_matches_float_path); on TPU the
+            # normalize sits on the other side of the gather, so fusion
+            # could differ by an ulp — within the <=2 ulp rubric for
+            # this path (docs/PARITY.md)
             out_u8, out_m, valid = joint_geometric_augment_device_u8(
                 key, im, mk)
             x = jnp.where(

@@ -237,13 +237,16 @@ def make_device_augment(uint8_inputs: bool = False):
     """jitted (key, images, masks) -> (float images, float masks).
 
     ``uint8_inputs=True``: images arrive as raw uint8 pixels and masks as
-    uint8 {0,1}; CLIP normalization runs on device BEFORE the geometric
-    augmentation — the same op order as the host pipeline (normalize, then
-    augment with zero fill in normalized space, reference
-    dataset/__init__.py:52-62), identical to float roundoff (<=2 ulp; XLA
-    FMA-contracts the normalize) while host->device transfer drops 4x —
-    the training-side twin of the eval path's fused uint8 patch embed
-    (ops/preprocess.py).
+    uint8 {0,1}.  The geometric augmentation runs FIRST as a packed-uint32
+    gather on the raw bytes (1/4 the gathered elements), and CLIP
+    normalization runs AFTER on the gathered result — integer gathers
+    commute exactly with the per-channel affine normalize, so this is
+    bit-identical on the CPU test backend to the host op order (normalize,
+    then augment with zero fill in normalized space, reference
+    dataset/__init__.py:52-62; test_packed_augment_matches_float_path) and
+    covered by the <=2 ulp device_augment rubric on TPU, while
+    host->device transfer drops 4x — the training-side twin of the eval
+    path's fused uint8 patch embed (ops/preprocess.py).
     """
     if not uint8_inputs:
         return jax.jit(joint_geometric_augment_device)

@@ -127,8 +127,10 @@ class ThrottledLossDrain:
     production point (--profile_input, docs/PERFORMANCE.md).  Instead each
     scalar's D2H copy is issued async at dispatch time, and every
     ``fetch_every`` appends we block on the value from ``fetch_every``
-    steps back — enough backpressure to bound in-flight input batches
-    without idling the device between fetches.  ``drain()`` blocks on the
+    steps back — backpressure that bounds in-flight input batches to
+    ~2*fetch_every (the first block lands at append 2K, and between
+    boundaries the confirmed watermark lags up to 2K steps) without
+    idling the device between fetches.  ``drain()`` blocks on the
     rest (async copies already in flight, so the final device_get
     pipelines) and returns every value in step order.
     """
@@ -146,7 +148,8 @@ class ThrottledLossDrain:
         k = self.fetch_every
         if len(self._dev) > k and len(self._dev) % k == 0:
             # block on the loss from k steps back: the device has then
-            # finished that step, so at most ~k+1 batches are in flight
+            # finished that step, so at most ~2k batches are in flight
+            # (first block at append 2k; watermark lag peaks at 2k-1)
             float(self._dev[len(self._dev) - 1 - k])
 
     def drain(self) -> list:

@@ -134,7 +134,9 @@ def parse_args(argv=None):
                              "axon relay is a full round trip — per-step "
                              "fetching serializes the host loop on the "
                              "device. K bounds in-flight input batches "
-                             "to ~K+1; 1 recovers the old per-step fetch")
+                             "to ~2K (first block lands at step 2K, and "
+                             "the confirmed watermark lags up to 2K "
+                             "steps); 1 recovers the old per-step fetch")
     parser.add_argument("--profile_input", action="store_true",
                         help="log a per-epoch host-loop phase "
                              "decomposition (loader wait / H2D / augment "
