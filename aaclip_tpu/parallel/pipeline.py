@@ -1,4 +1,5 @@
-"""Pipeline parallelism for the eval trunk (GPipe-style, level-aligned).
+"""Pipeline parallelism (GPipe-style): eval, stage-2 training, and the
+stage-1 surgery-feature trunk.
 
 The AA-CLIP eval forward taps the residual stream at evenly spaced depths
 (``levels`` = 6/12/18/24 of 24 for ViT-L — reference model/adapter.py:80-86)
@@ -409,6 +410,222 @@ def make_pipeline_predict_fn(clip_params: dict, cfg: CLIPConfig,
     predict.dp = dp
     predict.n_micro = n_micro
     return predict
+
+
+def make_pp_stage1_features_fn(clip_params: dict, cfg: CLIPConfig, *,
+                               pp: int, n_micro: Optional[int] = None,
+                               dp: int = 1,
+                               surgery_until_layer: int = 20,
+                               policy: DtypePolicy = DtypePolicy(),
+                               attn_fn=None, vv_attn_fn=None,
+                               vv_mode: str = "batch") -> Callable:
+    """Pipeline-parallel drop-in for ``train.steps.stage1_features_fn``.
+
+    Same call signature — ``features(images, valid=None) ->
+    [B, n_patches, embed_dim]`` stage-1 supervision features (reference
+    train.py:74-85: last-level surgery patch embedding, L2-normalized,
+    plus the frozen tower's normalized CLS token) — but the trunk lives
+    ``layers/pp`` blocks per device on the ``('stage',)`` ring and
+    microbatches stream through GPipe-style.  Grad-free (the stage-1
+    gradient path is the text tower), so no remat and the Pallas kernels
+    plug in via ``attn_fn`` / ``vv_attn_fn``.
+
+    The carry is a DUAL residual stream: after the shared prefix (blocks
+    ``[0, vv_start)`` are identical in the surgery and frozen towers —
+    see stage1_features_fn's fusion note) the V-V tail and the standard
+    tail diverge, so each tick hops two [B_m, S, D] activations.  The
+    V-V/shared boundary rarely lands on a stage edge; a per-layer
+    ``lax.cond`` keeps the prefix fused (the V-V stream is a free
+    pass-through of the standard stream until ``vv_start``) while every
+    stage runs the same SPMD program.  The head (ln_post -> @proj -> L2)
+    runs on the last stage only; the output leaves through a
+    stage-indexed ``out_specs`` slice rather than a psum — features are
+    activation-sized ([B, 1369, 768] at ViT-L/518), so a ring psum would
+    move pp copies of them where one shard suffices.
+
+    ``vv_mode="batch"`` (reference-exact layout quirk, batch-coupled):
+    under pipelining the coupling unit is the MICROBATCH — each
+    microbatch's cross-batch softmax sees its own B/n_micro samples, so
+    the features equal the single-device batch-mode run on each
+    microbatch slice (equality-pinned in tests/test_pipeline_parallel.py;
+    ``n_micro=1`` recovers full-batch coupling at the cost of a
+    (pp-1)/pp bubble).  ``valid`` masks pad rows out of each microbatch's
+    softmax, matching the single-device masked-tail semantics per
+    microbatch.  Batch mode rejects ``dp > 1``: the shard_map pipeline
+    would silently couple within data shards (the GSPMD data-parallel
+    path in stage1_features_fn handles that case with an all-gather).
+    ``vv_mode="spatial"`` is per-sample and exact at any (n_micro, dp).
+    """
+    from aaclip_tpu.models.layers import config_act
+
+    policy = policy.unstaged()  # staging is inference-only (steps.py)
+    v = cfg.vision
+    heads = cfg.vision.heads
+    if pp < 2:
+        raise ValueError(f"pipeline_parallel={pp} needs >= 2 stages")
+    if v.layers % pp:
+        raise ValueError(
+            f"pipeline_parallel={pp} must divide the {v.layers}-layer "
+            "tower (stage-1 has no tap constraint, but stages must be "
+            "equal-sized)")
+    if vv_mode not in ("batch", "spatial"):
+        raise ValueError(
+            f"vv_mode must be 'batch' or 'spatial', got {vv_mode!r}")
+    if vv_mode == "batch":
+        if vv_attn_fn is not None:
+            raise ValueError(
+                "a custom vv_attn_fn requires vv_mode='spatial': the "
+                "default batch mode installs the reference-exact "
+                "batch-coupled kernel and would silently replace yours")
+        if dp > 1:
+            raise ValueError(
+                "vv_mode='batch' does not compose with dp > 1: the "
+                "batch-coupled V-V softmax would couple within each data "
+                "shard only; use vv_mode='spatial' or dp=1 (plain "
+                "data-parallel stage-1 — stage1_features_fn with a data "
+                "mesh — handles batch mode via GSPMD)")
+    n_micro = n_micro or pp
+    mesh = make_pp_mesh(pp, dp)
+    Ls = v.layers // pp
+    vv_start = L.surgery_vv_start(v.layers, surgery_until_layer)
+    img = v.image_size
+    grid = img // v.patch_size
+    S = grid * grid + 1
+    _act = config_act(cfg, policy)
+    visual = clip_params["visual"]
+    blocks_staged = jax.device_put(
+        _stage_split(visual["blocks"], pp, Ls),
+        NamedSharding(mesh, P("stage")))
+    visual_rest = {k: w for k, w in visual.items() if k != "blocks"}
+    # per-layer V-V flags, stage-sliced like the blocks ([pp, Ls] bool)
+    vv_flags = np.arange(v.layers).reshape(pp, Ls) >= vv_start
+    E = visual["proj"].shape[-1]
+    cd = policy.compute_dtype
+
+    def _proj(t, w):
+        return jnp.dot(t.astype(cd), w.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=policy.precision)
+
+    def stage_fn(blocks, flags, ln_post, proj_w, emb_mb, valid_mb):
+        """Per-device pipeline program (inside shard_map).
+
+        blocks/flags arrive stage-sliced with a leading length-1 stage
+        axis; emb_mb [n_micro, B_m, S, D] and valid_mb [n_micro, B_m]
+        are data-sharded, ln_post/proj replicated.
+        """
+        blocks = jax.tree.map(lambda a: a[0], blocks)
+        flags = flags[0]                                 # [Ls] bool
+        sid = jax.lax.axis_index("stage")
+        B_m = emb_mb.shape[1]
+
+        def tick(t, carry):
+            hv, hs, acc = carry
+            m_in = jnp.clip(t, 0, n_micro - 1)
+            inj = jax.lax.dynamic_index_in_dim(emb_mb, m_in, keepdims=False)
+            hv = jnp.where(sid == 0, inj, hv)
+            hs = jnp.where(sid == 0, inj, hs)
+            m_self = t - sid
+            write = ((m_self >= 0) & (m_self < n_micro)
+                     & (sid == pp - 1))
+            m_c = jnp.clip(m_self, 0, n_micro - 1)
+            val = jax.lax.dynamic_index_in_dim(valid_mb, m_c,
+                                               keepdims=False)  # [B_m]
+            if vv_mode == "batch":
+                # all-ones valid is bit-identical to unmasked (the mask
+                # is a where on the scores), so one program serves both
+                vv_fn = L.make_batch_vv_attn_fn(heads, policy, valid=val)
+            else:
+                vv_fn = vv_attn_fn
+
+            def layer(carry2, per):
+                h_v, h_s = carry2
+                blk, flag = per
+                h_s2 = L.residual_block(h_s, blk, heads, act=_act,
+                                        policy=policy, attn_fn=attn_fn)
+                # shared-prefix fusion under SPMD: before vv_start the
+                # V-V stream IS the standard stream, so the false branch
+                # passes it through for free; lax.cond executes only one
+                # branch per device even with this stage-varying flag
+                h_v2 = jax.lax.cond(
+                    flag,
+                    lambda h: L.residual_block(
+                        h, blk, heads, vv=True, act=_act, policy=policy,
+                        attn_fn=attn_fn, vv_attn_fn=vv_fn),
+                    lambda h: h_s2, h_v)
+                return (h_v2, h_s2), None
+
+            (hv, hs), _ = jax.lax.scan(layer, (hv, hs), (blocks, flags))
+            # head: cheap relative to Ls blocks; computed every tick,
+            # write-gated to the last stage's live microbatch (the eval
+            # path's det-head pattern)
+            feats = _proj(L.layer_norm(hv[:, 1:, :], ln_post), proj_w)
+            cls = L.l2_normalize(
+                _proj(L.layer_norm(hs[:, 0, :], ln_post), proj_w))
+            out_t = L.l2_normalize(feats) + cls[:, None, :]
+            prev = jax.lax.dynamic_index_in_dim(acc, m_c, keepdims=False)
+            acc = jax.lax.dynamic_update_index_in_dim(
+                acc, jnp.where(write, out_t, prev), m_c, 0)
+            ring = [(i, (i + 1) % pp) for i in range(pp)]
+            return (jax.lax.ppermute(hv, "stage", ring),
+                    jax.lax.ppermute(hs, "stage", ring), acc)
+
+        # seed the streams with real data (emb_mb is data-varying; mark
+        # stage-varying) — see make_pp_stage2_step's NaN note; grad-free
+        # here, but l2_normalize(0) in bubble head ticks is still best
+        # avoided
+        seed = jax.lax.pcast(emb_mb[0], "stage", to="varying")
+        acc0 = jnp.zeros((n_micro, B_m, S - 1, E), jnp.float32)
+        acc0 = jax.lax.pcast(
+            jax.lax.pcast(acc0, "stage", to="varying"), "data",
+            to="varying")
+        _, _, acc = jax.lax.fori_loop(
+            0, n_micro + pp - 1, tick, (seed, seed, acc0))
+        # leading length-1 stage axis: the caller slices stage pp-1 out of
+        # the stage-major output instead of psumming activation-sized
+        # features around the ring
+        return acc[None]
+
+    sharded = jax.shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(P("stage"), P("stage"), P(), P(),
+                  P(None, "data"), P(None, "data")),
+        out_specs=P("stage", None, "data"))
+
+    def _features_impl(visual_rest, blocks_staged, images, valid):
+        B = images.shape[0]
+        if B % (n_micro * dp):  # trace-time: guards jitted callers too
+            raise ValueError(
+                f"batch {B} not divisible by n_micro={n_micro}"
+                + (f" * dp={dp}" if dp > 1 else ""))
+        x = embed(visual_rest, cfg, images, policy)
+        emb_mb = x.reshape(n_micro, B // n_micro, S, v.width)
+        valid_mb = valid.reshape(n_micro, B // n_micro)
+        res = sharded(blocks_staged, jnp.asarray(vv_flags),
+                      visual_rest["ln_post"], visual_rest["proj"],
+                      emb_mb, valid_mb)
+        return res[pp - 1].reshape(B, S - 1, E)
+
+    _features = jax.jit(_features_impl)
+
+    def features(images, valid=None):
+        images = jnp.asarray(images)
+        B = images.shape[0]
+        if B % (n_micro * dp):
+            raise ValueError(
+                f"batch {B} not divisible by n_micro={n_micro}"
+                + (f" * dp={dp}" if dp > 1 else ""))
+        if valid is None:
+            valid = jnp.ones((B,), jnp.float32)
+        return _features(visual_rest, blocks_staged, images,
+                         jnp.asarray(valid, jnp.float32))
+
+    features.blocks_staged = blocks_staged
+    features.pp = pp
+    features.dp = dp
+    features.n_micro = n_micro
+    features.vv_mode = vv_mode
+    return features
 
 
 def make_pp_stage2_step(clip_params: dict, cfg: CLIPConfig,

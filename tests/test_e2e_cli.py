@@ -314,10 +314,11 @@ def test_eval_pipeline_parallel_cli(env):
 
 
 def test_train_pipeline_parallel_cli(env):
-    """train.py --pipeline_parallel 2 --data_parallel: stage-2 trains
-    GPipe-style over the ('stage','data') mesh (2 stages x 4 data
-    shards), and the resulting checkpoint evaluates through the standard
-    test.py path."""
+    """train.py --pipeline_parallel 2 --data_parallel: stage-1 extracts
+    surgery features through the GPipe trunk (batch-mode V-V couples per
+    microbatch), stage-2 trains GPipe-style over the ('stage','data')
+    mesh (2 stages x 4 data shards), and the resulting checkpoint
+    evaluates through the standard test.py path."""
     import subprocess
     import sys
 
@@ -325,7 +326,8 @@ def test_train_pipeline_parallel_cli(env):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     train_args = COMMON + [
         "--save_path", save, "--training_mode", "full_shot",
-        "--text_epoch", "0", "--image_epoch", "1",
+        "--text_epoch", "1", "--image_epoch", "1",
+        "--text_batch_size", "8",
         "--image_batch_size", "8", "--surgery_until_layer", "2",
         "--pipeline_parallel", "2", "--data_parallel",
     ]
@@ -346,7 +348,8 @@ def test_train_pipeline_parallel_cli(env):
                        text=True, cwd=repo, env=envv, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     tlog = open(os.path.join(save, "train.log")).read()
-    assert "mesh: stage=2 x data=4 (GPipe stage-2, 2 microbatches)" in tlog
+    assert "mesh: stage=2 x data=4 (GPipe stage-1+2, 2 microbatches)" in tlog
+    assert "training text epoch 0" in tlog  # stage-1 ran under pp
     elog = open(os.path.join(save, "test.log")).read()
     assert "final results" in elog and "Average" in elog
 

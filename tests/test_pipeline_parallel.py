@@ -341,6 +341,123 @@ def test_pp_dp_stage2_step_matches_grad_accum(valid_tail):
         st1.params, st0.params)
 
 
+def test_pp_stage1_spatial_matches_single_device():
+    """PP over the surgery-feature trunk (stage-1 supervision, reference
+    train.py:74-85): spatial V-V features are per-sample, so the GPipe
+    stream must reproduce the single-device extraction exactly."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    clip = create_clip_params(CFG, seed=0)
+    rng = np.random.default_rng(3)
+    S = CFG.vision.image_size
+    imgs = rng.standard_normal((8, 3, S, S)).astype(np.float32)
+    f0 = stage1_features_fn(clip, CFG, surgery_until_layer=2,
+                            vv_mode="spatial")(imgs)
+    fn = ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, n_micro=2,
+                                        surgery_until_layer=2,
+                                        vv_mode="spatial")
+    np.testing.assert_allclose(np.asarray(fn(imgs)), np.asarray(f0),
+                               atol=2e-5, rtol=1e-4)
+    # dp composition on the ('stage','data') mesh stays exact (per-sample)
+    fn_dp = ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, n_micro=2,
+                                           dp=4, surgery_until_layer=2,
+                                           vv_mode="spatial")
+    np.testing.assert_allclose(np.asarray(fn_dp(imgs)), np.asarray(f0),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pp_stage1_batch_mode_couples_per_microbatch():
+    """Batch-coupled V-V (the reference's layout quirk) under pipelining:
+    the coupling unit is the microbatch, so PP features equal the
+    single-device batch-mode run on each microbatch slice — and n_micro=1
+    recovers full-batch coupling."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    clip = create_clip_params(CFG, seed=0)
+    rng = np.random.default_rng(3)
+    S = CFG.vision.image_size
+    imgs = rng.standard_normal((8, 3, S, S)).astype(np.float32)
+    single = stage1_features_fn(clip, CFG, surgery_until_layer=2)
+    ref = np.concatenate([np.asarray(single(imgs[:4])),
+                          np.asarray(single(imgs[4:]))])
+    fn = ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, n_micro=2,
+                                        surgery_until_layer=2)
+    np.testing.assert_allclose(np.asarray(fn(imgs)), ref,
+                               atol=2e-5, rtol=1e-4)
+    fn1 = ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, n_micro=1,
+                                         surgery_until_layer=2)
+    np.testing.assert_allclose(np.asarray(fn1(imgs)),
+                               np.asarray(single(imgs)),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pp_stage1_batch_masked_tail():
+    """A padded final batch: pad rows must be masked out of the
+    microbatch's cross-batch softmax, matching the single-device
+    masked-tail semantics for every valid sample."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    clip = create_clip_params(CFG, seed=0)
+    rng = np.random.default_rng(5)
+    S = CFG.vision.image_size
+    imgs = rng.standard_normal((8, 3, S, S)).astype(np.float32)
+    valid = np.ones(8, np.float32)
+    valid[-2:] = 0.0
+    single = stage1_features_fn(clip, CFG, surgery_until_layer=2)
+    ref = np.concatenate([np.asarray(single(imgs[:4])),
+                          np.asarray(single(imgs[4:], valid[4:]))])
+    fn = ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, n_micro=2,
+                                        surgery_until_layer=2)
+    got = np.asarray(fn(imgs, valid))
+    np.testing.assert_allclose(got[valid.astype(bool)],
+                               ref[valid.astype(bool)],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pp_stage1_mid_stage_vv_boundary():
+    """The V-V start rarely lands on a stage edge (ViT-L: vv_start=5,
+    stages of 12): a 4-layer tower with vv_start=3 puts the boundary in
+    the middle of stage 1 at pp=2 — the per-layer cond must switch
+    mid-stage; pp=4 (one block per stage) exercises every flag layout."""
+    from aaclip_tpu.train.steps import stage1_features_fn
+
+    cfg = dataclasses.replace(
+        CFG, vision=dataclasses.replace(CFG.vision, layers=4))
+    clip = create_clip_params(cfg, seed=0)
+    rng = np.random.default_rng(7)
+    S = cfg.vision.image_size
+    imgs = rng.standard_normal((8, 3, S, S)).astype(np.float32)
+    f0 = stage1_features_fn(clip, cfg, surgery_until_layer=2,
+                            vv_mode="spatial")(imgs)
+    for pp, n_micro in ((2, 4), (4, 2)):
+        fn = ppl.make_pp_stage1_features_fn(clip, cfg, pp=pp,
+                                            n_micro=n_micro,
+                                            surgery_until_layer=2,
+                                            vv_mode="spatial")
+        np.testing.assert_allclose(np.asarray(fn(imgs)), np.asarray(f0),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_pp_stage1_validation():
+    clip = create_clip_params(CFG, seed=0)
+    with pytest.raises(ValueError, match="must divide"):
+        ppl.make_pp_stage1_features_fn(clip, CFG, pp=3)
+    with pytest.raises(ValueError, match="dp > 1"):
+        ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, dp=2,
+                                       surgery_until_layer=2)
+    with pytest.raises(ValueError, match="custom vv_attn_fn"):
+        ppl.make_pp_stage1_features_fn(clip, CFG, pp=2,
+                                       surgery_until_layer=2,
+                                       vv_attn_fn=lambda h, p: h)
+    with pytest.raises(ValueError, match="vv_mode"):
+        ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, vv_mode="typo")
+    fn = ppl.make_pp_stage1_features_fn(clip, CFG, pp=2, n_micro=2,
+                                        surgery_until_layer=2)
+    S = CFG.vision.image_size
+    with pytest.raises(ValueError, match="not divisible by n_micro"):
+        fn(np.zeros((3, 3, S, S), np.float32))
+
+
 def test_pp_stage2_validation():
     import optax
 

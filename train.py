@@ -110,9 +110,13 @@ def parse_args(argv=None):
                              "level count. Composes with --data_parallel "
                              "(remaining devices form the data axis; "
                              "loss numerators/valid counts psum over it); "
-                             "mutually exclusive with --tensor_parallel; "
-                             "stage 1 (text) runs unsharded. Update "
-                             "semantics == --grad_accum <microbatches>")
+                             "mutually exclusive with --tensor_parallel. "
+                             "Stage 1 pipelines the surgery-feature trunk "
+                             "the same way (batch-mode V-V then couples "
+                             "per MICROBATCH — docs/PARITY.md; the text "
+                             "tower update stays unsharded). Stage-2 "
+                             "update semantics == --grad_accum "
+                             "<microbatches>")
     parser.add_argument("--pp_microbatches", type=int, default=None,
                         help="microbatch count for --pipeline_parallel "
                              "(default = stage count; image_batch_size "
@@ -328,7 +332,17 @@ def main(argv=None):
             logger.info("pipeline_parallel: image_batch_size rounded up "
                         "to %d (%d microbatches x dp=%d)",
                         args.image_batch_size, n_micro, pp_dp)
-        logger.info("mesh: stage=%d x data=%d (GPipe stage-2, "
+        # stage-1 PP: batch-coupled V-V rejects data sharding (the
+        # features fn raises), so its dp is spatial-only
+        s1_pp_dp = pp_dp if args.vv_mode == "spatial" else 1
+        s1_chunk = n_micro * s1_pp_dp
+        if args.text_batch_size % s1_chunk:
+            args.text_batch_size = ((args.text_batch_size + s1_chunk - 1)
+                                    // s1_chunk) * s1_chunk
+            logger.info("pipeline_parallel: text_batch_size rounded up "
+                        "to %d (%d microbatches x dp=%d)",
+                        args.text_batch_size, n_micro, s1_pp_dp)
+        logger.info("mesh: stage=%d x data=%d (GPipe stage-1+2, "
                     "%d microbatches)", args.pipeline_parallel, pp_dp,
                     n_micro)
     elif args.tensor_parallel > 1:
@@ -407,11 +421,31 @@ def main(argv=None):
             # (cheap) attention
             vv_attn_fn = (maybe_make_attn_fn(cfg, policy, vv=True)
                           if args.vv_mode == "spatial" else None)
-        feats_fn = stage1_features_fn(
-            clip_params, cfg, surgery_until_layer=args.surgery_until_layer,
-            policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
-            vv_mode=args.vv_mode, chunk=args.feature_chunk or None,
-            mesh=s1_mesh, sequence_parallel=args.sequence_parallel)
+        if args.pipeline_parallel > 1:
+            # GPipe over the surgery-feature trunk: layers/pp blocks per
+            # device, microbatches streamed — batch-mode V-V couples per
+            # MICROBATCH (docs/PARITY.md); the text-tower update below
+            # stays unsharded (its gradient path is context-length-sized)
+            from aaclip_tpu.parallel.pipeline import (
+                make_pp_stage1_features_fn)
+            if args.feature_chunk:
+                raise SystemExit(
+                    "--feature_chunk does not compose with "
+                    "--pipeline_parallel (GPipe microbatches already "
+                    "bound peak memory; raise --pp_microbatches instead)")
+            feats_fn = make_pp_stage1_features_fn(
+                clip_params, cfg, pp=args.pipeline_parallel,
+                n_micro=args.pp_microbatches or None, dp=s1_pp_dp,
+                surgery_until_layer=args.surgery_until_layer,
+                policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+                vv_mode=args.vv_mode)
+        else:
+            feats_fn = stage1_features_fn(
+                clip_params, cfg,
+                surgery_until_layer=args.surgery_until_layer,
+                policy=policy, attn_fn=attn_fn, vv_attn_fn=vv_attn_fn,
+                vv_mode=args.vv_mode, chunk=args.feature_chunk or None,
+                mesh=s1_mesh, sequence_parallel=args.sequence_parallel)
         # text-tower remat: 'selective' is always safe (the saved tensors
         # are context-length-sized) and measured fastest; 'off' can OOM at
         # large prompt batches with XLA-attention probabilities
