@@ -15,6 +15,11 @@ POST /predict?dataset=MVTec&class_name=bottle
     body: PNG/JPEG bytes.  Response JSON:
     {"image_score": float, "anomaly_map": [[...]] (img_size^2, row-major,
      downsampled by "map_stride" query arg if given)}
+    "map_encoding=f16" / "map_encoding=u8" switch the response to a raw
+    binary map body (application/octet-stream; little-endian C-order
+    float16, or affine-quantized uint8 with X-Map-Scale/X-Map-Offset),
+    with image_score / map shape / untrained riding X-* headers — 2 or 1
+    bytes per pixel instead of ~7 ASCII bytes under JSON.
     429 (Retry-After: 1) when the request queue is at max_queue —
     admission control sheds load instead of queuing past capacity.
 GET /healthz          -> {"status": "ok", "img_size": N,
@@ -748,6 +753,7 @@ def make_handler(engine: InferenceEngine):
                     "img_size": engine.img_size,
                     "datasets": sorted(engine.anchors),
                     "untrained": engine.untrained,
+                    "map_encodings": ["json", "f16", "u8"],
                 })
             elif url.path == "/statz":
                 self._json(200, engine.stats())
@@ -780,6 +786,11 @@ def make_handler(engine: InferenceEngine):
                 stride = max(1, int(q.get("map_stride", ["1"])[0]))
             except ValueError:
                 self._json(400, {"error": "map_stride must be an integer"})
+                return
+            encoding = q.get("map_encoding", ["json"])[0]
+            if encoding not in ("json", "f16", "u8"):
+                self._json(400, {"error": "map_encoding must be one of "
+                                          "json, f16, u8"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -839,17 +850,52 @@ def make_handler(engine: InferenceEngine):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             t2 = time.perf_counter()
-            payload = {
-                "image_score": score,
-                "map_shape": list(amap.shape),  # engine already strided
-                "anomaly_map": np.round(amap, 4).tolist(),
-            }
-            if engine.untrained:
-                payload["untrained"] = True
-            self._json(200, payload)
-            # JSON-encoding + writing a full-resolution 518^2 map is
-            # megabytes per request — measured, not assumed (clients can
-            # shrink it with map_stride)
+            if encoding == "json":
+                payload = {
+                    "image_score": score,
+                    "map_shape": list(amap.shape),  # engine already strided
+                    "anomaly_map": np.round(amap, 4).tolist(),
+                }
+                if engine.untrained:
+                    payload["untrained"] = True
+                self._json(200, payload)
+            else:
+                # binary map body (map_encoding=f16/u8): the respond phase
+                # JSON-encodes ~7 ASCII bytes per pixel — on a full 518^2
+                # map that is megabytes of text per request.  f16 sends the
+                # raw little-endian C-order float16 buffer (2 B/px, ~2^-11
+                # relative rounding); u8 sends an affine-quantized byte map
+                # (1 B/px): value = offset + scale * byte, scale/offset in
+                # headers (max quantization error scale/2 on a map whose
+                # dynamic range is ~[0,1]).  Everything scalar rides
+                # response headers so the body is exactly the map buffer.
+                amap = np.ascontiguousarray(amap, np.float32)
+                if encoding == "f16":
+                    body = amap.astype("<f2").tobytes()
+                    headers = {"X-Map-Dtype": "float16"}
+                else:
+                    lo = float(amap.min()) if amap.size else 0.0
+                    hi = float(amap.max()) if amap.size else 0.0
+                    scale = (hi - lo) / 255.0
+                    qmap = (np.zeros(amap.shape, np.uint8) if scale == 0.0
+                            else np.clip(np.rint((amap - lo) / scale),
+                                         0, 255).astype(np.uint8))
+                    body = qmap.tobytes()
+                    headers = {"X-Map-Dtype": "uint8",
+                               "X-Map-Scale": repr(scale),
+                               "X-Map-Offset": repr(lo)}
+                headers["X-Image-Score"] = repr(float(score))
+                headers["X-Map-Shape"] = ",".join(
+                    str(d) for d in amap.shape)
+                if engine.untrained:
+                    headers["X-Untrained"] = "1"
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in headers.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
             engine._note_phase("respond", (time.perf_counter() - t2) * 1e3)
 
     return Handler

@@ -198,6 +198,54 @@ def test_http_predict(server):
     assert payload["untrained"] is True
 
 
+def test_http_predict_binary_encodings(server):
+    """map_encoding=f16/u8: the binary map body must decode to the JSON
+    path's map (f16 within float16 rounding, u8 within scale/2), with
+    score / shape / untrained riding X-* headers — the respond-side
+    transfer lever next to device-side map_stride."""
+    png = _png_bytes()
+    base = server + "/predict?dataset=MVTec&class_name=bottle&map_stride=7"
+    req = urllib.request.Request(base, data=png, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        ref = json.loads(resp.read())
+    ref_map = np.asarray(ref["anomaly_map"], np.float32)
+
+    req = urllib.request.Request(base + "&map_encoding=f16", data=png,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        body, hdr = resp.read(), resp.headers
+    assert hdr["Content-Type"] == "application/octet-stream"
+    assert hdr["X-Map-Dtype"] == "float16"
+    shape = tuple(int(x) for x in hdr["X-Map-Shape"].split(","))
+    assert shape == (10, 10) and len(body) == 2 * 100
+    f16 = np.frombuffer(body, "<f2").reshape(shape).astype(np.float32)
+    # JSON rounds to 4 decimals, f16 rounds at ~2^-11 relative
+    np.testing.assert_allclose(f16, ref_map, atol=2e-3)
+    assert abs(float(hdr["X-Image-Score"]) - ref["image_score"]) < 1e-4
+    assert hdr["X-Untrained"] == "1"
+
+    req = urllib.request.Request(base + "&map_encoding=u8", data=png,
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        body, hdr = resp.read(), resp.headers
+    assert hdr["X-Map-Dtype"] == "uint8" and len(body) == 100
+    scale = float(hdr["X-Map-Scale"])
+    off = float(hdr["X-Map-Offset"])
+    rec = off + scale * np.frombuffer(body, np.uint8).reshape(
+        shape).astype(np.float32)
+    assert np.abs(rec - ref_map).max() <= max(scale / 2, 1e-6) + 1e-4
+
+
+def test_http_bad_map_encoding(server):
+    req = urllib.request.Request(
+        server + "/predict?dataset=MVTec&class_name=bottle"
+                 "&map_encoding=gzip",
+        data=_png_bytes(), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+
+
 def test_http_health_and_classes(server):
     with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
         h = json.loads(r.read())
