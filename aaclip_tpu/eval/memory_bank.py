@@ -49,12 +49,20 @@ def make_patch_features_fn(clip_params: dict, cfg: CLIPConfig,
                            img_size: int | None = None,
                            policy: DtypePolicy = DtypePolicy(),
                            attn_fn=None,
-                           uint8_inputs: bool = False) -> Callable:
+                           uint8_inputs: bool = False,
+                           mesh=None) -> Callable:
     """jitted ``(image_adapter, images) -> (seg [n, B, L, D], det [B, D])``.
 
     The same adapted forward the eval path runs (eval/predict.py), exposed
     at the stacked-seg-token level so callers can build banks from the
     exact features the predictor scores with.
+
+    ``mesh`` (a 1-D ``('data',)`` mesh): bank construction runs fully
+    REPLICATED — support sets are a handful of images and banks must end
+    up replicated for the data-parallel predictor anyway, so replicating
+    the (cheap) build is simpler and divisibility-free versus sharding
+    it.  The returned bank arrays then carry the replicated sharding the
+    dp predict jit expects.
     """
     del img_size  # shapes come from the traced batch
     visual = clip_params["visual"]
@@ -87,7 +95,15 @@ def make_patch_features_fn(clip_params: dict, cfg: CLIPConfig,
             patch_embed_fn=_patch_embed, prefix_attn_fn=prefix_attn_fn)
         return jnp.stack(seg_tokens), det
 
-    _jitted = jax.jit(_impl)
+    if mesh is None:
+        _jitted = jax.jit(_impl)
+    else:
+        from aaclip_tpu.parallel import sharding as sh
+
+        repl = sh.replicated(mesh)
+        visual = jax.device_put(visual, repl)
+        _jitted = jax.jit(_impl, in_shardings=(repl, repl, repl),
+                          out_shardings=(repl, repl))
 
     def features(image_adapter, images):
         return _jitted(visual, image_adapter, images)
@@ -158,7 +174,7 @@ def make_mb_predict_fn(clip_params: dict, cfg: CLIPConfig,
                        policy: DtypePolicy = DtypePolicy(), attn_fn=None,
                        uint8_inputs: bool = False,
                        bank_weight: float = 0.5,
-                       chunk: int = 1024) -> Callable:
+                       chunk: int = 1024, mesh=None) -> Callable:
     """Memory-bank-fused predictor.
 
     Returns ``predict(image_adapter, images, anchors, M, bank) ->
@@ -167,10 +183,26 @@ def make_mb_predict_fn(clip_params: dict, cfg: CLIPConfig,
     nearest-neighbor bank scores at ``bank_weight``.  One forward serves
     both paths.  Binding a per-class bank with ``functools.partial`` gives
     a drop-in ``predict_fn`` for ``run_class_predictions``.
+
+    ``mesh`` (a 1-D ``('data',)`` mesh, round 5): data-parallel eval.
+    Both score paths are per-sample separable — the bank max-similarity
+    reduces over the (replicated) bank axis per sample — so the batch
+    shards over the data axis while params/anchors/bank replicate, the
+    same GSPMD shape as eval.predict's dp path.  Bank construction stays
+    replicated (see make_patch_features_fn).  Tensor-parallel meshes are
+    rejected: the TP attention closure repacks weights head-major, which
+    the bank features would then have to share — out of scope for a
+    per-class few-shot path.
     """
+    from aaclip_tpu.parallel.tensor import is_tp_mesh
+
+    if is_tp_mesh(mesh):
+        raise ValueError(
+            "make_mb_predict_fn supports a 1-D ('data',) mesh only "
+            "(tensor parallelism does not compose with the memory bank)")
     feats_fn = make_patch_features_fn(
         clip_params, cfg, acfg, img_size=img_size, policy=policy,
-        attn_fn=attn_fn, uint8_inputs=uint8_inputs)
+        attn_fn=attn_fn, uint8_inputs=uint8_inputs, mesh=mesh)
     _pp_prec = "highest" if policy.precision == "highest" else "high"
     w = float(bank_weight)
     if not 0.0 <= w <= 1.0:
@@ -192,13 +224,31 @@ def make_mb_predict_fn(clip_params: dict, cfg: CLIPConfig,
         s = (1.0 - w) * image_score(det, anchors) + w * s_bank
         return pix, s
 
-    _jitted = jax.jit(_impl)
+    if mesh is None:
+        _jitted = jax.jit(_impl)
 
-    def predict(image_adapter, images, anchors, M, bank):
-        return _jitted(feats_fn.visual, image_adapter, images, anchors, M,
-                       bank)
+        def predict(image_adapter, images, anchors, M, bank):
+            return _jitted(feats_fn.visual, image_adapter, images, anchors,
+                           M, bank)
+    else:
+        from aaclip_tpu.parallel import sharding as sh
+
+        repl = sh.replicated(mesh)
+        bsh = sh.batch_sharding(mesh)
+        _jitted = jax.jit(
+            _impl, in_shardings=(repl, repl, bsh, repl, repl, repl),
+            out_shardings=(bsh, bsh))
+        dp = mesh.devices.size
+
+        def predict(image_adapter, images, anchors, M, bank):
+            assert images.shape[0] % dp == 0, (
+                f"batch {images.shape[0]} not divisible by data-parallel "
+                f"size {dp}")
+            return _jitted(feats_fn.visual, image_adapter, images, anchors,
+                           M, bank)
 
     predict.features_fn = feats_fn
+    predict.mesh = mesh
     return predict
 
 

@@ -124,11 +124,11 @@ def parse_args(argv=None):
                           or args.pipeline_parallel > 1):
         parser.error("--artifact serves frozen single-device graphs; "
                      "parallel flags need the live model path")
-    if args.memory_bank and (args.artifact or args.data_parallel
-                             or args.tensor_parallel > 1
+    if args.memory_bank and (args.artifact or args.tensor_parallel > 1
                              or args.pipeline_parallel > 1):
-        parser.error("--memory_bank runs the live single-device predictor "
-                     "(banks are per-class, per-snapshot device arrays)")
+        parser.error("--memory_bank runs the live predictor (banks are "
+                     "per-class, per-snapshot device arrays); it composes "
+                     "with --data_parallel only")
     if args.memory_bank and args.shot < 1:
         parser.error("--memory_bank needs --shot >= 1 support images")
     return args
@@ -217,6 +217,10 @@ def main(argv=None):
 
                 def fn(ia, im, an, M, _bank=bank):
                     return mb_ctx["predict"](ia, im, an, M, _bank)
+                # run_class_predictions keys its input placement off the
+                # predictor's mesh attribute (dp: batch sharded, rest
+                # replicated); the closure must carry it through
+                fn.mesh = mb_ctx["predict"].mesh
             masks, labels, preds, preds_image, file_names = \
                 run_class_predictions(
                     fn, image_adapter, loader,
@@ -421,7 +425,8 @@ def main(argv=None):
         mb_predict = mb.make_mb_predict_fn(
             clip_params, cfg, acfg, img_size=args.img_size, policy=policy,
             attn_fn=attn_fn, uint8_inputs=uint8_inputs,
-            bank_weight=args.bank_weight, chunk=args.bank_chunk)
+            bank_weight=args.bank_weight, chunk=args.bank_chunk,
+            mesh=mesh)  # 1-D data mesh under --data_parallel, else None
         # support draw: the dataset's k-shot train metadata when it exists
         # (the reference's pre-subsampled few-shot files), else the first
         # --shot normals of the full-shot metadata

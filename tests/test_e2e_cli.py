@@ -497,7 +497,8 @@ def test_medical_domain_eval(env, tmp_path):
 def test_eval_memory_bank_cli(env):
     """test.py --memory_bank: per-class few-shot banks from training
     normals fused with the text-anchor prediction at --bank_weight; the
-    flag guard rejects parallel/artifact composition."""
+    flag guard rejects tp/pp/artifact composition.  --data_parallel
+    composes (round 5): the table must match the single-device run."""
     import test as test_cli
 
     save = os.path.join(env, "ckpt")  # reuses test_train_then_eval's run
@@ -516,10 +517,30 @@ def test_eval_memory_bank_cli(env):
     assert list(df["class name"])[-1] == "Average"
     assert np.isfinite(df["image AUC"].astype(float)).all()
 
+    # dp composition: same protocol, batch sharded over the 8 devices
+    save_dp = os.path.join(env, "ckpt_mb_dp")
+    os.makedirs(save_dp, exist_ok=True)
+    import glob
+    import shutil
+    # copy the TEXT adapter too: anchors come from it — an image-only
+    # copy would silently fall back to the frozen text encoder and
+    # produce a legitimately different table
+    for f in glob.glob(os.path.join(save, "*.npz")):
+        shutil.copy(f, save_dp)
+    test_cli.main(COMMON + [
+        "--save_path", save_dp, "--batch_size", "4", "--csv",
+        "--memory_bank", "--shot", "2", "--bank_weight", "0.5",
+        "--bank_chunk", "5", "--data_parallel",
+    ])
+    df_dp = pd.read_csv(os.path.join(save_dp, "results_2.csv"))
+    pd.testing.assert_frame_equal(
+        df_dp.reset_index(drop=True), df.reset_index(drop=True),
+        check_exact=False, atol=0.11)  # tables round to 2-3 decimals
+
     import pytest
     with pytest.raises(SystemExit):
         test_cli.main(COMMON + ["--save_path", save, "--memory_bank",
-                                "--data_parallel"])
+                                "--tensor_parallel", "2"])
     with pytest.raises(SystemExit):
         test_cli.main(COMMON + ["--save_path", save, "--memory_bank",
                                 "--shot", "0"])

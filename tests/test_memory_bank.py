@@ -116,6 +116,46 @@ def test_mb_predict_fused_shapes_and_ranges(setup):
         mb.make_mb_predict_fn(clip, CFG, ACFG, bank_weight=1.5)
 
 
+def test_mb_predict_data_parallel_matches_single_device(setup):
+    """mesh=1-D data mesh (round 5): bank construction replicates, the
+    fused predictor shards the batch — maps/scores must equal the
+    single-device memory-bank path (both paths are per-sample separable;
+    GSPMD only moves the batch axis)."""
+    from aaclip_tpu.parallel import sharding as sh
+
+    clip, adapter, support, test_imgs, anchors, M, _ = setup
+    test_imgs = np.concatenate([test_imgs, test_imgs[::-1]])  # batch 8
+    single = mb.make_mb_predict_fn(clip, CFG, ACFG, bank_weight=0.5)
+    bank0 = mb.collect_bank(single.features_fn, adapter, support)
+    pix0, s0 = single(adapter, jnp.asarray(test_imgs),
+                      jnp.asarray(anchors), jnp.asarray(M), bank0)
+
+    mesh = sh.make_data_mesh()
+    assert mesh.devices.size == 8
+    dp = mb.make_mb_predict_fn(clip, CFG, ACFG, bank_weight=0.5, mesh=mesh)
+    bank1 = mb.collect_bank(dp.features_fn, adapter, support)
+    # the replicated build hands the dp jit an already-replicated bank
+    assert len(bank1.sharding.device_set) == 8
+    pix1, s1 = dp(adapter, jnp.asarray(test_imgs), jnp.asarray(anchors),
+                  jnp.asarray(M), bank1)
+    np.testing.assert_allclose(np.asarray(pix1), np.asarray(pix0),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               atol=1e-6, rtol=1e-5)
+    with pytest.raises(AssertionError, match="not divisible"):
+        dp(adapter, jnp.asarray(test_imgs[:3]), jnp.asarray(anchors),
+           jnp.asarray(M), bank1)
+
+
+def test_mb_predict_rejects_tp_mesh():
+    from aaclip_tpu.parallel import tensor as tpar
+
+    clip = create_clip_params(CFG, seed=0)
+    with pytest.raises(ValueError, match="1-D"):
+        mb.make_mb_predict_fn(clip, CFG, ACFG,
+                              mesh=tpar.make_mesh_2d(2))
+
+
 def test_support_records():
     from aaclip_tpu.data.datasets import Record
     recs = [Record("a.png", 1, "bottle"), Record("b.png", 0, "bottle"),

@@ -55,6 +55,12 @@ def main(argv=None):
                    help="use the host augmentation path instead of "
                         "--device_augment (the soak default is all "
                         "TPU-side features on)")
+    p.add_argument("--memory_bank", action="store_true",
+                   help="additionally eval each K with test.py "
+                        "--memory_bank (the paper's few-shot protocol: "
+                        "per-class support banks fused at --bank_weight) "
+                        "and report both tables")
+    p.add_argument("--bank_weight", type=float, default=0.5)
     # small-model passthroughs (CPU smoke: --model_name tiny-test
     # --img_size 70 --levels 1 2 --surgery_until_layer 2
     # --text_adapt_until 1 --image_adapt_until 1)
@@ -130,6 +136,33 @@ def main(argv=None):
                 f"aupro {row[4]:.2f}")
         print(line, flush=True)
         summary.append(line)
+        if args.memory_bank:
+            # separate save dir: test.py appends every run to test.log,
+            # and last_average_row must not read the text-only table
+            save_mb = os.path.join(root, f"ckpt_{k}shot_mb")
+            os.makedirs(save_mb, exist_ok=True)
+            import glob as _glob
+            import shutil as _shutil
+            for f in _glob.glob(os.path.join(save, "*.npz")):
+                _shutil.copy(f, save_mb)  # image AND text adapters
+            t3 = time.time()
+            test_cli.main(common + [
+                "--save_path", save_mb, "--shot", str(k),
+                "--batch_size", str(args.eval_batch_size), "--aupro",
+                "--memory_bank", "--bank_weight", str(args.bank_weight),
+            ])
+            t4 = time.time()
+            row = last_average_row(os.path.join(save_mb, "test.log"))
+            if row is None:
+                raise RuntimeError(f"{k}-shot mb: no 'Average' row in "
+                                   f"{save_mb}/test.log")
+            line = (f"{k}-shot +memory_bank(w={args.bank_weight}): "
+                    f"eval {t4 - t3:.0f}s "
+                    f"pixel_auroc {row[0]:.2f} pixel_ap {row[1]:.2f} "
+                    f"image_auroc {row[2]:.2f} image_ap {row[3]:.2f} "
+                    f"aupro {row[4]:.2f}")
+            print(line, flush=True)
+            summary.append(line)
 
     print("\n=== few-shot soak summary ===")
     for line in summary:
