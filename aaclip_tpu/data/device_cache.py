@@ -143,27 +143,92 @@ class DeviceCacheLoader:
         rng.shuffle(idx)
         return idx
 
+    def epoch_plan(self):
+        """Host-side per-step inputs for the CURRENT epoch:
+        [(idx int32 [B], aug key, valid float32 [B]), ...] — the shuffle
+        permutation, padding, and RNG fold-in that ``__iter__`` applies,
+        exposed so the fused assemble+step loop (``make_fused_step``) can
+        feed step k+1's plan into step k's program."""
+        idx = self._epoch_indices()
+        stage = 1 if self.text_stage else 2
+        plan = []
+        for it in range(len(self)):
+            b = idx[it * self.batch_size:(it + 1) * self.batch_size]
+            n_valid = b.size
+            if n_valid < self.batch_size:  # pad: repeat last sample
+                b = np.concatenate(
+                    [b, np.repeat(b[-1:], self.batch_size - n_valid)])
+            key = self._fold_in(self._fold_in(self._fold_in(
+                self.aug_base, stage), self.epoch), it)
+            valid = (np.arange(self.batch_size) < n_valid).astype(
+                np.float32)
+            plan.append((b.astype(np.int32), key, valid))
+        return plan
+
+    def assemble(self, idx, key):
+        """One batch on device: ``(images_f32, mask_f32, label, cidx)``."""
+        import jax.numpy as jnp
+
+        return self._assemble(self._imgs, self._masks, self._labels,
+                              self._cidx, jnp.asarray(idx), key)
+
+    def advance_epoch(self) -> None:
+        self.epoch += 1
+
     def __iter__(self) -> Iterator[Tuple]:
         import jax.numpy as jnp
 
-        idx = self._epoch_indices()
-        epoch = self.epoch
-        stage = 1 if self.text_stage else 2
         try:
-            for it in range(len(self)):
-                b = idx[it * self.batch_size:(it + 1) * self.batch_size]
-                n_valid = b.size
-                if n_valid < self.batch_size:  # pad: repeat last sample
-                    b = np.concatenate(
-                        [b, np.repeat(b[-1:], self.batch_size - n_valid)])
-                key = self._fold_in(self._fold_in(self._fold_in(
-                    self.aug_base, stage), epoch), it)
-                images, mask, label, cidx = self._assemble(
-                    self._imgs, self._masks, self._labels, self._cidx,
-                    jnp.asarray(b.astype(np.int32)), key)
-                valid = jnp.asarray(
-                    (np.arange(self.batch_size) < n_valid).astype(
-                        np.float32))
-                yield images, mask, label, cidx, valid
+            for b, key, valid in self.epoch_plan():
+                images, mask, label, cidx = self.assemble(b, key)
+                yield images, mask, label, cidx, jnp.asarray(valid)
         finally:
-            self.epoch += 1
+            self.advance_epoch()
+
+    def make_fused_step(self, step):
+        """Fold batch k+1's assembly into step k's device program.
+
+        ``step`` is a trainer from ``make_stage2_step`` (it must expose
+        ``.raw`` — the all-arguments jitted step — and ``.visual``).
+        Returns ``fused(state, images, mask, label, cidx, valid, nidx,
+        nkey) -> (state', loss, (nimages, nmask, nlabel, ncidx))``.
+
+        Rationale (round 5, the wall-vs-step gap): with separate
+        programs the device executes assemble(k), step(k), assemble(k+1),
+        step(k+1)... strictly serially — the assembly's gather/augment
+        time adds wall per step even though every dispatch is async.  In
+        ONE program the next batch's assembly has no data dependency on
+        the update, so the TPU scheduler can hide its (DMA-heavy) gathers
+        inside the step's MXU-bound regions instead of paying for them
+        end-to-end.  The previous batch's buffers are donated — the next
+        batch's outputs reuse them, so peak HBM gains only the in-flight
+        copy.  The state and the frozen trunk stay ARGUMENTS (never
+        closed over: XLA would constant-fold the 1.7 GB trunk,
+        CLAUDE.md).  Numerics are untouched: the same assemble and step
+        impls, inlined (equality-pinned in tests/test_device_cache.py).
+        """
+        import functools
+
+        import jax
+
+        step_impl = step.raw.__wrapped__    # unjitted all-arguments form
+        assemble_impl = self._assemble.__wrapped__
+        visual = step.visual
+
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
+        def _fused(state, visual, images, mask, label, cidx, valid,
+                   imgs_c, masks_c, labels_c, cidx_c, nidx, nkey):
+            state, loss = step_impl(state, visual, images, mask, label,
+                                    cidx, valid)
+            nbatch = assemble_impl(imgs_c, masks_c, labels_c, cidx_c,
+                                   nidx, nkey)
+            return state, loss, nbatch
+
+        def fused(state, images, mask, label, cidx, valid, nidx, nkey):
+            import jax.numpy as jnp
+
+            return _fused(state, visual, images, mask, label, cidx,
+                          valid, self._imgs, self._masks, self._labels,
+                          self._cidx, jnp.asarray(nidx), nkey)
+
+        return fused

@@ -425,5 +425,15 @@ def make_stage2_step(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return lambda state, images, mask, label, class_idx, valid: _step(
+    step = lambda state, images, mask, label, class_idx, valid: _step(
         state, visual, images, mask, label, class_idx, valid)
+    # all-arguments form for callers that compose this step inside a LARGER
+    # jitted program (the fused assemble+step loop, data/device_cache.py):
+    # re-tracing the wrapper would close over the 1.7 GB frozen trunk and
+    # constant-fold it (CLAUDE.md invariant) — the raw form keeps `visual`
+    # an argument.  `_step.__wrapped__` is the unjitted impl (jax.jit
+    # exposes it), so outer jits inline it without a nested-donation
+    # warning.
+    step.raw = _step
+    step.visual = visual
+    return step

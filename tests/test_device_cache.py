@@ -175,3 +175,90 @@ def test_cache_device_flag_guards(synth_env):
     with pytest.raises(SystemExit):
         train_cli.parse_args(["--cache_device", "--device_augment",
                               "--tensor_parallel", "2"])
+    with pytest.raises(SystemExit):
+        train_cli.parse_args(["--fused_assemble"])  # needs --cache_device
+
+
+def test_fused_assemble_matches_unfused(synth_env):
+    """make_fused_step (round 5): folding batch k+1's assembly into step
+    k's program must not change ANYTHING — same assemble + step impls
+    inlined, same RNG plan — so the per-step losses and the final params
+    equal the separate-programs loop."""
+    from aaclip_tpu.core.config import AdapterConfig, get_config
+    from aaclip_tpu.core.params import create_clip_params, init_adapter_params
+    from aaclip_tpu.data.datasets import get_train_datasets
+    from aaclip_tpu.data.device_cache import DeviceCacheLoader
+    from aaclip_tpu.train.optim import make_image_optimizer
+    from aaclip_tpu.train.steps import init_state, make_stage2_step
+
+    cfg = get_config("tiny-test")
+    acfg = AdapterConfig(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1)
+    clip = create_clip_params(cfg, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg)
+    rng = np.random.default_rng(5)
+    table = rng.standard_normal((2, cfg.embed_dim, 2)).astype(np.float32)
+    table /= np.linalg.norm(table, axis=1, keepdims=True)
+    _, image_ds = get_train_datasets("MVTec", 70, -1, seed=111,
+                                     device_augment=True)
+    cls_to_idx = {"bottle": 0, "cable": 1}
+    aug_base = jax.random.PRNGKey(7)
+
+    def make_loader():
+        return DeviceCacheLoader(image_ds, cls_to_idx, batch_size=4,
+                                 seed=111, text_stage=False,
+                                 aug_base=aug_base)
+
+    tx = make_image_optimizer(1e-3)
+    step = make_stage2_step(clip, cfg, acfg, tx, table)
+
+    # separate-programs epoch
+    st0 = init_state(adapters["image"], tx)
+    losses0 = []
+    for images, mask, label, cidx, valid in make_loader():
+        st0, l = step(st0, images, mask, label, cidx, valid)
+        losses0.append(float(l))
+
+    # fused epoch (the train.py --fused_assemble loop shape)
+    loader = make_loader()
+    fused = loader.make_fused_step(step)
+    st1 = init_state(adapters["image"], tx)
+    plan = loader.epoch_plan()
+    batch = loader.assemble(plan[0][0], plan[0][1])
+    valid = jnp.asarray(plan[0][2])
+    losses1 = []
+    for it in range(len(plan)):
+        nidx, nkey, nvalid = plan[(it + 1) % len(plan)]
+        st1, l, batch = fused(st1, *batch, valid, nidx, nkey)
+        valid = jnp.asarray(nvalid)
+        losses1.append(float(l))
+    np.testing.assert_allclose(losses1, losses0, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5),
+        st1.params, st0.params)
+
+
+def test_train_cli_fused_assemble(synth_env):
+    """train.py --fused_assemble end-to-end: stage 2 runs the fused loop
+    (log line present) with finite losses."""
+    import re
+
+    import train as train_cli
+
+    save = os.path.join(synth_env, "ckpt_fused")
+    train_cli.main([
+        "--model_name", "tiny-test", "--img_size", "70",
+        "--dataset", "MVTec", "--text_adapt_until", "1",
+        "--image_adapt_until", "1", "--levels", "1", "2",
+        "--num_workers", "2", "--save_path", save,
+        "--training_mode", "full_shot", "--text_epoch", "0",
+        "--image_epoch", "2", "--image_batch_size", "4",
+        "--surgery_until_layer", "2",
+        "--device_augment", "--cache_device", "--fused_assemble",
+    ])
+    assert os.path.isfile(os.path.join(save, "image_adapter_2.npz"))
+    log = open(os.path.join(save, "train.log")).read()
+    assert "fused_assemble: batch k+1 assembles inside step k" in log
+    losses = [float(m) for m in re.findall(r"loss: ([\d.]+)", log)]
+    assert len(losses) == 2 and all(np.isfinite(losses))

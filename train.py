@@ -131,6 +131,16 @@ def parse_args(argv=None):
                              "Fits when n_images*(3+1)*img_size^2 bytes "
                              "spare HBM; single-host, no tensor/pipeline "
                              "parallelism")
+    parser.add_argument("--fused_assemble", action="store_true",
+                        help="with --cache_device: fold batch k+1's "
+                             "on-device assembly (gather + jitter + "
+                             "normalize + geometric augment) into step "
+                             "k's jitted program, so the TPU scheduler "
+                             "can hide the assembly's DMA-heavy gathers "
+                             "inside the step's MXU-bound regions instead "
+                             "of running the two programs back-to-back. "
+                             "Stage 2 only; identical numerics "
+                             "(tests/test_device_cache.py)")
     parser.add_argument("--loss_fetch_every", type=int, default=8,
                         help="block on a loss scalar only every K steps "
                              "(the rest are async-copied and drained at "
@@ -173,6 +183,10 @@ def parse_args(argv=None):
                              "when that kernel is active, else full. 'off' "
                              "OOMs at production shapes with XLA attention.")
     args = parser.parse_args(argv)
+    if args.fused_assemble and not args.cache_device:
+        parser.error("--fused_assemble requires --cache_device (it folds "
+                     "the device-cache batch assembly into the stage-2 "
+                     "step program)")
     if args.cache_device and not args.device_augment:
         parser.error("--cache_device requires --device_augment (batch "
                      "assembly, jitter and augmentation all run on device)")
@@ -525,20 +539,51 @@ def main(argv=None):
     loader = make_train_loader(image_ds, args.image_batch_size,
                                text_stage=False, seed=args.seed + 1)
     loader.epoch = image_start_epoch
+    fused_step = None
+    if args.fused_assemble:
+        if not args.cache_device:
+            raise SystemExit("--fused_assemble requires --cache_device "
+                             "(it folds the device-cache batch assembly "
+                             "into the step program)")
+        # stage 2 only: stage 1's device work is two programs (feature
+        # extraction + text step) with a host hop between, so folding
+        # assembly buys nothing there
+        fused_step = loader.make_fused_step(step_fn)
+        logger.info("fused_assemble: batch k+1 assembles inside step k's "
+                    "program")
     for epoch in range(image_start_epoch, args.image_epoch):
         logger.info("training image epoch %d:", epoch)
         timer = StepTimer()  # per-epoch: checkpoint saves excluded
         prof = HostLoopProfiler(enabled=args.profile_input)
         drain = ThrottledLossDrain(args.loss_fetch_every)
-        for it, batch in enumerate(prof.wrap(loader)):
-            images, mask, label, class_idx, valid = \
-                prepare_batch(prof, batch, 2, epoch, it)
-            with prof.phase("step_dispatch"):
-                image_state, loss = step_fn(image_state, images, mask,
-                                            label, class_idx, valid)
-            with prof.phase("loss_fetch"):
-                drain.append(loss)  # blocks only every K steps
-            timer.tick(images.shape[0])
+        if fused_step is not None:
+            plan = loader.epoch_plan()
+            with prof.phase("assemble_dispatch"):
+                batch = loader.assemble(plan[0][0], plan[0][1])
+            valid = jnp.asarray(plan[0][2])
+            for it in range(len(plan)):
+                # the final step still needs SOME next-plan input: reuse
+                # step 0's (one discarded assemble ~ a few ms, vs a whole
+                # second compiled last-step program through the relay)
+                nidx, nkey, nvalid = plan[(it + 1) % len(plan)]
+                with prof.phase("step_dispatch"):
+                    image_state, loss, batch = fused_step(
+                        image_state, *batch, valid, nidx, nkey)
+                valid = jnp.asarray(nvalid)
+                with prof.phase("loss_fetch"):
+                    drain.append(loss)  # blocks only every K steps
+                timer.tick(args.image_batch_size)
+            loader.advance_epoch()
+        else:
+            for it, batch in enumerate(prof.wrap(loader)):
+                images, mask, label, class_idx, valid = \
+                    prepare_batch(prof, batch, 2, epoch, it)
+                with prof.phase("step_dispatch"):
+                    image_state, loss = step_fn(image_state, images, mask,
+                                                label, class_idx, valid)
+                with prof.phase("loss_fetch"):
+                    drain.append(loss)  # blocks only every K steps
+                timer.tick(images.shape[0])
         losses = drain.drain()
         timer.stop()  # losses drained -> device idle; close the window
         logger.info("loss: %s", float(np.mean(losses)))
