@@ -130,6 +130,13 @@ class DtypePolicy:
     # training CLIs reject it; the opt-in quality trade is measured like
     # the bf16 fast path's (tests/test_fast_path_quality.py).
     quant_int8: bool = False
+    # Mixed-prefix quantization (round 5, the int8-rescue experiment):
+    # with quant_int8, ``int8_until=K`` quantizes only blocks [0, K) and
+    # keeps the rest in the policy compute dtype — the round-4 demotion
+    # traced the --hard gate failure to IMAGE metrics (the det token taps
+    # the last block), so sparing the late blocks targets exactly that
+    # sensitivity. 0 = quantize the whole trunk (the original int8 path).
+    int8_until: int = 0
 
     def prefix_policy(self) -> "DtypePolicy":
         """Policy for the bf16-staged leading trunk blocks: single-pass

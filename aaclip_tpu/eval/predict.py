@@ -83,8 +83,23 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
         # quantize from the ORIGINAL leaves: the policy's compute dtype is
         # bf16, so fitting the int8 grid to the cast copies would round
         # twice (bf16's 8-bit mantissa, then int8)
-        visual["blocks"] = quantize_block_weights(
-            visual["blocks"], source=clip_params["visual"]["blocks"])
+        k = policy.int8_until or 0
+        if k < 0 or k > cfg.vision.layers:
+            raise ValueError(
+                f"int8_until={k} out of range for the "
+                f"{cfg.vision.layers}-layer tower")
+        if 0 < k < cfg.vision.layers:
+            # mixed prefix: quantize blocks [0, k) into a SECOND stacked
+            # tree (scan leaves are dtype-homogeneous, so a mixed stack
+            # is impossible); _trunk_with_taps routes segments by depth.
+            # The late blocks — the det token's tap — stay bf16.
+            from aaclip_tpu.models.vit import slice_blocks
+            visual["blocks_q"] = quantize_block_weights(
+                slice_blocks(visual["blocks"], 0, k),
+                source=slice_blocks(clip_params["visual"]["blocks"], 0, k))
+        else:
+            visual["blocks"] = quantize_block_weights(
+                visual["blocks"], source=clip_params["visual"]["blocks"])
     _act = config_act(cfg, policy)
     _patch_embed = None
     if uint8_inputs:

@@ -196,13 +196,23 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
     if policy.bf16_until and jnp.dtype(policy.compute_dtype).itemsize >= 4:
         stage_k = min(policy.bf16_until, v.layers)
     prefix_pol = policy.prefix_policy() if stage_k else policy
-    bounds = [0, v.layers, n_adapt, stage_k] + [l for l in out_layers]
+    # mixed-prefix int8 (policy.int8_until): the caller ships a SECOND
+    # stacked tree "blocks_q" holding the quantized leaves of blocks
+    # [0, q_k) — stacked scan leaves must be dtype-homogeneous, so a
+    # segment boundary (not a mixed stack) is the only layout that works;
+    # attention/mlp dispatch on the sliced leaves' dtype as usual
+    q_k = 0
+    if "blocks_q" in params:
+        q_k = jax.tree.leaves(params["blocks_q"])[0].shape[0]
+    bounds = [0, v.layers, n_adapt, stage_k, q_k] + [l for l in out_layers]
     if vv_start is not None:
         bounds.append(vv_start)
     x = embed(params, cfg, images, policy, patch_embed_fn=patch_embed_fn)
     taps = {}
     for start, stop in _segments([b for b in bounds if 0 <= b <= v.layers]):
-        seg = slice_blocks(params["blocks"], start, stop)
+        src = params["blocks_q"] if (q_k and stop <= q_k) else \
+            params["blocks"]
+        seg = slice_blocks(src, start, stop)
         seg_adapters = None
         if adapters is not None and stop <= n_adapt:
             seg_adapters = slice_blocks(adapters, start, stop)

@@ -51,6 +51,10 @@ def main(argv=None):
                         help="override the policy's staged-precision trunk "
                              "depth (leading vision blocks at single-pass "
                              "bf16 matmuls; inference path only)")
+    parser.add_argument("--int8_until", type=int, default=None,
+                        help="with --precision int8: quantize only the "
+                             "first K vision blocks (mixed prefix), keep "
+                             "the rest bf16. Default 0 = whole trunk")
     parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--verbose", action="store_true")
@@ -156,6 +160,11 @@ def main(argv=None):
     if args.bf16_until is not None:
         import dataclasses
         policy = dataclasses.replace(policy, bf16_until=args.bf16_until)
+    if args.int8_until is not None:
+        import dataclasses
+        if args.precision != "int8":
+            parser.error("--int8_until requires --precision int8")
+        policy = dataclasses.replace(policy, int8_until=args.int8_until)
 
     clip = create_clip_params(cfg, seed=0, policy=policy)
     adapters = init_adapter_params(jax.random.PRNGKey(1), cfg, acfg, policy)
@@ -256,6 +265,8 @@ def main(argv=None):
               f"aggregate={maps_per_sec:.2f} maps/s")
     dp = f", dp={n_chips} chips" if mesh is not None else ""
     stage = f"+bf16x{policy.bf16_until}" if policy.bf16_until else ""
+    if policy.quant_int8 and policy.int8_until:
+        stage += f"+int8x{policy.int8_until}"
     print(json.dumps({
         "metric": "anomaly_maps_per_sec_per_chip",
         "value": round(per_chip, 2),

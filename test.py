@@ -49,6 +49,12 @@ def parse_args(argv=None):
                              "(leading vision blocks at single-pass bf16 "
                              "matmuls; fp32 residual stream; inference "
                              "only). Default: the precision's own setting")
+    parser.add_argument("--int8_until", type=int, default=None,
+                        help="with --precision int8: quantize only the "
+                             "first K vision blocks, keep the rest bf16 "
+                             "(mixed-prefix rescue of the image-metric "
+                             "gate — the det token taps the LAST block). "
+                             "Default 0 = whole trunk")
     parser.add_argument("--aupro", action="store_true",
                         help="also compute pixel AUPRO")
     parser.add_argument("--csv", action="store_true",
@@ -307,6 +313,11 @@ def main(argv=None):
     if args.bf16_until is not None:
         import dataclasses
         policy = dataclasses.replace(policy, bf16_until=args.bf16_until)
+    if args.int8_until is not None:
+        import dataclasses
+        if args.precision != "int8":
+            raise SystemExit("--int8_until requires --precision int8")
+        policy = dataclasses.replace(policy, int8_until=args.int8_until)
     cfg = get_config(args.model_name, args.img_size)
     acfg = AdapterConfig(
         text_adapt_weight=args.text_adapt_weight,

@@ -211,3 +211,87 @@ def test_int8_rejects_tp_and_pipeline():
     with pytest.raises(ValueError, match="int8"):
         make_pipeline_predict_fn(clip, CFG, ACFG, pp=2,
                                  policy=DtypePolicy.int8())
+
+
+def test_mixed_prefix_int8_routing():
+    """int8_until=1 on the 2-layer tower (round 5): block 0 must run the
+    QUANTIZED weights, block 1 the float weights — pinned against a
+    manual composition of the two run_block_range segments."""
+    import dataclasses
+
+    from aaclip_tpu.core.params import cast_matmul_weights
+    from aaclip_tpu.models.layers import config_act
+    from aaclip_tpu.models.vit import embed, run_block_range, slice_blocks
+
+    clip = create_clip_params(CFG, seed=0)
+    policy = DtypePolicy.int8()
+    mixed_policy = dataclasses.replace(policy, int8_until=1)
+    rng = np.random.default_rng(6)
+    B, S = 4, 70
+    images = jnp.asarray(
+        rng.standard_normal((B, 3, S, S)).astype(np.float32))
+
+    visual = cast_matmul_weights(clip["visual"], policy)
+    q_full = Q.quantize_block_weights(visual["blocks"],
+                                      source=clip["visual"]["blocks"])
+    act = config_act(CFG, policy)
+    heads = CFG.vision.heads
+
+    # manual composition: quantized block 0, float block 1
+    x = embed(visual, CFG, images, policy)
+    x = run_block_range(x, slice_blocks(q_full, 0, 1), heads, act=act,
+                        policy=policy)
+    want = run_block_range(x, slice_blocks(visual["blocks"], 1, 2), heads,
+                           act=act, policy=policy)
+
+    # the mixed tree the predict path builds
+    pm = dict(visual)
+    pm["blocks_q"] = Q.quantize_block_weights(
+        slice_blocks(visual["blocks"], 0, 1),
+        source=slice_blocks(clip["visual"]["blocks"], 0, 1))
+    from aaclip_tpu.models.vit import encode_image
+    _, taps = encode_image(pm, CFG, images, out_layers=(2,),
+                           policy=mixed_policy)
+    np.testing.assert_allclose(np.asarray(taps[0]), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+    # and it differs from BOTH the float and the full-int8 towers
+    _, tf = encode_image(visual, CFG, images, out_layers=(2,),
+                         policy=policy)
+    pq = dict(visual)
+    pq["blocks"] = q_full
+    _, tq = encode_image(pq, CFG, images, out_layers=(2,), policy=policy)
+    assert np.abs(np.asarray(taps[0]) - np.asarray(tf[0])).max() > 1e-5
+    assert np.abs(np.asarray(taps[0]) - np.asarray(tq[0])).max() > 1e-5
+
+
+def test_mixed_prefix_int8_predict_end_to_end():
+    """make_predict_fn with int8_until: runs, finite, tracks the full-int8
+    maps closely, and validates the range."""
+    import dataclasses
+
+    clip = create_clip_params(CFG, seed=0)
+    adapters = init_adapter_params(jax.random.PRNGKey(1), CFG, ACFG)
+    rng = np.random.default_rng(8)
+    B, S = 4, 70
+    images = rng.standard_normal((B, 3, S, S)).astype(np.float32)
+    anchors = rng.standard_normal((CFG.embed_dim, 2)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=0, keepdims=True)
+    M = jnp.asarray(fused_postproc_matrix(CFG.vision.grid, S, "Industrial"))
+
+    mixed = make_predict_fn(
+        clip, CFG, ACFG,
+        policy=dataclasses.replace(DtypePolicy.int8(), int8_until=1))
+    pix, score = mixed(adapters["image"], jnp.asarray(images),
+                       jnp.asarray(anchors), M)
+    assert np.isfinite(np.asarray(pix)).all()
+    assert np.isfinite(np.asarray(score)).all()
+    full = make_predict_fn(clip, CFG, ACFG, policy=DtypePolicy.int8())
+    pixf, _ = full(adapters["image"], jnp.asarray(images),
+                   jnp.asarray(anchors), M)
+    corr = np.corrcoef(np.asarray(pix).reshape(-1),
+                       np.asarray(pixf).reshape(-1))[0, 1]
+    assert corr > 0.999, corr
+    with pytest.raises(ValueError, match="out of range"):
+        make_predict_fn(
+            clip, CFG, ACFG,
+            policy=dataclasses.replace(DtypePolicy.int8(), int8_until=9))

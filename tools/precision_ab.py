@@ -57,6 +57,14 @@ def parse_args(argv=None):
     p.add_argument("--baseline_bf16_until", type=int, default=None,
                    help="staged-trunk depth for the baseline eval "
                         "(test.py --bf16_until)")
+    p.add_argument("--baseline_int8_until", type=int, default=None,
+                   help="mixed-prefix quantization depth for an int8 "
+                        "baseline (test.py --int8_until)")
+    p.add_argument("--candidate_int8_until", type=int, default=None,
+                   help="mixed-prefix quantization depth for an int8 "
+                        "candidate — the round-5 rescue experiment: "
+                        "quantize blocks [0,K), keep the det-token tail "
+                        "bf16")
     p.add_argument("--candidate_bf16_until", type=int, default=None,
                    help="staged-trunk depth for the candidate eval")
     p.add_argument("--n_classes", type=int, default=2,
@@ -112,18 +120,23 @@ def _snap_epoch(name):
 
 
 def _tags(args):
-    """Distinct stash tags for the two evals (bf16_until makes e.g.
-    fp32_high-vs-fp32_high@12 a legal pair)."""
-    def tag(prec, until):
-        return prec if until is None else f"{prec}@{until}"
-    return (tag(args.baseline, args.baseline_bf16_until),
-            tag(args.candidate, args.candidate_bf16_until))
+    """Distinct stash tags for the two evals (bf16_until / int8_until
+    make e.g. fp32_high-vs-fp32_high@12 or int8-vs-int8#18 legal pairs)."""
+    def tag(prec, until, i8):
+        t = prec if until is None else f"{prec}@{until}"
+        return t if i8 is None else f"{t}#{i8}"
+    return (tag(args.baseline, args.baseline_bf16_until,
+                args.baseline_int8_until),
+            tag(args.candidate, args.candidate_bf16_until,
+                args.candidate_int8_until))
 
 
 def main(argv=None):
     args = parse_args(argv)
-    if (args.baseline, args.baseline_bf16_until) == \
-            (args.candidate, args.candidate_bf16_until):
+    if (args.baseline, args.baseline_bf16_until,
+            args.baseline_int8_until) == \
+            (args.candidate, args.candidate_bf16_until,
+             args.candidate_int8_until):
         raise SystemExit("baseline and candidate are the same configuration")
 
     import pandas as pd
@@ -192,12 +205,15 @@ def main(argv=None):
     print(f"train (1+1 epoch bf16): {t1 - t0:.0f}s", flush=True)
 
     tables, scores = {}, {}
-    for tag, prec, until in ((base_tag, args.baseline,
-                              args.baseline_bf16_until),
-                             (cand_tag, args.candidate,
-                              args.candidate_bf16_until)):
+    for tag, prec, until, i8 in (
+            (base_tag, args.baseline, args.baseline_bf16_until,
+             args.baseline_int8_until),
+            (cand_tag, args.candidate, args.candidate_bf16_until,
+             args.candidate_int8_until)):
         ts = time.time()
         extra = ["--bf16_until", str(until)] if until is not None else []
+        if i8 is not None:
+            extra += ["--int8_until", str(i8)]
         test_cli.main(common + extra + [
             "--precision", prec, "--save_path", save,
             "--batch_size", str(args.eval_batch_size),
