@@ -103,7 +103,9 @@ def export_serving_artifact(
         datasets: Sequence[str] = ("MVTec",),
         batch_sizes: Sequence[int] = (1, 2, 4, 8, 16, 32),
         platforms: Optional[Sequence[str]] = None,
-        native_kernels: bool = False) -> dict:
+        native_kernels: bool = False,
+        memory_bank_shot: int = 0, bank_weight: float = 0.5,
+        bank_chunk: int = 1024) -> dict:
     """Build the serving pipeline exactly like the HTTP engine and freeze
     it into ``out_dir``.  Returns the manifest dict.
 
@@ -112,6 +114,17 @@ def export_serving_artifact(
     to the current backend.  ``native_kernels=True`` keeps the Pallas
     attention kernels in the graph (TPU-only, compiler-version-pinned —
     see module docstring).
+
+    ``memory_bank_shot=K`` (round 5) additionally bundles the few-shot
+    protocol: per-class memory banks built from K support normals (the
+    SAME draw as ``test.py --memory_bank`` — eval/memory_bank.
+    collect_support_sets, so the export host needs AACLIP_DATA/METADATA),
+    padded to one common bank size, plus a second graph family
+    (``graph_mb_b{N}.bin``) that fuses nearest-neighbor bank scores with
+    the text-anchor prediction at ``bank_weight``.  ``predict_class`` on
+    the loaded artifact then uses the bank graphs; the per-sample-anchor
+    ``predict`` path (mixed-class serving batches) stays text-only —
+    banks are per-class.
     """
     from aaclip_tpu.utils.platform import honor_env_platform
     honor_env_platform()
@@ -226,6 +239,59 @@ def export_serving_artifact(
             f.write(exp.serialize())
         graph_files[str(b)] = name
 
+    bank_graph_files: dict = {}
+    bank_files: dict = {}
+    mb_manifest = None
+    if memory_bank_shot:
+        from aaclip_tpu.eval import memory_bank as mb
+
+        mb_predict = mb.make_mb_predict_fn(
+            clip, cfg, acfg, img_size=img_size, policy=policy,
+            attn_fn=attn_fn, uint8_inputs=True, bank_weight=bank_weight,
+            chunk=bank_chunk)
+        raw_banks: dict = {}
+        for ds in datasets:
+            support = mb.collect_support_sets(ds, memory_bank_shot,
+                                              img_size, uint8=True)
+            raw_banks[ds] = {
+                cls: mb.collect_bank(mb_predict.features_fn, image_adapter,
+                                     imgs)
+                for cls, imgs in support.items()}
+        all_banks = [b for per in raw_banks.values() for b in per.values()]
+        if not all_banks:
+            raise ValueError(
+                "memory_bank_shot set but no support images found — the "
+                "export host needs AACLIP_DATA/AACLIP_METADATA for the "
+                "bundled datasets")
+        n_max = max(b.shape[1] for b in all_banks)
+        banks = {ds: {cls: np.asarray(v, np.float32) for cls, v in
+                      mb.pad_banks_to_common_size(per, n_max).items()}
+                 for ds, per in raw_banks.items()}
+        bank_shape = (len(acfg.levels), n_max, int(D))
+        for b in batch_sizes:
+            # trace against the SAME cast visual tree the plain graphs
+            # (and params.npz) use — the mb impl casts at use, so feeding
+            # pre-cast leaves is numerically identical
+            exp = jexport.export(mb_predict.raw, platforms=platforms,
+                                 disabled_checks=checks)(
+                _sds_of(predict.visual), _sds_of(image_adapter),
+                jax.ShapeDtypeStruct((b, 3, img_size, img_size), np.uint8),
+                jax.ShapeDtypeStruct((b, D, 2), np.float32),
+                jax.ShapeDtypeStruct(next(iter(M_shapes)), np.float32),
+                jax.ShapeDtypeStruct(bank_shape, np.float32))
+            name = f"graph_mb_b{b}.bin"
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(exp.serialize())
+            bank_graph_files[str(b)] = name
+        for ds in datasets:
+            bank_files[ds] = f"banks_{ds}.npz"
+            np.savez(os.path.join(out_dir, bank_files[ds]), **banks[ds])
+        mb_manifest = {"shot": int(memory_bank_shot),
+                       "bank_weight": float(bank_weight),
+                       "bank_shape": list(bank_shape),
+                       "graphs": bank_graph_files,
+                       "bank_files": bank_files}
+
     np.savez(os.path.join(out_dir, "params.npz"),
              **{f"v{i}": _leaf_bytes(a) for i, a in enumerate(visual_leaves)},
              **{f"a{i}": _leaf_bytes(a) for i, a in enumerate(adapter_leaves)})
@@ -236,6 +302,7 @@ def export_serving_artifact(
     # content digests over every payload file: a truncated rsync/scp or a
     # bit-flipped blob store must fail AT LOAD, not as silently wrong maps
     payload = sorted(graph_files.values()) + ["params.npz"] + \
+        sorted(bank_graph_files.values()) + sorted(bank_files.values()) + \
         [f"anchors_{ds}.npz" for ds in datasets] + \
         [f"postproc_{ds}.npy" for ds in datasets]
     digests = {name: sha256_file(os.path.join(out_dir, name))
@@ -260,6 +327,7 @@ def export_serving_artifact(
         "text_adapter_ckpt": (os.path.abspath(text_path)
                               if text_path else None),
         "visual_skeleton": visual_skel, "adapter_skeleton": adapter_skel,
+        "memory_bank": mb_manifest,
     }
     # the manifest is the commit marker: written last, atomically, so a
     # crashed export never looks loadable
@@ -348,6 +416,25 @@ class ServingArtifact:
             # call; one jit wrapper gives cached-dispatch steady state
             self._fns[int(b)] = jax.jit(exp.call)
 
+        # bundled few-shot memory banks (round 5): per-class padded banks
+        # + the fused bank-graph family; predict_class uses them, the
+        # per-sample-anchor predict path stays text-only (banks are
+        # per-class)
+        mbm = m.get("memory_bank")
+        self.banks: Dict[str, Dict[str, np.ndarray]] = {}
+        self._bank_fns = {}
+        self.shot = self.bank_weight = None
+        if mbm:
+            self.shot = mbm["shot"]
+            self.bank_weight = mbm["bank_weight"]
+            for ds, fname in mbm["bank_files"].items():
+                with np.load(os.path.join(path, fname)) as z:
+                    self.banks[ds] = {k: np.asarray(z[k]) for k in z.files}
+            for b, name in mbm["graphs"].items():
+                with open(os.path.join(path, name), "rb") as f:
+                    exp = jexport.deserialize(f.read())
+                self._bank_fns[int(b)] = jax.jit(exp.call)
+
     def _bucket(self, n: int) -> int:
         for b in self.batch_sizes:
             if b >= n:
@@ -355,9 +442,13 @@ class ServingArtifact:
         return self.batch_sizes[-1]
 
     def predict(self, images_u8: np.ndarray, anchors: np.ndarray,
-                dataset: str) -> Tuple[np.ndarray, np.ndarray]:
+                dataset: str, *,
+                bank: Optional[np.ndarray] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
         """images [n,3,S,S] uint8, anchors per-sample [n,D,2] ->
-        (maps [n,S,S], scores [n]) as numpy."""
+        (maps [n,S,S], scores [n]) as numpy.  ``bank`` (a bundled
+        per-class bank, [n_levels, N, D]) routes through the fused
+        bank-graph family instead of the text-only graphs."""
         n = int(images_u8.shape[0])
         if n == 0:
             raise ValueError("empty batch")
@@ -376,22 +467,40 @@ class ServingArtifact:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pad, axis=0)])
                 anc = np.concatenate([anc, np.repeat(anc[-1:], pad, axis=0)])
-            pix, sc = self._fns[b](self.visual, self.image_adapter,
-                                   chunk, anc, M)
+            if bank is None:
+                pix, sc = self._fns[b](self.visual, self.image_adapter,
+                                       chunk, anc, M)
+            else:
+                pix, sc = self._bank_fns[b](self.visual, self.image_adapter,
+                                            chunk, anc, M, bank)
             valid = b - pad
             maps.append(np.asarray(pix)[:valid])
             scores.append(np.asarray(sc)[:valid])
         return np.concatenate(maps), np.concatenate(scores)
 
     def predict_class(self, images_u8: np.ndarray, dataset: str,
-                      class_name: str) -> Tuple[np.ndarray, np.ndarray]:
+                      class_name: str,
+                      use_bank: Optional[bool] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Single-class prediction.  ``use_bank``: None (default) uses the
+        bundled memory bank when the artifact carries one for this class
+        (that is what it was exported for); False forces text-only;
+        True demands a bank and raises when absent."""
         cls = self.anchors[dataset]
         if class_name not in cls:
             raise KeyError(f"class {class_name!r} not in artifact "
                            f"dataset {dataset!r} ({sorted(cls)})")
+        bank = self.banks.get(dataset, {}).get(class_name)
+        if use_bank is False:
+            bank = None
+        elif use_bank is True and bank is None:
+            raise KeyError(
+                f"use_bank=True but the artifact has no bank for "
+                f"{dataset!r}/{class_name!r} — re-export with "
+                "memory_bank_shot")
         anc = np.broadcast_to(
             cls[class_name], (images_u8.shape[0],) + cls[class_name].shape)
-        return self.predict(images_u8, anc, dataset)
+        return self.predict(images_u8, anc, dataset, bank=bank)
 
 
 def _collect_leaves(skel, out=None):

@@ -249,6 +249,11 @@ def make_mb_predict_fn(clip_params: dict, cfg: CLIPConfig,
 
     predict.features_fn = feats_fn
     predict.mesh = mesh
+    # all-arguments form (visual first) for jax.export / callers that
+    # re-jit: re-jitting `predict` would bake the captured frozen trunk
+    # into the outer graph as constants
+    predict.raw = _jitted
+    predict.visual = feats_fn.visual
     return predict
 
 
@@ -261,3 +266,59 @@ def support_records(records, k: int):
         raise ValueError("no normal (label 0) records to build a "
                          "memory bank from")
     return normals[:k]
+
+
+def collect_support_sets(dataset: str, shot: int, img_size: int, *,
+                        uint8: bool = False, log=None) -> dict:
+    """class -> [k, 3, S, S] support images: the ONE support-draw used by
+    test.py --memory_bank and the artifact exporter — the dataset's
+    k-shot train metadata when it exists (the reference's pre-subsampled
+    few-shot files), else the first ``shot`` normals of the full-shot
+    metadata.  Classes absent from the metadata are skipped (their test
+    splits are empty too)."""
+    import os
+
+    from aaclip_tpu.data.datasets import (TestDataset, metadata_path,
+                                          read_jsonl)
+    from aaclip_tpu.data.registry import CLASS_NAMES, DATASETS
+
+    meta = metadata_path(dataset, shot)
+    if not os.path.exists(meta):
+        meta = metadata_path(dataset, -1)
+    records = read_jsonl(meta)
+    spec = DATASETS[dataset]
+    support = {}
+    for class_name in CLASS_NAMES[dataset]:
+        cls_records = [r for r in records if r.class_name == class_name]
+        if not cls_records:
+            continue
+        recs = support_records(cls_records, shot)
+        sds = TestDataset(spec, recs, img_size, class_name, uint8=uint8)
+        support[class_name] = np.stack(
+            [sds.get(i)["image"] for i in range(len(sds))])
+        if len(recs) < shot and log is not None:
+            log.warning("memory_bank: class %s has only %d normal "
+                        "training images (< --shot %d)", class_name,
+                        len(recs), shot)
+    return support
+
+
+def pad_banks_to_common_size(banks: dict, n_max: int | None = None) -> dict:
+    """Pad each class's [n, N, D] bank to the max N (or the given
+    ``n_max``) with repeats of its first vector (a repeated vector can
+    never raise a running max — bank_grid_scores uses the same padding
+    internally), so ONE exported graph signature serves every class."""
+    import jax.numpy as jnp
+
+    if n_max is None:
+        n_max = max(b.shape[1] for b in banks.values())
+    out = {}
+    for cls, b in banks.items():
+        pad = n_max - b.shape[1]
+        if pad:
+            b = jnp.concatenate(
+                [b, jnp.broadcast_to(b[:, :1, :],
+                                     (b.shape[0], pad, b.shape[2]))],
+                axis=1)
+        out[cls] = b
+    return out

@@ -130,13 +130,15 @@ def parse_args(argv=None):
                           or args.pipeline_parallel > 1):
         parser.error("--artifact serves frozen single-device graphs; "
                      "parallel flags need the live model path")
-    if args.memory_bank and (args.artifact or args.tensor_parallel > 1
+    if args.memory_bank and (args.tensor_parallel > 1
                              or args.pipeline_parallel > 1):
         parser.error("--memory_bank runs the live predictor (banks are "
                      "per-class, per-snapshot device arrays); it composes "
-                     "with --data_parallel only")
-    if args.memory_bank and args.shot < 1:
-        parser.error("--memory_bank needs --shot >= 1 support images")
+                     "with --data_parallel, and with --artifact when the "
+                     "artifact bundles banks (export --memory_bank_shot)")
+    if args.memory_bank and args.shot < 1 and not args.artifact:
+        parser.error("--memory_bank needs --shot >= 1 support images "
+                     "(artifact banks carry their own shot count)")
     return args
 
 
@@ -201,6 +203,10 @@ def main(argv=None):
             loader = BatchLoader(dataset, args.batch_size, shuffle=False,
                                  num_workers=args.num_workers)
             fn = predict_fn
+            if getattr(predict_fn, "per_class", None) is not None:
+                # artifact-bank path: banks are frozen per class in the
+                # artifact, so the per-class hook swaps in the right one
+                fn = predict_fn.per_class(class_name)
             if mb_ctx is not None and class_name not in mb_ctx["support"]:
                 # test records exist but the train metadata has no rows
                 # for this class — bank-less fallback would silently mix
@@ -306,6 +312,32 @@ def main(argv=None):
         # device in run_class_predictions would add a wasted host->device->
         # host round trip per batch (minutes over a full eval on the relay)
         predict_fn.host_inputs = True
+        if args.memory_bank:
+            ds_banks = getattr(art, "banks", {}).get(args.dataset, {})
+            if not ds_banks:
+                raise SystemExit(
+                    "--memory_bank with --artifact needs banks bundled at "
+                    "export (tools/export_artifact.py --memory_bank_shot "
+                    "K) — this artifact has none for "
+                    f"{args.dataset!r}")
+            logger.info("artifact memory bank: %d-shot, weight %.2f, "
+                        "%d classes banked", art.shot, art.bank_weight,
+                        len(ds_banks))
+
+            def per_class(cls):
+                if cls not in ds_banks:
+                    raise SystemExit(
+                        f"--memory_bank: class {cls!r} has test images "
+                        "but no bank in the artifact — re-export")
+
+                def fn(image_adapter, imgs, anchors, M):
+                    del image_adapter, anchors, M
+                    return art.predict_class(np.asarray(imgs),
+                                             args.dataset, cls,
+                                             use_bank=True)
+                fn.host_inputs = True
+                return fn
+            predict_fn.per_class = per_class
         _eval_one(predict_fn, None, "artifact")
         return
 
@@ -426,11 +458,6 @@ def main(argv=None):
                                      uint8_inputs=uint8_inputs, mesh=mesh,
                                      sequence_parallel=args.sequence_parallel)
     if args.memory_bank:
-        import numpy as np
-
-        from aaclip_tpu.data.datasets import (TestDataset, metadata_path,
-                                              read_jsonl)
-        from aaclip_tpu.data.registry import CLASS_NAMES, DATASETS
         from aaclip_tpu.eval import memory_bank as mb
 
         mb_predict = mb.make_mb_predict_fn(
@@ -438,30 +465,12 @@ def main(argv=None):
             attn_fn=attn_fn, uint8_inputs=uint8_inputs,
             bank_weight=args.bank_weight, chunk=args.bank_chunk,
             mesh=mesh)  # 1-D data mesh under --data_parallel, else None
-        # support draw: the dataset's k-shot train metadata when it exists
-        # (the reference's pre-subsampled few-shot files), else the first
-        # --shot normals of the full-shot metadata
-        meta = metadata_path(args.dataset, args.shot)
-        if not os.path.exists(meta):
-            meta = metadata_path(args.dataset, -1)
-        records = read_jsonl(meta)
-        spec = DATASETS[args.dataset]
-        support = {}
-        for class_name in CLASS_NAMES[args.dataset]:
-            cls_records = [r for r in records
-                           if r.class_name == class_name]
-            if not cls_records:
-                continue  # class absent from this metadata (subset runs);
-                # its test split is empty too and _eval_one skips it
-            recs = mb.support_records(cls_records, args.shot)
-            sds = TestDataset(spec, recs, args.img_size, class_name,
-                              uint8=uint8_inputs)
-            support[class_name] = np.stack(
-                [sds.get(i)["image"] for i in range(len(sds))])
-            if len(recs) < args.shot:
-                logger.warning("memory_bank: class %s has only %d normal "
-                               "training images (< --shot %d)", class_name,
-                               len(recs), args.shot)
+        # the ONE support-draw definition, shared with the artifact
+        # exporter (classes absent from the metadata are skipped; their
+        # test splits are empty too and _eval_one skips them)
+        support = mb.collect_support_sets(args.dataset, args.shot,
+                                          args.img_size,
+                                          uint8=uint8_inputs, log=logger)
         mb_ctx = {"predict": mb_predict, "support": support}
         logger.info("memory_bank: fusing %d-shot nearest-neighbor scores "
                     "at weight %.2f", args.shot, args.bank_weight)

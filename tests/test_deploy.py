@@ -426,3 +426,89 @@ def test_reexport_into_same_dir_refreshes_manifest(tmp_path):
     art = load_serving_artifact(out)
     assert art.untrained is False
     assert art.manifest["image_adapter_ckpt"] is not None
+
+
+def test_memory_bank_artifact(tmp_path):
+    """memory_bank_shot=K (round 5): banks + fused bank graphs bundle into
+    the artifact; predict_class auto-uses the bank and reproduces the live
+    memory-bank predictor bit-exactly (fp32, same support draw); text-only
+    and bank paths differ; use_bank=True on a bank-less artifact raises."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tests.synthetic import make_synthetic_dataset
+
+    data_root, meta_root = make_synthetic_dataset(str(tmp_path / "synth"),
+                                                  img_px=IMG)
+    old = dict(os.environ)
+    os.environ["AACLIP_DATA"] = data_root
+    os.environ["AACLIP_METADATA"] = meta_root
+    try:
+        out, manifest = _export(tmp_path, memory_bank_shot=2)
+        mbm = manifest["memory_bank"]
+        assert mbm["shot"] == 2 and set(mbm["graphs"]) == {"2", "4"}
+        art = load_serving_artifact(out)
+        assert art.shot == 2 and art.bank_weight == 0.5
+        assert "bottle" in art.banks["MVTec"]
+        assert (tuple(art.banks["MVTec"]["bottle"].shape)
+                == tuple(mbm["bank_shape"]))
+
+        imgs = _imgs(4)
+        pix_b, sc_b = art.predict_class(imgs, "MVTec", "bottle")  # auto
+        pix_t, sc_t = art.predict_class(imgs, "MVTec", "bottle",
+                                        use_bank=False)
+        assert np.abs(pix_b - pix_t).max() > 1e-6  # bank changed the maps
+
+        # live memory-bank predictor on the same support == the frozen one
+        from aaclip_tpu.core.config import (AdapterConfig, DtypePolicy,
+                                            get_config)
+        from aaclip_tpu.core.params import (create_clip_params,
+                                            init_adapter_params)
+        from aaclip_tpu.data.registry import DOMAINS
+        from aaclip_tpu.eval import memory_bank as mb
+        from aaclip_tpu.eval.predict import make_anchor_encoder
+        from aaclip_tpu.ops.similarity import fused_postproc_matrix
+        from aaclip_tpu.text.anchors import encode_dataset_anchors
+
+        policy = DtypePolicy.from_name("fp32")
+        cfg = get_config("tiny-test", IMG)
+        acfg = AdapterConfig(**ACFG)
+        clip = create_clip_params(cfg, seed=SEED, policy=policy)
+        adapters = init_adapter_params(jax.random.PRNGKey(SEED), cfg, acfg,
+                                       policy)
+        live = mb.make_mb_predict_fn(clip, cfg, acfg, img_size=IMG,
+                                     policy=policy, uint8_inputs=True,
+                                     bank_weight=0.5)
+        support = mb.collect_support_sets("MVTec", 2, IMG, uint8=True)
+        bank = mb.collect_bank(live.features_fn, adapters["image"],
+                               support["bottle"])
+        bank = mb.pad_banks_to_common_size(
+            {"bottle": bank}, n_max=mbm["bank_shape"][1])["bottle"]
+        enc = make_anchor_encoder(clip, cfg, acfg, None, policy=policy)
+        anchors = np.asarray(
+            encode_dataset_anchors(enc, "MVTec")["bottle"])
+        M = np.asarray(fused_postproc_matrix(cfg.vision.grid, IMG,
+                                             DOMAINS["MVTec"]))
+        # the bundled bank BYTES are bit-identical (same construction
+        # code, run live at export time — not through an exported graph)
+        np.testing.assert_array_equal(art.banks["MVTec"]["bottle"],
+                                      np.asarray(bank))
+        pix_l, sc_l = live(adapters["image"], imgs,
+                           np.asarray(anchors, np.float32), M, bank)
+        # the fused map tolerates ~2 fp32 ulps: the deserialized
+        # StableHLO's bank max-similarity scan fuses slightly differently
+        # from the live jit (the TEXT-only path stays bit-exact — see
+        # test_artifact_matches_live_path_bit_exactly)
+        np.testing.assert_allclose(pix_b, np.asarray(pix_l),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(sc_b, np.asarray(sc_l),
+                                   rtol=1e-6, atol=1e-6)
+
+        # a bank-less artifact refuses an explicit use_bank=True
+        out2, _ = _export(tmp_path / "nobank")
+        art2 = load_serving_artifact(out2)
+        with pytest.raises(KeyError, match="no bank"):
+            art2.predict_class(imgs, "MVTec", "bottle", use_bank=True)
+    finally:
+        os.environ.clear()
+        os.environ.update(old)

@@ -135,6 +135,59 @@ def test_eval_artifact_cli(env):
             np.testing.assert_allclose(frozen[col], live[col], atol=1e-6)
 
 
+def test_eval_artifact_memory_bank_cli(env):
+    """test.py --artifact --memory_bank (round 5): an artifact exported
+    with --memory_bank_shot bundles per-class banks + fused graphs, and
+    its eval table matches the live --memory_bank eval of the same
+    checkpoint (same support draw, same fp32 math)."""
+    import pandas as pd
+
+    import test as test_cli
+    import train as train_cli
+    from aaclip_tpu.deploy import export_serving_artifact
+
+    save = os.path.join(env, "ckpt_art_mb")
+    train_cli.main(COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "0", "--image_epoch", "1",
+        "--image_batch_size", "8", "--surgery_until_layer", "2",
+    ])
+    test_cli.main(COMMON + [
+        "--save_path", save, "--batch_size", "4", "--csv",
+        "--fused_preprocess", "--memory_bank", "--shot", "2",
+    ])
+    art = os.path.join(env, "art_mb")
+    export_serving_artifact(
+        art, model_name="tiny-test", img_size=70, precision="fp32",
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1),
+        save_path=save, datasets=("MVTec",), batch_sizes=(1, 2, 4),
+        memory_bank_shot=2)
+    out = os.path.join(env, "art_mb_results")
+    test_cli.main(["--artifact", art, "--dataset", "MVTec",
+                   "--save_path", out, "--batch_size", "4", "--csv",
+                   "--memory_bank"])
+    tlog = open(os.path.join(out, "test.log")).read()
+    assert "artifact memory bank: 2-shot" in tlog
+    live = pd.read_csv(os.path.join(save, "results_1.csv"))
+    frozen = pd.read_csv(os.path.join(out, "results_artifact.csv"))
+    assert list(frozen["class name"]) == list(live["class name"])
+    for col in live.columns:
+        if col != "class name":
+            np.testing.assert_allclose(frozen[col], live[col], atol=0.011)
+
+    # an artifact WITHOUT banks refuses --memory_bank loudly
+    art_plain = os.path.join(env, "art_plain_for_mb")
+    export_serving_artifact(
+        art_plain, model_name="tiny-test", img_size=70, precision="fp32",
+        adapter_cfg=dict(levels=(1, 2), image_adapt_until=1,
+                         text_adapt_until=1),
+        save_path=save, datasets=("MVTec",), batch_sizes=(2,))
+    with pytest.raises(SystemExit, match="banks bundled"):
+        test_cli.main(["--artifact", art_plain, "--dataset", "MVTec",
+                       "--save_path", out, "--memory_bank"])
+
+
 def test_eval_artifact_rejects_parallel_flags(env):
     import test as test_cli
 

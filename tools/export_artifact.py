@@ -47,6 +47,13 @@ def main(argv=None):
     p.add_argument("--text_adapt_until", type=int, default=3)
     p.add_argument("--relu", action="store_true")
     p.add_argument("--verify", action="store_true")
+    p.add_argument("--memory_bank_shot", type=int, default=0,
+                   help="bundle K-shot per-class memory banks + the fused "
+                        "bank graphs (test.py --artifact --memory_bank / "
+                        "predict_class then use them); needs "
+                        "AACLIP_DATA/METADATA on the export host")
+    p.add_argument("--bank_weight", type=float, default=0.5)
+    p.add_argument("--bank_chunk", type=int, default=1024)
     args = p.parse_args(argv)
 
     from aaclip_tpu.utils.platform import probe_devices_or_exit
@@ -68,7 +75,9 @@ def main(argv=None):
         save_path=args.save_path, datasets=tuple(args.datasets),
         batch_sizes=tuple(args.batch_sizes),
         platforms=tuple(args.platforms) if args.platforms else None,
-        native_kernels=args.native_kernels)
+        native_kernels=args.native_kernels,
+        memory_bank_shot=args.memory_bank_shot,
+        bank_weight=args.bank_weight, bank_chunk=args.bank_chunk)
     wall = time.perf_counter() - t0
     size = sum(os.path.getsize(os.path.join(args.out, f))
                for f in os.listdir(args.out))
