@@ -241,9 +241,11 @@ def make_mb_predict_fn(clip_params: dict, cfg: CLIPConfig,
         dp = mesh.devices.size
 
         def predict(image_adapter, images, anchors, M, bank):
-            assert images.shape[0] % dp == 0, (
-                f"batch {images.shape[0]} not divisible by data-parallel "
-                f"size {dp}")
+            if images.shape[0] % dp:  # not an assert: python -O would
+                # strip it and surface an opaque GSPMD sharding error
+                raise ValueError(
+                    f"batch {images.shape[0]} not divisible by "
+                    f"data-parallel size {dp}")
             return _jitted(feats_fn.visual, image_adapter, images, anchors,
                            M, bank)
 
@@ -285,6 +287,14 @@ def collect_support_sets(dataset: str, shot: int, img_size: int, *,
     meta = metadata_path(dataset, shot)
     if not os.path.exists(meta):
         meta = metadata_path(dataset, -1)
+    if not os.path.exists(meta):
+        # say what is actually missing: a raw FileNotFoundError from
+        # read_jsonl would bury the AACLIP_METADATA hint
+        raise FileNotFoundError(
+            f"no train metadata for {dataset!r} (looked for "
+            f"{metadata_path(dataset, shot)} and {meta}) — the memory "
+            "bank draws support images from training metadata; set "
+            "AACLIP_DATA/AACLIP_METADATA on this host")
     records = read_jsonl(meta)
     spec = DATASETS[dataset]
     support = {}

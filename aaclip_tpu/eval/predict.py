@@ -92,11 +92,16 @@ def make_predict_fn(clip_params: dict, cfg: CLIPConfig, acfg: AdapterConfig,
             # mixed prefix: quantize blocks [0, k) into a SECOND stacked
             # tree (scan leaves are dtype-homogeneous, so a mixed stack
             # is impossible); _trunk_with_taps routes segments by depth.
-            # The late blocks — the det token's tap — stay bf16.
+            # The late blocks — the det token's tap — stay bf16.  The
+            # float stack keeps ONLY the suffix [k, layers): retaining
+            # the quantized blocks' float copies would leave ~k/layers
+            # of the trunk resident in HBM but unreachable.
             from aaclip_tpu.models.vit import slice_blocks
             visual["blocks_q"] = quantize_block_weights(
                 slice_blocks(visual["blocks"], 0, k),
                 source=slice_blocks(clip_params["visual"]["blocks"], 0, k))
+            visual["blocks"] = slice_blocks(visual["blocks"], k,
+                                            cfg.vision.layers)
         else:
             visual["blocks"] = quantize_block_weights(
                 visual["blocks"], source=clip_params["visual"]["blocks"])

@@ -200,19 +200,30 @@ def _trunk_with_taps(params: dict, cfg: CLIPConfig, images: jax.Array,
     # stacked tree "blocks_q" holding the quantized leaves of blocks
     # [0, q_k) — stacked scan leaves must be dtype-homogeneous, so a
     # segment boundary (not a mixed stack) is the only layout that works;
-    # attention/mlp dispatch on the sliced leaves' dtype as usual
+    # attention/mlp dispatch on the sliced leaves' dtype as usual.  The
+    # float tree then holds ONLY the suffix [q_k, layers) (keeping the
+    # quantized blocks' float copies alive would waste ~q_k/layers of the
+    # trunk's HBM on unreachable leaves), so float slices index with a
+    # -q_k offset.
     q_k = 0
     if "blocks_q" in params:
         q_k = jax.tree.leaves(params["blocks_q"])[0].shape[0]
+        n_float = jax.tree.leaves(params["blocks"])[0].shape[0]
+        if n_float != v.layers - q_k:
+            raise ValueError(
+                f"mixed-prefix trunk: the float block stack must hold "
+                f"exactly the suffix [{q_k}, {v.layers}) "
+                f"({v.layers - q_k} layers), got {n_float}")
     bounds = [0, v.layers, n_adapt, stage_k, q_k] + [l for l in out_layers]
     if vv_start is not None:
         bounds.append(vv_start)
     x = embed(params, cfg, images, policy, patch_embed_fn=patch_embed_fn)
     taps = {}
     for start, stop in _segments([b for b in bounds if 0 <= b <= v.layers]):
-        src = params["blocks_q"] if (q_k and stop <= q_k) else \
-            params["blocks"]
-        seg = slice_blocks(src, start, stop)
+        if q_k and stop <= q_k:
+            seg = slice_blocks(params["blocks_q"], start, stop)
+        else:
+            seg = slice_blocks(params["blocks"], start - q_k, stop - q_k)
         seg_adapters = None
         if adapters is not None and stop <= n_adapt:
             seg_adapters = slice_blocks(adapters, start, stop)

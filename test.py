@@ -323,6 +323,19 @@ def main(argv=None):
             logger.info("artifact memory bank: %d-shot, weight %.2f, "
                         "%d classes banked", art.shot, art.bank_weight,
                         len(ds_banks))
+            # the shot count and fusion weight are BAKED into the
+            # exported bank graphs — a differing CLI value would be
+            # silently ignored (sweeping --bank_weight over an artifact
+            # produces identical tables)
+            if abs(args.bank_weight - art.bank_weight) > 1e-9:
+                logger.warning(
+                    "--bank_weight %.2f has no effect on an artifact "
+                    "(weight %.2f was baked at export; re-export to "
+                    "change it)", args.bank_weight, art.bank_weight)
+            if args.shot >= 1 and args.shot != art.shot:
+                logger.warning(
+                    "--shot %d has no effect on an artifact (banks were "
+                    "built %d-shot at export)", args.shot, art.shot)
 
             def per_class(cls):
                 if cls not in ds_banks:

@@ -142,7 +142,7 @@ def test_mb_predict_data_parallel_matches_single_device(setup):
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
                                atol=1e-6, rtol=1e-5)
-    with pytest.raises(AssertionError, match="not divisible"):
+    with pytest.raises(ValueError, match="not divisible"):
         dp(adapter, jnp.asarray(test_imgs[:3]), jnp.asarray(anchors),
            jnp.asarray(M), bank1)
 

@@ -244,14 +244,24 @@ def test_mixed_prefix_int8_routing():
     want = run_block_range(x, slice_blocks(visual["blocks"], 1, 2), heads,
                            act=act, policy=policy)
 
-    # the mixed tree the predict path builds
+    # the mixed tree the predict path builds: quantized prefix + the
+    # float SUFFIX only (keeping the prefix's float copies would waste
+    # HBM on unreachable leaves)
     pm = dict(visual)
     pm["blocks_q"] = Q.quantize_block_weights(
         slice_blocks(visual["blocks"], 0, 1),
         source=slice_blocks(clip["visual"]["blocks"], 0, 1))
+    pm["blocks"] = slice_blocks(visual["blocks"], 1, 2)
     from aaclip_tpu.models.vit import encode_image
     _, taps = encode_image(pm, CFG, images, out_layers=(2,),
                            policy=mixed_policy)
+    # a FULL float stack next to blocks_q must be rejected (the offset
+    # indexing assumes the suffix-only layout)
+    bad = dict(pm)
+    bad["blocks"] = visual["blocks"]
+    with pytest.raises(ValueError, match="suffix"):
+        encode_image(bad, CFG, images, out_layers=(2,),
+                     policy=mixed_policy)
     np.testing.assert_allclose(np.asarray(taps[0]), np.asarray(want),
                                atol=1e-6, rtol=1e-6)
     # and it differs from BOTH the float and the full-int8 towers

@@ -138,6 +138,15 @@ def main(argv=None):
             (args.candidate, args.candidate_bf16_until,
              args.candidate_int8_until):
         raise SystemExit("baseline and candidate are the same configuration")
+    # validate the int8_until/precision pairing NOW: test.py would reject
+    # it too, but only AFTER the expensive training phase already ran
+    for side, prec, i8 in (("baseline", args.baseline,
+                            args.baseline_int8_until),
+                           ("candidate", args.candidate,
+                            args.candidate_int8_until)):
+        if i8 is not None and prec != "int8":
+            raise SystemExit(
+                f"--{side}_int8_until requires --{side} int8 (got {prec})")
 
     import pandas as pd
 

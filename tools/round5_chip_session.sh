@@ -48,6 +48,8 @@ done
 say "step 6: loss_fetch_every A/B (1 vs 8) at the production point"
 for k in 1 8; do
   say "  loss_fetch_every $k"
+  rm -rf "/tmp/r5_train_lf$k"  # a leftover checkpoint would resume past
+                               # --image_epoch and train ZERO steps
   timeout 2400 python -u - <<EOF >> "$LOG" 2>&1
 import sys, os
 sys.path.insert(0, ".")

@@ -162,10 +162,13 @@ def main(argv=None):
         proc, base = _spawn_server(args)
     png = _png(args.img_size)
     try:
-        # warm every bucket/stride program before timing
-        _run_cell(base, png, args.class_name, "json",
-                  int(args.strides.split(",")[0]), args.clients,
-                  args.warmup)
+        # warm EVERY stride before timing: the engine compiles one device
+        # program per bucket x map_stride (seconds each through the
+        # relay), so warming only one stride would bury a compile inside
+        # the first timed cell of every other stride
+        for stride in (int(s) for s in args.strides.split(",")):
+            _run_cell(base, png, args.class_name, "json", stride,
+                      args.clients, args.warmup)
         rows = []
         for stride in (int(s) for s in args.strides.split(",")):
             for enc in args.encodings.split(","):

@@ -540,11 +540,7 @@ def main(argv=None):
                                text_stage=False, seed=args.seed + 1)
     loader.epoch = image_start_epoch
     fused_step = None
-    if args.fused_assemble:
-        if not args.cache_device:
-            raise SystemExit("--fused_assemble requires --cache_device "
-                             "(it folds the device-cache batch assembly "
-                             "into the step program)")
+    if args.fused_assemble:  # parse_args already enforced --cache_device
         # stage 2 only: stage 1's device work is two programs (feature
         # extraction + text step) with a host hop between, so folding
         # assembly buys nothing there
