@@ -108,6 +108,13 @@ def make_patch_features_fn(clip_params: dict, cfg: CLIPConfig,
     def features(image_adapter, images):
         return _jitted(visual, image_adapter, images)
 
+    # UNJITTED impl for callers that compose this forward inside their
+    # own sharded jit (make_mb_predict_fn's dp path): calling the jitted
+    # `raw` there would nest its replicated in_shardings as constraints
+    # and force the whole trunk forward to run REPLICATED (verified by
+    # HLO inspection — GSPMD all-gathers the batch)
+    features.impl = _impl
+
     features.raw = _jitted
     features.visual = visual
     return features
@@ -209,7 +216,11 @@ def make_mb_predict_fn(clip_params: dict, cfg: CLIPConfig,
         raise ValueError(f"bank_weight must be in [0, 1], got {w}")
 
     def _impl(visual, image_adapter, images, anchors, M, bank):
-        seg, det = feats_fn.raw(visual, image_adapter, images)
+        # the UNJITTED features impl: the jitted feats_fn.raw carries
+        # replicated in_shardings (for the bank build), which nested
+        # inside this batch-sharded jit would constrain the trunk forward
+        # to run replicated on every device
+        seg, det = feats_fn.impl(visual, image_adapter, images)
         scores = level_scores(seg, anchors)                 # [n, B, L, 2]
         _, B, L, _ = scores.shape
         grid = int(round(L ** 0.5))

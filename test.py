@@ -139,6 +139,12 @@ def parse_args(argv=None):
     if args.memory_bank and args.shot < 1 and not args.artifact:
         parser.error("--memory_bank needs --shot >= 1 support images "
                      "(artifact banks carry their own shot count)")
+    # the artifact-bank mismatch warning must fire only on an EXPLICIT
+    # --shot (the default 4 is a reference-CLI-contract value, not a
+    # user intent)
+    import sys as _sys
+    args.shot_explicit = "--shot" in (argv if argv is not None
+                                      else _sys.argv[1:])
     return args
 
 
@@ -332,7 +338,7 @@ def main(argv=None):
                     "--bank_weight %.2f has no effect on an artifact "
                     "(weight %.2f was baked at export; re-export to "
                     "change it)", args.bank_weight, art.bank_weight)
-            if args.shot >= 1 and args.shot != art.shot:
+            if args.shot_explicit and args.shot != art.shot:
                 logger.warning(
                     "--shot %d has no effect on an artifact (banks were "
                     "built %d-shot at export)", args.shot, art.shot)

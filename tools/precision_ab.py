@@ -147,6 +147,15 @@ def main(argv=None):
         if i8 is not None and prec != "int8":
             raise SystemExit(
                 f"--{side}_int8_until requires --{side} int8 (got {prec})")
+        if i8 is not None:
+            # bounds-check the depth too: an out-of-range K would
+            # otherwise die in the eval AFTER the expensive train phase
+            from aaclip_tpu.core.config import get_config
+            layers = get_config(args.model_name).vision.layers
+            if not 0 <= i8 <= layers:
+                raise SystemExit(
+                    f"--{side}_int8_until {i8} out of range for the "
+                    f"{layers}-layer {args.model_name} tower")
 
     import pandas as pd
 
