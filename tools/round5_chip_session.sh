@@ -27,13 +27,13 @@ timeout 1200 python bench.py --precision int8 >> "$LOG" 2>&1
 say "step 5: train production point — fused_assemble A/B (2 epochs each)"
 for extra in "" "--fused_assemble"; do
   say "  train --cache_device $extra"
-  rm -rf /tmp/r5_train_ab && timeout 2400 python -u tools/precision_ab.py --help > /dev/null  # noop warm
+  rm -rf /tmp/r5_train_ab
   timeout 2400 python -u - <<EOF >> "$LOG" 2>&1
 import sys, os
 sys.path.insert(0, ".")
 from aaclip_tpu.data.synthetic import make_synthetic_dataset
 root = "/tmp/r5_train_ab"
-data_root, meta_root = make_synthetic_dataset(root, img_px=518, n_normal=96, n_anomalous=0, class_names=("bottle",))
+data_root, meta_root = make_synthetic_dataset(root, img_px=518, n_normal=192, n_anomalous=0, class_names=("bottle",))
 os.environ["AACLIP_DATA"] = data_root
 os.environ["AACLIP_METADATA"] = meta_root
 sys.argv = ["train.py", "--model_name", "ViT-L-14-336", "--img_size", "518",
@@ -55,7 +55,7 @@ import sys, os
 sys.path.insert(0, ".")
 from aaclip_tpu.data.synthetic import make_synthetic_dataset
 root = "/tmp/r5_train_lf$k"
-data_root, meta_root = make_synthetic_dataset(root, img_px=518, n_normal=96, n_anomalous=0, class_names=("bottle",))
+data_root, meta_root = make_synthetic_dataset(root, img_px=518, n_normal=192, n_anomalous=0, class_names=("bottle",))
 os.environ["AACLIP_DATA"] = data_root
 os.environ["AACLIP_METADATA"] = meta_root
 sys.argv = ["train.py", "--model_name", "ViT-L-14-336", "--img_size", "518",
