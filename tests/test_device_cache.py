@@ -241,24 +241,40 @@ def test_fused_assemble_matches_unfused(synth_env):
 
 def test_train_cli_fused_assemble(synth_env):
     """train.py --fused_assemble end-to-end: stage 2 runs the fused loop
-    (log line present) with finite losses."""
+    (log line present) with finite losses, and a RESUMED run (epoch 1 ->
+    epoch 2 in a second process) continues through the fused path with
+    the correct epoch's shuffle/augment plan."""
     import re
 
     import train as train_cli
 
-    save = os.path.join(synth_env, "ckpt_fused")
-    train_cli.main([
+    common = [
         "--model_name", "tiny-test", "--img_size", "70",
         "--dataset", "MVTec", "--text_adapt_until", "1",
         "--image_adapt_until", "1", "--levels", "1", "2",
-        "--num_workers", "2", "--save_path", save,
+        "--num_workers", "2",
         "--training_mode", "full_shot", "--text_epoch", "0",
-        "--image_epoch", "2", "--image_batch_size", "4",
-        "--surgery_until_layer", "2",
+        "--image_batch_size", "4", "--surgery_until_layer", "2",
         "--device_augment", "--cache_device", "--fused_assemble",
-    ])
+    ]
+    save = os.path.join(synth_env, "ckpt_fused")
+    train_cli.main(common + ["--save_path", save, "--image_epoch", "2"])
     assert os.path.isfile(os.path.join(save, "image_adapter_2.npz"))
     log = open(os.path.join(save, "train.log")).read()
     assert "fused_assemble: batch k+1 assembles inside step k" in log
     losses = [float(m) for m in re.findall(r"loss: ([\d.]+)", log)]
     assert len(losses) == 2 and all(np.isfinite(losses))
+
+    # resume: epoch 0 in one run, epoch 1 in a fresh invocation — the
+    # second run's fused loop must start from the checkpoint and train
+    # exactly one more epoch (epoch_plan keyed off the resumed epoch)
+    save2 = os.path.join(synth_env, "ckpt_fused_resume")
+    train_cli.main(common + ["--save_path", save2, "--image_epoch", "1"])
+    train_cli.main(common + ["--save_path", save2, "--image_epoch", "2"])
+    assert os.path.isfile(os.path.join(save2, "image_adapter_2.npz"))
+    log2 = open(os.path.join(save2, "train.log")).read()
+    assert "training image epoch 1" in log2
+    # the resumed process trains epoch 1 only (epoch 0 came from run 1)
+    assert log2.count("training image epoch 0") == 1
+    losses2 = [float(m) for m in re.findall(r"loss: ([\d.]+)", log2)]
+    assert len(losses2) == 2 and all(np.isfinite(losses2))
