@@ -407,6 +407,40 @@ def test_train_pipeline_parallel_cli(env):
     assert "final results" in elog and "Average" in elog
 
 
+def test_train_pipeline_parallel_stage1_spatial_dp_cli(env):
+    """Stage-1 PP with --vv_mode spatial composes with --data_parallel
+    (the s1_pp_dp branch: per-sample features shard over the pipeline's
+    data axis; batch-mode V-V would reject the explicit data sharding)."""
+    import subprocess
+    import sys
+
+    save = os.path.join(env, "ckpt_pp_s1_sp")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    train_args = COMMON + [
+        "--save_path", save, "--training_mode", "full_shot",
+        "--text_epoch", "1", "--image_epoch", "0",
+        "--text_batch_size", "8", "--surgery_until_layer", "2",
+        "--vv_mode", "spatial",
+        "--pipeline_parallel", "2", "--data_parallel",
+    ]
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 8, jax.devices()\n"
+        f"import sys; sys.argv = ['train.py'] + {train_args!r}\n"
+        "import train; train.main()\n"
+    )
+    envv = dict(os.environ)
+    envv["JAX_PLATFORMS"] = "cpu"
+    envv["XLA_FLAGS"] = (envv.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8").strip()
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=repo, env=envv, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    tlog = open(os.path.join(save, "train.log")).read()
+    assert "training text epoch 0" in tlog
+    assert os.path.isfile(os.path.join(save, "text_adapter.npz"))
+
+
 def test_train_tensor_parallel_cli(env):
     """train.py --tensor_parallel 2 --sequence_parallel: stage-2 trains
     through the Megatron-sharded trunk (sequence-sharded residual stream)
