@@ -1,7 +1,11 @@
 #!/bin/bash
 # Round-5 chip measurement queue (docs/PERFORMANCE.md "Round-5 relay
-# status").  Each step is bounded and appends to $LOG; short measurements
-# run first so a flapping relay window still harvests something.
+# status").  Each step is bounded and appends to $LOG.  Ordering: the
+# cheap microbenches run first (high value per minute, and they warm the
+# compile cache), then the two-round-old artifact-serving debt (verdict
+# item 1), then the production-point train session, then the remaining
+# serve/quant/soak measurements — so a flapping relay window harvests
+# the highest-priority items first.
 # Usage: bash tools/round5_chip_session.sh [results_log]
 set -u
 cd "$(dirname "$0")/.."
@@ -9,7 +13,10 @@ LOG=${1:-/tmp/round5_chip_results.log}
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 
 say "step 0: relay sanity"
-timeout 120 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()), jax.devices())" >> "$LOG" 2>&1 || { say "relay dead; aborting"; exit 1; }
+# 600 s bound: the returned round-5 relay answers jax.devices() instantly
+# but takes ~220 s to execute the FIRST program of each process (tunnel
+# handshake) — measured 2026-08-20; a 120 s bound would false-abort.
+timeout 600 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()), jax.devices())" >> "$LOG" 2>&1 || { say "relay dead; aborting"; exit 1; }
 
 say "step 1: bench.py infer headline (bf16)"
 timeout 1200 python bench.py >> "$LOG" 2>&1
@@ -20,11 +27,10 @@ timeout 1200 python -u tools/microbench_attn_k.py >> "$LOG" 2>&1
 say "step 3: microbench_augment --with_step"
 timeout 1200 python -u tools/microbench_augment.py --with_step >> "$LOG" 2>&1
 
-say "step 4: mixed-int8 isolated bench (int8_until 18)"
-timeout 1200 python bench.py --precision int8 --int8_until 18 >> "$LOG" 2>&1
-timeout 1200 python bench.py --precision int8 >> "$LOG" 2>&1
+say "step 4: artifact serving cold-start A/B (the round-3/4 debt)"
+timeout 5400 python -u tools/serve_coldstart_bench.py >> "$LOG" 2>&1
 
-say "step 5: train production point — fused_assemble A/B (2 epochs each)"
+say "step 5: train production point — fused_assemble A/B (3 epochs each)"
 for extra in "" "--fused_assemble"; do
   say "  train --cache_device $extra"
   rm -rf /tmp/r5_train_ab
@@ -68,23 +74,24 @@ import train; train.main()
 EOF
 done
 
-say "step 7: mixed-int8 task gate (precision_ab --hard)"
+say "step 7: bench serve steady state (live engine)"
+timeout 3600 python bench.py --mode serve --steps 60 >> "$LOG" 2>&1
+
+say "step 8: serve HTTP encoding A/B (ViT-L)"
+timeout 3600 python -u tools/serve_http_ab.py --seconds 20 \
+  --startup_timeout 1200 >> "$LOG" 2>&1
+
+say "step 9: mixed-int8 isolated bench (int8_until 18)"
+timeout 1200 python bench.py --precision int8 --int8_until 18 >> "$LOG" 2>&1
+timeout 1200 python bench.py --precision int8 >> "$LOG" 2>&1
+
+say "step 10: mixed-int8 task gate (precision_ab --hard)"
 timeout 3600 python -u tools/precision_ab.py --hard --baseline bf16 \
   --candidate int8 --candidate_int8_until 18 --n_classes 4 \
   --n_normal 32 --n_anomalous 32 >> "$LOG" 2>&1
 
-say "step 8: few-shot soak with memory bank (2-shot)"
+say "step 11: few-shot soak with memory bank (2-shot)"
 timeout 3600 python -u tools/few_shot_soak.py --shots 2 --text_epoch 1 \
   --image_epoch 1 --memory_bank >> "$LOG" 2>&1
-
-say "step 9: serve HTTP encoding A/B (ViT-L)"
-timeout 3600 python -u tools/serve_http_ab.py --seconds 20 \
-  --startup_timeout 1200 >> "$LOG" 2>&1
-
-say "step 10: artifact serving cold-start A/B (the round-3/4 debt)"
-timeout 5400 python -u tools/serve_coldstart_bench.py >> "$LOG" 2>&1
-
-say "step 11: bench serve steady state (live vs artifact)"
-timeout 3600 python bench.py --mode serve --steps 60 >> "$LOG" 2>&1
 
 say "DONE"
