@@ -13,19 +13,25 @@ LOG=${1:-/tmp/round5_chip_results.log}
 say() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 
 say "step 0: relay sanity"
-# 600 s bound: the returned round-5 relay answers jax.devices() instantly
-# but takes ~220 s to execute the FIRST program of each process (tunnel
-# handshake) — measured 2026-08-20; a 120 s bound would false-abort.
-timeout 600 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()), jax.devices())" >> "$LOG" 2>&1 || { say "relay dead; aborting"; exit 1; }
+# The returned round-5 relay answers jax.devices() instantly but takes a
+# WILDLY variable time to execute the FIRST program of each process
+# (tunnel handshake: measured 52 s, 223 s, 278 s, and one >600 s window
+# on 2026-08-21) — so retry up to 3 x 900 s before declaring it dead.
+ok=0
+for i in 1 2 3; do
+  timeout 900 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()), jax.devices())" >> "$LOG" 2>&1 && { ok=1; break; }
+  say "  sanity attempt $i timed out; retrying"
+done
+[ "$ok" = 1 ] || { say "relay dead after 3 attempts; aborting"; exit 1; }
 
 say "step 1: bench.py infer headline (bf16)"
-timeout 1200 python bench.py >> "$LOG" 2>&1
+timeout 1800 python bench.py >> "$LOG" 2>&1
 
 say "step 2: microbench_attn_k (K=128 packing)"
-timeout 1200 python -u tools/microbench_attn_k.py >> "$LOG" 2>&1
+timeout 1800 python -u tools/microbench_attn_k.py >> "$LOG" 2>&1
 
 say "step 3: microbench_augment --with_step"
-timeout 1200 python -u tools/microbench_augment.py --with_step >> "$LOG" 2>&1
+timeout 1800 python -u tools/microbench_augment.py --with_step >> "$LOG" 2>&1
 
 say "step 4: artifact serving cold-start A/B (the round-3/4 debt)"
 timeout 5400 python -u tools/serve_coldstart_bench.py >> "$LOG" 2>&1
@@ -34,7 +40,7 @@ say "step 5: train production point — fused_assemble A/B (3 epochs each)"
 for extra in "" "--fused_assemble"; do
   say "  train --cache_device $extra"
   rm -rf /tmp/r5_train_ab
-  timeout 2400 python -u - <<EOF >> "$LOG" 2>&1
+  timeout 3000 python -u - <<EOF >> "$LOG" 2>&1
 import sys, os
 sys.path.insert(0, ".")
 from aaclip_tpu.data.synthetic import make_synthetic_dataset
@@ -56,7 +62,7 @@ for k in 1 8; do
   say "  loss_fetch_every $k"
   rm -rf "/tmp/r5_train_lf$k"  # a leftover checkpoint would resume past
                                # --image_epoch and train ZERO steps
-  timeout 2400 python -u - <<EOF >> "$LOG" 2>&1
+  timeout 3000 python -u - <<EOF >> "$LOG" 2>&1
 import sys, os
 sys.path.insert(0, ".")
 from aaclip_tpu.data.synthetic import make_synthetic_dataset
@@ -82,8 +88,8 @@ timeout 3600 python -u tools/serve_http_ab.py --seconds 20 \
   --startup_timeout 1200 >> "$LOG" 2>&1
 
 say "step 9: mixed-int8 isolated bench (int8_until 18)"
-timeout 1200 python bench.py --precision int8 --int8_until 18 >> "$LOG" 2>&1
-timeout 1200 python bench.py --precision int8 >> "$LOG" 2>&1
+timeout 1800 python bench.py --precision int8 --int8_until 18 >> "$LOG" 2>&1
+timeout 1800 python bench.py --precision int8 >> "$LOG" 2>&1
 
 say "step 10: mixed-int8 task gate (precision_ab --hard)"
 timeout 3600 python -u tools/precision_ab.py --hard --baseline bf16 \
