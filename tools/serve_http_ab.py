@@ -92,6 +92,55 @@ def _png(img_size: int) -> bytes:
     return buf.getvalue()
 
 
+def _warm_stride(base, png, cls, stride, clients, max_batch,
+                 timeout=600.0):
+    """Compile every occupancy bucket for ``stride`` before timing.
+
+    Bursts of exactly 1, 2, 4, ... <= min(clients, max_batch) concurrent
+    requests: the engine pads each dispatch to the enclosing power-of-2
+    bucket, so each burst forces one bucket's slice program to compile
+    (no-op once cached).  A burst failure is fatal only if EVERY request
+    in it fails — a single slow compile finishing after some requests
+    is fine.
+    """
+    url = (f"{base}/predict?dataset=MVTec&class_name={cls}"
+           f"&map_stride={stride}")
+    cap = min(clients, max_batch)
+    b = 1
+    while True:
+        results = []
+        lock = threading.Lock()
+
+        def one():
+            try:
+                req = urllib.request.Request(url, data=png, method="POST")
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    r.read()
+                ok = True
+            except Exception:
+                ok = False
+            with lock:
+                results.append(ok)
+
+        threads = [threading.Thread(target=one) for _ in range(b)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        print(f"warm stride={stride} bucket={b}: "
+              f"{sum(results)}/{b} ok in {time.time() - t0:.1f}s",
+              flush=True)
+        if not any(results):
+            raise SystemExit(
+                f"warmup burst failed entirely (stride={stride}, "
+                f"bucket={b}) — server wedged or compile exceeded "
+                f"{timeout:.0f}s")
+        if b >= cap:
+            return
+        b = min(b * 2, cap)
+
+
 def _run_cell(base, png, cls, encoding, stride, clients, seconds):
     """Closed-loop clients against one (encoding, stride) config."""
     url = (f"{base}/predict?dataset=MVTec&class_name={cls}"
@@ -147,7 +196,6 @@ def main(argv=None):
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--seconds", type=float, default=20.0,
                    help="measurement window per (encoding, stride) cell")
-    p.add_argument("--warmup", type=float, default=3.0)
     p.add_argument("--encodings", default="json,f16,u8")
     p.add_argument("--strides", default="1,4")
     p.add_argument("--class_name", default="bottle")
@@ -162,13 +210,20 @@ def main(argv=None):
         proc, base = _spawn_server(args)
     png = _png(args.img_size)
     try:
-        # warm EVERY stride before timing: the engine compiles one device
-        # program per bucket x map_stride (seconds each through the
-        # relay), so warming only one stride would bury a compile inside
-        # the first timed cell of every other stride
+        # warm EVERY (stride x occupancy-bucket) before timing: the
+        # engine compiles one device slice program per bucket x
+        # map_stride, and through the relay each compile takes seconds
+        # to minutes — a fixed-window warmup (the first version used 3 s)
+        # leaves some buckets uncompiled and the next timed cell's
+        # requests stall behind the in-flight compile until the client
+        # timeout, reading as spurious errors=clients rows.  Instead,
+        # issue success-gated bursts of 1, 2, 4, ... concurrent requests
+        # (each burst pads to exactly one bucket) with a generous
+        # timeout, so timing starts only once every program this run can
+        # hit exists.
         for stride in (int(s) for s in args.strides.split(",")):
-            _run_cell(base, png, args.class_name, "json", stride,
-                      args.clients, args.warmup)
+            _warm_stride(base, png, args.class_name, stride,
+                         args.clients, args.max_batch)
         rows = []
         for stride in (int(s) for s in args.strides.split(",")):
             for enc in args.encodings.split(","):
