@@ -52,7 +52,8 @@ sys.argv = ["train.py", "--model_name", "ViT-L-14-336", "--img_size", "518",
             "--dataset", "MVTec", "--save_path", root + "/ckpt$extra",
             "--training_mode", "full_shot", "--text_epoch", "0",
             "--image_epoch", "3", "--image_batch_size", "32",
-            "--grad_accum", "4", "--device_augment", "--cache_device"] + "$extra".split()
+            "--grad_accum", "4", "--precision", "bf16",
+            "--device_augment", "--cache_device"] + "$extra".split()
 import train; train.main()
 EOF
 done
@@ -74,7 +75,8 @@ sys.argv = ["train.py", "--model_name", "ViT-L-14-336", "--img_size", "518",
             "--dataset", "MVTec", "--save_path", root + "/ckpt",
             "--training_mode", "full_shot", "--text_epoch", "0",
             "--image_epoch", "2", "--image_batch_size", "32",
-            "--grad_accum", "4", "--device_augment", "--cache_device",
+            "--grad_accum", "4", "--precision", "bf16",
+            "--device_augment", "--cache_device",
             "--loss_fetch_every", "$k"]
 import train; train.main()
 EOF
