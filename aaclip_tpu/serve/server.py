@@ -423,7 +423,11 @@ class InferenceEngine:
         # input-transfer + forward (blocks on the first fetched scalar),
         # map_fetch is the [B, H, W] result readback.  The optional h2d
         # probe (AACLIP_SERVE_PHASE_PROBE=1) splits input upload out of
-        # device_wait at the cost of one extra device roundtrip per batch.
+        # device_wait at the cost of one extra device roundtrip per batch;
+        # its forced upload wait happens INSIDE _dispatch, so the dispatch
+        # phase subtracts it (round-5 lesson: before the subtraction a
+        # probe-mode run read "dispatch 257 ms" that was 250 ms of h2d,
+        # and the overlap was misdiagnosed as call overhead).
         self._phase_probe = os.environ.get(
             "AACLIP_SERVE_PHASE_PROBE", "") == "1"
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
@@ -450,7 +454,12 @@ class InferenceEngine:
             # stay unperturbed (AACLIP_SERVE_PHASE_PROBE=1 to enable).
             t0 = time.perf_counter()
             float(imgs_dev[0, 0, 0, 0])
-            self._note_phase("h2d_probe", (time.perf_counter() - t0) * 1e3)
+            dt = time.perf_counter() - t0
+            self._note_phase("h2d_probe", dt * 1e3)
+            # let the caller's dispatch timing exclude this blocking wait
+            # (single dispatch-loop thread; replica overrides that skip
+            # this attribute simply report un-split dispatch)
+            self._probe_wait_s = dt
         return self._predict(self.image_adapter, imgs_dev,
                              jnp.asarray(anch), self._postproc_dev[ds])
 
@@ -630,9 +639,12 @@ class InferenceEngine:
                     t_stacked = time.perf_counter()
                     self._note_phase("stack_pad",
                                      (t_stacked - t_group) * 1e3)
+                    self._probe_wait_s = 0.0
                     pix, score = self._dispatch(imgs, anch, ds)
                     self._note_phase(
-                        "dispatch", (time.perf_counter() - t_stacked) * 1e3)
+                        "dispatch",
+                        (time.perf_counter() - t_stacked
+                         - getattr(self, "_probe_wait_s", 0.0)) * 1e3)
                     # hand the (async) device arrays to the completion
                     # stage; this thread immediately collects the next batch
                     self._completion_q.put((items, pix, score))
